@@ -1,0 +1,492 @@
+package graft.dom
+
+import scala.collection.mutable
+
+/** Flat-array DOM arena — one instance per document, reusable across rows
+  * (`reset()`), per the north-star design ("node-id arrays, parent/sibling
+  * indices, no heap-pointer soup").
+  *
+  * Mirrors the node semantics visdom observes from rphtml (reference
+  * `src/lib.rs:145-296`): node kinds, `index` = position among the parent's
+  * child nodes (`src/lib.rs:152-153`), content tags that hold raw text
+  * (`src/lib.rs:141-143`), attributes with original-case keys + lowercase
+  * lookup (issue #2, `src/lib.rs:611-633`) and preserved quote style, and
+  * byte-identical source re-rendering (`tests/trait.rs:48` source_code).
+  *
+  * All strings are (offset,len) spans into one shared char buffer: the
+  * source text plus an overflow region appended by mutations. Parsing a
+  * document allocates only in these growable arrays.
+  */
+final class Arena(initialNodes: Int = 256) {
+
+  // ---- node kinds ----
+  final val ROOT: Byte = 0
+  final val ELEM: Byte = 1
+  final val TEXT: Byte = 2
+  final val SPACES: Byte = 3 // whitespace-only text between tags (rphtml SpacesBetweenTag)
+  final val COMMENT: Byte = 4
+  final val CDATA: Byte = 5
+  final val DOCTYPE: Byte = 6
+
+  // ---- element flags ----
+  final val F_SELF_CLOSED: Int = 1 // written as `<x/>`
+  final val F_SELF_SPACE: Int = 2 // written as `<x />` (space before /)
+  final val F_END_TAG: Int = 4 // an explicit end tag was present / should render
+  final val F_CONTENT_TAG: Int = 8 // script|style|title|textarea
+  final val F_VOID: Int = 16 // HTML void element
+
+  var n: Int = 0
+  var kind: Array[Byte] = new Array[Byte](initialNodes)
+  var parent: Array[Int] = new Array[Int](initialNodes)
+  var firstChild: Array[Int] = new Array[Int](initialNodes)
+  var lastChild: Array[Int] = new Array[Int](initialNodes)
+  var prevSib: Array[Int] = new Array[Int](initialNodes)
+  var nextSib: Array[Int] = new Array[Int](initialNodes)
+  /** position among parent's child *nodes* (all kinds), maintained on mutation */
+  var nodeIdx: Array[Int] = new Array[Int](initialNodes)
+  var flags: Array[Int] = new Array[Int](initialNodes)
+  var nameOff: Array[Int] = new Array[Int](initialNodes)
+  var nameLen: Array[Int] = new Array[Int](initialNodes)
+  var textOff: Array[Int] = new Array[Int](initialNodes)
+  var textLen: Array[Int] = new Array[Int](initialNodes)
+  var attrHead: Array[Int] = new Array[Int](initialNodes) // first attr id or -1
+
+  // attribute pool (linked list per element)
+  var an: Int = 0
+  var aKeyOff: Array[Int] = new Array[Int](64)
+  var aKeyLen: Array[Int] = new Array[Int](64)
+  var aValOff: Array[Int] = new Array[Int](64) // -1 => boolean attribute
+  var aValLen: Array[Int] = new Array[Int](64)
+  var aQuote: Array[Char] = new Array[Char](64) // 0 => unquoted
+  var aNext: Array[Int] = new Array[Int](64)
+  var aRemoved: Array[Boolean] = new Array[Boolean](64)
+
+  // shared char store: [0, srcLen) = source; [srcLen, bufLen) = mutation overflow
+  var buf: Array[Char] = new Array[Char](1024)
+  var bufLen: Int = 0
+
+  /** document id cache (first element wins), built at parse (reference id
+    * fast path `src/mesdoc/rules/id.rs:8-52`). Invalidated (rebuilt) lazily
+    * after mutations that add elements. */
+  val idMap: mutable.HashMap[String, Int] = new mutable.HashMap[String, Int]()
+  var idMapDirty: Boolean = false
+
+  var isDocument: Boolean = false
+
+  def reset(src: Array[Char], srcLen: Int): Unit = {
+    n = 0; an = 0
+    idMap.clear(); idMapDirty = false; isDocument = false
+    if (buf.length < srcLen) buf = new Array[Char](Integer.highestOneBit(srcLen) * 2)
+    System.arraycopy(src, 0, buf, 0, srcLen)
+    bufLen = srcLen
+    // root node
+    val r = alloc(ROOT)
+    require(r == 0)
+  }
+
+  private def growNodes(): Unit = {
+    val cap = kind.length * 2
+    kind = java.util.Arrays.copyOf(kind, cap)
+    parent = java.util.Arrays.copyOf(parent, cap)
+    firstChild = java.util.Arrays.copyOf(firstChild, cap)
+    lastChild = java.util.Arrays.copyOf(lastChild, cap)
+    prevSib = java.util.Arrays.copyOf(prevSib, cap)
+    nextSib = java.util.Arrays.copyOf(nextSib, cap)
+    nodeIdx = java.util.Arrays.copyOf(nodeIdx, cap)
+    flags = java.util.Arrays.copyOf(flags, cap)
+    nameOff = java.util.Arrays.copyOf(nameOff, cap)
+    nameLen = java.util.Arrays.copyOf(nameLen, cap)
+    textOff = java.util.Arrays.copyOf(textOff, cap)
+    textLen = java.util.Arrays.copyOf(textLen, cap)
+    attrHead = java.util.Arrays.copyOf(attrHead, cap)
+  }
+
+  def alloc(k: Byte): Int = {
+    if (n == kind.length) growNodes()
+    val id = n; n += 1
+    kind(id) = k
+    parent(id) = -1; firstChild(id) = -1; lastChild(id) = -1
+    prevSib(id) = -1; nextSib(id) = -1; nodeIdx(id) = 0
+    flags(id) = 0; nameOff(id) = 0; nameLen(id) = 0
+    textOff(id) = 0; textLen(id) = 0; attrHead(id) = -1
+    id
+  }
+
+  def allocAttr(): Int = {
+    if (an == aKeyOff.length) {
+      val cap = an * 2
+      aKeyOff = java.util.Arrays.copyOf(aKeyOff, cap)
+      aKeyLen = java.util.Arrays.copyOf(aKeyLen, cap)
+      aValOff = java.util.Arrays.copyOf(aValOff, cap)
+      aValLen = java.util.Arrays.copyOf(aValLen, cap)
+      aQuote = java.util.Arrays.copyOf(aQuote, cap)
+      aNext = java.util.Arrays.copyOf(aNext, cap)
+      aRemoved = java.util.Arrays.copyOf(aRemoved, cap)
+    }
+    val id = an; an += 1
+    aValOff(id) = -1; aValLen(id) = 0; aQuote(id) = 0
+    aNext(id) = -1; aRemoved(id) = false
+    id
+  }
+
+  // ---- char store helpers ----
+  def appendChars(s: String): Int = {
+    val need = bufLen + s.length
+    if (need > buf.length) {
+      var cap = buf.length * 2
+      while (cap < need) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+    val off = bufLen
+    s.getChars(0, s.length, buf, off)
+    bufLen = need
+    off
+  }
+
+  def str(off: Int, len: Int): String = new String(buf, off, len)
+
+  def spanEqIgnoreCase(off: Int, len: Int, lower: String): Boolean = {
+    if (len != lower.length) return false
+    var i = 0
+    while (i < len) {
+      val c = buf(off + i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc != lower.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** lowercase tag name of an element ("" for non-elements / root). */
+  def lowerName(id: Int): String = {
+    if (kind(id) != ELEM) return ""
+    val len = nameLen(id)
+    val off = nameOff(id)
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      val c = buf(off + i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** UPPERCASE tag name — visdom's `tag_name()` (reference
+    * `tests/selector.rs:119` asserts "DIV"). */
+  def upperName(id: Int): String = {
+    val len = nameLen(id)
+    val off = nameOff(id)
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      val c = buf(off + i)
+      sb.append(if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  def isContentTag(id: Int): Boolean = (flags(id) & F_CONTENT_TAG) != 0
+  def isElem(id: Int): Boolean = kind(id) == ELEM
+  def isTextKind(id: Int): Boolean = kind(id) == TEXT || kind(id) == SPACES
+
+  // ---- attributes ----
+  /** find attr id by case-insensitive key; -1 if absent. First occurrence
+    * wins (duplicate attrs are dropped at parse; reference `tests/attr.rs:44`). */
+  def findAttr(ele: Int, lowerKey: String): Int = {
+    var a = attrHead(ele)
+    while (a >= 0) {
+      if (!aRemoved(a) && spanEqIgnoreCase(aKeyOff(a), aKeyLen(a), lowerKey)) return a
+      a = aNext(a)
+    }
+    -1
+  }
+
+  def hasAttr(ele: Int, lowerKey: String): Boolean = findAttr(ele, lowerKey) >= 0
+
+  /** attr value or null when absent; "" for boolean attrs is distinguished
+    * by `isBooleanAttr`. */
+  def attrValue(ele: Int, lowerKey: String): String = {
+    val a = findAttr(ele, lowerKey)
+    if (a < 0) null
+    else if (aValOff(a) < 0) "" // boolean attr -> IAttrValue::True
+    else str(aValOff(a), aValLen(a))
+  }
+
+  def isBooleanAttr(ele: Int, lowerKey: String): Boolean = {
+    val a = findAttr(ele, lowerKey)
+    a >= 0 && aValOff(a) < 0
+  }
+
+  def appendAttr(ele: Int, a: Int): Unit = {
+    var last = attrHead(ele)
+    if (last < 0) attrHead(ele) = a
+    else {
+      while (aNext(last) >= 0) last = aNext(last)
+      aNext(last) = a
+    }
+  }
+
+  // ---- tree structure ----
+  def appendChild(p: Int, c: Int): Unit = {
+    parent(c) = p
+    prevSib(c) = lastChild(p)
+    nextSib(c) = -1
+    if (lastChild(p) >= 0) { nextSib(lastChild(p)) = c; nodeIdx(c) = nodeIdx(lastChild(p)) + 1 }
+    else { firstChild(p) = c; nodeIdx(c) = 0 }
+    lastChild(p) = c
+  }
+
+  /** renumber nodeIdx for `node` and all following siblings starting at `from`. */
+  def renumberFrom(node: Int, from: Int): Unit = {
+    var c = node
+    var i = from
+    while (c >= 0) { nodeIdx(c) = i; i += 1; c = nextSib(c) }
+  }
+
+  def detach(c: Int): Unit = {
+    val p = parent(c)
+    if (p < 0) return
+    val pr = prevSib(c); val nx = nextSib(c)
+    if (pr >= 0) nextSib(pr) = nx else firstChild(p) = nx
+    if (nx >= 0) prevSib(nx) = pr else lastChild(p) = pr
+    if (nx >= 0) renumberFrom(nx, nodeIdx(c))
+    parent(c) = -1; prevSib(c) = -1; nextSib(c) = -1
+  }
+
+  /** insert `c` before existing child `ref` (same parent as ref). */
+  def insertBefore(ref: Int, c: Int): Unit = {
+    val p = parent(ref)
+    parent(c) = p
+    val pr = prevSib(ref)
+    prevSib(c) = pr; nextSib(c) = ref; prevSib(ref) = c
+    if (pr >= 0) nextSib(pr) = c else firstChild(p) = c
+    renumberFrom(c, if (pr >= 0) nodeIdx(pr) + 1 else 0)
+  }
+
+  def insertAfter(ref: Int, c: Int): Unit = {
+    val nx = nextSib(ref)
+    if (nx < 0) appendChild(parent(ref), c)
+    else insertBefore(nx, c)
+  }
+
+  def prependChild(p: Int, c: Int): Unit = {
+    val f = firstChild(p)
+    if (f < 0) appendChild(p, c) else insertBefore(f, c)
+  }
+
+  def clearChildren(p: Int): Unit = {
+    var c = firstChild(p)
+    while (c >= 0) { val nx = nextSib(c); parent(c) = -1; prevSib(c) = -1; nextSib(c) = -1; c = nx }
+    firstChild(p) = -1; lastChild(p) = -1
+  }
+
+  def childElemCount(p: Int): Int = {
+    var c = firstChild(p); var k = 0
+    while (c >= 0) { if (kind(c) == ELEM) k += 1; c = nextSib(c) }
+    k
+  }
+
+  def nextElemSib(id: Int): Int = {
+    var c = nextSib(id)
+    while (c >= 0 && kind(c) != ELEM) c = nextSib(c)
+    c
+  }
+
+  def prevElemSib(id: Int): Int = {
+    var c = prevSib(id)
+    while (c >= 0 && kind(c) != ELEM) c = prevSib(c)
+    c
+  }
+
+  /** is `anc` a strict ancestor of `node`? */
+  def isAncestor(anc: Int, node: Int): Boolean = {
+    var p = parent(node)
+    while (p >= 0) { if (p == anc) return true; p = parent(p) }
+    false
+  }
+
+  /** document-order compare via root-to-node index paths (reference
+    * `elements.rs:31-64` get_tree_indexs/compare_indexs). */
+  def compareDocOrder(a: Int, b: Int): Int = {
+    if (a == b) return 0
+    val pa = path(a); val pb = path(b)
+    var i = 0
+    val m = math.min(pa.length, pb.length)
+    while (i < m) {
+      if (pa(i) != pb(i)) return Integer.compare(pa(i), pb(i))
+      i += 1
+    }
+    Integer.compare(pa.length, pb.length)
+  }
+
+  private def path(id: Int): Array[Int] = {
+    var depth = 0
+    var c = id
+    while (parent(c) >= 0) { depth += 1; c = parent(c) }
+    val out = new Array[Int](depth)
+    c = id
+    var i = depth - 1
+    while (i >= 0) { out(i) = nodeIdx(c); c = parent(c); i -= 1 }
+    out
+  }
+
+  // ---- id cache ----
+  def registerId(idVal: String, ele: Int): Unit =
+    if (!idMap.contains(idVal)) idMap.put(idVal, ele)
+
+  def rebuildIdMapIfDirty(): Unit = {
+    if (!idMapDirty) return
+    idMap.clear()
+    def walk(node: Int): Unit = {
+      var c = firstChild(node)
+      while (c >= 0) {
+        if (kind(c) == ELEM) {
+          val v = attrValue(c, "id")
+          if (v != null && v.nonEmpty) registerId(v, c)
+          walk(c)
+        }
+        c = nextSib(c)
+      }
+    }
+    walk(0)
+    idMapDirty = false
+  }
+
+  def getElementById(idVal: String): Int = {
+    rebuildIdMapIfDirty()
+    idMap.getOrElse(idVal, -1)
+  }
+
+  // ================= render =================
+
+  /** text extraction — reference `src/lib.rs:228-236`: decode entities in
+    * text nodes, content tags contribute raw content, comments are skipped
+    * inside elements but a comment's own text is its content. */
+  def textContent(id: Int, out: java.lang.StringBuilder): Unit = kind(id) match {
+    case TEXT | SPACES =>
+      Entities.decodeTo(buf, textOff(id), textOff(id) + textLen(id), out)
+    case CDATA =>
+      out.append(buf, textOff(id), textLen(id)) // CDATA is literal character data
+    case COMMENT =>
+      // a comment node's own text() is its content (inner=true for comments)
+      out.append(buf, textOff(id), textLen(id))
+    case ELEM if isContentTag(id) =>
+      out.append(buf, textOff(id), textLen(id))
+    case ELEM | ROOT =>
+      var c = firstChild(id)
+      while (c >= 0) {
+        kind(c) match {
+          case TEXT | SPACES =>
+            Entities.decodeTo(buf, textOff(c), textOff(c) + textLen(c), out)
+          case CDATA =>
+            out.append(buf, textOff(c), textLen(c))
+          case ELEM =>
+            if (isContentTag(c)) out.append(buf, textOff(c), textLen(c))
+            else textContent(c, out)
+          case _ => () // comments skipped inside elements
+        }
+        c = nextSib(c)
+      }
+    case _ => ()
+  }
+
+  def text(id: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    textContent(id, sb)
+    sb.toString
+  }
+
+  /** raw characters without entity decoding (reference text_chars,
+    * `src/lib.rs:240-245`; inner only for elements). */
+  def textChars(id: Int): String = kind(id) match {
+    case TEXT | SPACES | CDATA => str(textOff(id), textLen(id))
+    case ELEM | ROOT =>
+      val sb = new java.lang.StringBuilder(64)
+      renderInner(id, sb, encodeContent = false)
+      sb.toString
+    case COMMENT => "<!--" + str(textOff(id), textLen(id)) + "-->"
+    case _ => ""
+  }
+
+  /** render one node incl. its own markup. */
+  def renderNode(id: Int, out: java.lang.StringBuilder, encodeContent: Boolean): Unit = kind(id) match {
+    case TEXT | SPACES =>
+      if (encodeContent) encodeLtGt(textOff(id), textLen(id), out)
+      else out.append(buf, textOff(id), textLen(id))
+    case COMMENT => out.append("<!--").append(buf, textOff(id), textLen(id)).append("-->")
+    case CDATA => out.append("<![CDATA[").append(buf, textOff(id), textLen(id)).append("]]>")
+    case DOCTYPE => out.append(buf, textOff(id), textLen(id)) // raw incl. <! >
+    case ROOT => renderInner(id, out, encodeContent)
+    case ELEM =>
+      out.append('<').append(buf, nameOff(id), nameLen(id))
+      var a = attrHead(id)
+      while (a >= 0) {
+        if (!aRemoved(a)) {
+          out.append(' ').append(buf, aKeyOff(a), aKeyLen(a))
+          if (aValOff(a) >= 0) {
+            out.append('=')
+            val q = aQuote(a)
+            if (q != 0) out.append(q)
+            out.append(buf, aValOff(a), aValLen(a))
+            if (q != 0) out.append(q)
+          }
+        }
+        a = aNext(a)
+      }
+      if ((flags(id) & F_SELF_CLOSED) != 0) {
+        if ((flags(id) & F_SELF_SPACE) != 0) out.append(' ')
+        out.append('/')
+        out.append('>')
+      } else {
+        out.append('>')
+        if (isContentTag(id)) out.append(buf, textOff(id), textLen(id))
+        else renderInner(id, out, encodeContent)
+        if ((flags(id) & F_END_TAG) != 0)
+          out.append('<').append('/').append(buf, nameOff(id), nameLen(id)).append('>')
+      }
+    case _ => ()
+  }
+
+  def renderInner(id: Int, out: java.lang.StringBuilder, encodeContent: Boolean): Unit = {
+    if (kind(id) == ELEM && isContentTag(id)) {
+      out.append(buf, textOff(id), textLen(id))
+      return
+    }
+    var c = firstChild(id)
+    while (c >= 0) { renderNode(c, out, encodeContent); c = nextSib(c) }
+  }
+
+  /** encode raw `<`/`>` that entered text content via lenient parsing or raw
+    * text mutation; stored entities stay intact (render encode_content). */
+  private def encodeLtGt(off: Int, len: Int, out: java.lang.StringBuilder): Unit = {
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = buf(i)
+      if (c == '<') out.append("&lt;")
+      else if (c == '>') out.append("&gt;")
+      else out.append(c)
+      i += 1
+    }
+  }
+
+  def innerHtml(id: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    renderInner(id, sb, encodeContent = true)
+    sb.toString
+  }
+
+  def outerHtml(id: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    renderNode(id, sb, encodeContent = true)
+    sb.toString
+  }
+
+  def sourceCode(): String = {
+    val sb = new java.lang.StringBuilder(bufLen)
+    renderInner(0, sb, encodeContent = false)
+    sb.toString
+  }
+}

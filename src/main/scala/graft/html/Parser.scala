@@ -1,0 +1,392 @@
+package graft.html
+
+import graft.dom.Arena
+
+/** Parse options mirroring the profile visdom uses for `Vis::load`
+  * (reference `src/lib.rs:1212-1222`): the "most compatible" profile turns
+  * all five fixes on; rphtml's strict defaults make malformed HTML
+  * (`<aa></a>`) a hard error (reference `tests/error.rs:5-33`).
+  */
+final case class ParseOptions(
+    autoFixUnclosedTag: Boolean = false,
+    autoFixUnexpectedEndtag: Boolean = false,
+    autoFixUnescapedLt: Boolean = false,
+    allowSelfClosing: Boolean = false,
+    allowAttrKeyStartsWithEqualSign: Boolean = false)
+
+object ParseOptions {
+  /** visdom `Vis::options()` */
+  val compat: ParseOptions = ParseOptions(
+    autoFixUnclosedTag = true,
+    autoFixUnexpectedEndtag = true,
+    autoFixUnescapedLt = true,
+    allowSelfClosing = true,
+    allowAttrKeyStartsWithEqualSign = true)
+  val strict: ParseOptions = ParseOptions()
+}
+
+final case class ParseError(message: String, position: Int) extends RuntimeException(message)
+
+/** Streaming HTML tokenizer + tree builder re-deriving the behaviors visdom
+  * observes from the external `rphtml` crate (behavior pinned by the
+  * reference test corpus — see FIXTURES.md §3):
+  *
+  *  - no implicit html/head/body insertion, no spec tree-construction moves:
+  *    the tree is exactly the tags present (fragments query fine,
+  *    `tests/selector.rs:66-89`)
+  *  - content tags (script/style/title/textarea) hold raw text until their
+  *    case-insensitive close tag (`src/lib.rs:141-143,249-296`)
+  *  - whitespace-only text between tags is a distinct SpacesBetweenTag node
+  *    kind (maps to the Text node type, `src/lib.rs:193`)
+  *  - duplicate attribute names: first occurrence wins, later dropped
+  *    (`tests/attr.rs:40-56`), case-insensitive lookup (issue #2)
+  *  - void elements never take children (`tests/insertion.rs:110-122`)
+  *  - source re-render is byte-identical for well-formed input
+  *    (`tests/trait.rs:48`)
+  */
+object Parser {
+
+  val voidTags: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  val contentTags: Set[String] = Set("script", "style", "title", "textarea")
+
+  /** tags a node may NOT be inserted into (rphtml `allow_insert`): void tags
+    * accept nothing; content tags accept only text (reference
+    * `tests/insertion.rs:110-143`). */
+  def allowInsert(lowerTag: String, childKind: Byte, a: Arena): Boolean = {
+    if (voidTags.contains(lowerTag)) false
+    else true
+  }
+
+  def parseInto(arena: Arena, html: String, opts: ParseOptions): Option[ParseError] = {
+    val src = html.toCharArray
+    arena.reset(src, src.length)
+    val p = new Parser(arena, opts)
+    p.run()
+  }
+
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '_' || c == ':' || c == '.'
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  private final class Parser(a: Arena, opts: ParseOptions) {
+    private val buf = a.buf
+    private val len = a.bufLen
+    private var i = 0
+    // open-element stack (node ids); root implicit at bottom
+    private var stack = new Array[Int](32)
+    private var sp = 0
+
+    private def cur: Int = if (sp == 0) 0 else stack(sp - 1)
+    private def push(id: Int): Unit = {
+      if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+      stack(sp) = id; sp += 1
+    }
+
+    def run(): Option[ParseError] = {
+      try {
+        loop()
+        // EOF: unclosed tags
+        if (sp > 0 && !opts.autoFixUnclosedTag)
+          return Some(ParseError(s"unclosed tag <${a.lowerName(stack(0))}>", len))
+        sp = 0
+        // document vs fragment: has doctype child or an <html> element child
+        var c = a.firstChild(0)
+        while (c >= 0 && !a.isDocument) {
+          if (a.kind(c) == a.DOCTYPE) a.isDocument = true
+          else if (a.kind(c) == a.ELEM && a.spanEqIgnoreCase(a.nameOff(c), a.nameLen(c), "html"))
+            a.isDocument = true
+          c = a.nextSib(c)
+        }
+        None
+      } catch {
+        case e: ParseError => Some(e)
+      }
+    }
+
+    private def err(msg: String): Nothing = throw ParseError(msg, i)
+
+    private def loop(): Unit = {
+      var textStart = i
+      while (i < len) {
+        val c = buf(i)
+        if (c == '<') {
+          val kindAt = classify(i)
+          if (kindAt == 0) {
+            // not a tag start: unescaped '<'
+            if (!opts.autoFixUnescapedLt) err("unescaped '<' in text")
+            i += 1
+          } else {
+            flushText(textStart, i)
+            kindAt match {
+              case 1 => startTag()
+              case 2 => endTag()
+              case 3 => markupDecl()
+            }
+            textStart = i
+          }
+        } else i += 1
+      }
+      flushText(textStart, i)
+    }
+
+    /** 0 = plain text '<', 1 = start tag, 2 = end tag, 3 = markup decl */
+    private def classify(at: Int): Int = {
+      if (at + 1 >= len) return 0
+      val c = buf(at + 1)
+      if (isNameStart(c)) 1
+      else if (c == '/' && at + 2 < len && isNameStart(buf(at + 2))) 2
+      else if (c == '!') 3
+      else 0
+    }
+
+    private def flushText(from: Int, until: Int): Unit = {
+      if (until <= from) return
+      var allWs = true
+      var j = from
+      while (j < until && allWs) { if (!isWs(buf(j))) allWs = false; j += 1 }
+      val id = a.alloc(if (allWs) a.SPACES else a.TEXT)
+      a.textOff(id) = from; a.textLen(id) = until - from
+      a.appendChild(cur, id)
+    }
+
+    private def startTag(): Unit = {
+      val tagStart = i
+      i += 1 // '<'
+      val nameStart = i
+      while (i < len && isNameChar(buf(i))) i += 1
+      val nameEnd = i
+      val id = a.alloc(a.ELEM)
+      a.nameOff(id) = nameStart; a.nameLen(id) = nameEnd - nameStart
+      val lower = a.lowerName(id)
+      val isVoid = voidTags.contains(lower)
+      val isContent = contentTags.contains(lower)
+      if (isVoid) a.flags(id) |= a.F_VOID
+      if (isContent) a.flags(id) |= a.F_CONTENT_TAG
+      // attributes
+      var selfClosed = false
+      var selfSpace = false
+      var done = false
+      while (!done) {
+        // skip whitespace
+        var sawWs = false
+        while (i < len && isWs(buf(i))) { i += 1; sawWs = true }
+        if (i >= len) {
+          if (!opts.autoFixUnclosedTag) err(s"unexpected EOF in tag <$lower>")
+          done = true
+        } else buf(i) match {
+          case '>' => i += 1; done = true
+          case '/' if i + 1 < len && buf(i + 1) == '>' =>
+            if (!opts.allowSelfClosing && !isVoid) err(s"self-closing not allowed: <$lower/>")
+            selfClosed = true; selfSpace = sawWs
+            i += 2; done = true
+          case _ => parseAttr(id, lower)
+        }
+      }
+      a.appendChild(cur, id)
+      if (selfClosed) {
+        a.flags(id) |= a.F_SELF_CLOSED
+        if (selfSpace) a.flags(id) |= a.F_SELF_SPACE
+      } else if (isContent) {
+        // raw content until matching close tag
+        val cStart = i
+        var cEnd = -1
+        var closeEnd = -1
+        var j = i
+        val nlen = lower.length
+        while (j < len && cEnd < 0) {
+          if (buf(j) == '<' && j + 1 < len && buf(j + 1) == '/' &&
+            j + 2 + nlen <= len && a.spanEqIgnoreCase(j + 2, nlen, lower)) {
+            var k = j + 2 + nlen
+            while (k < len && isWs(buf(k))) k += 1
+            if (k < len && buf(k) == '>') { cEnd = j; closeEnd = k + 1 }
+            else j += 1
+          } else j += 1
+        }
+        if (cEnd < 0) {
+          if (!opts.autoFixUnclosedTag) err(s"unclosed content tag <$lower>")
+          a.textOff(id) = cStart; a.textLen(id) = len - cStart
+          i = len
+        } else {
+          a.textOff(id) = cStart; a.textLen(id) = cEnd - cStart
+          a.flags(id) |= a.F_END_TAG
+          i = closeEnd
+        }
+      } else if (!isVoid) {
+        push(id)
+      }
+      val _ = tagStart
+    }
+
+    /** span compare helper against a lowercase name at raw buf position */
+    private def spanEqLower(off: Int, lower: String): Boolean =
+      a.spanEqIgnoreCase(off, lower.length, lower)
+
+    private def parseAttr(id: Int, lowerTag: String): Unit = {
+      val keyStart = i
+      if (buf(i) == '=') {
+        if (!opts.allowAttrKeyStartsWithEqualSign) err("attribute key starts with '='")
+        i += 1
+      }
+      while (i < len && !isWs(buf(i)) && buf(i) != '=' && buf(i) != '>' &&
+        !(buf(i) == '/' && i + 1 < len && buf(i + 1) == '>')) i += 1
+      val keyEnd = i
+      if (keyEnd == keyStart) { i += 1; return } // skip stray char
+      // lookahead for '='
+      var j = i
+      while (j < len && isWs(buf(j))) j += 1
+      var valOff = -1
+      var valLen = 0
+      var quote: Char = 0
+      if (j < len && buf(j) == '=' && buf(keyStart) != '=') {
+        j += 1
+        while (j < len && isWs(buf(j))) j += 1
+        if (j < len && (buf(j) == '"' || buf(j) == '\'')) {
+          quote = buf(j)
+          j += 1
+          val vs = j
+          while (j < len && buf(j) != quote) j += 1
+          valOff = vs; valLen = j - vs
+          if (j < len) j += 1 // closing quote
+        } else {
+          val vs = j
+          while (j < len && !isWs(buf(j)) && buf(j) != '>' &&
+            !(buf(j) == '/' && j + 1 < len && buf(j + 1) == '>')) j += 1
+          valOff = vs; valLen = j - vs
+        }
+        i = j
+      }
+      // duplicate attribute names: first wins, later dropped entirely
+      val keyLen = keyEnd - keyStart
+      val lowerKey = {
+        val sb = new java.lang.StringBuilder(keyLen)
+        var k = keyStart
+        while (k < keyEnd) {
+          val c = buf(k)
+          sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          k += 1
+        }
+        sb.toString
+      }
+      if (a.findAttr(id, lowerKey) >= 0) return
+      val at = a.allocAttr()
+      a.aKeyOff(at) = keyStart; a.aKeyLen(at) = keyLen
+      a.aValOff(at) = valOff; a.aValLen(at) = valLen
+      a.aQuote(at) = quote
+      a.appendAttr(id, at)
+      if (lowerKey == "id" && valOff >= 0 && valLen > 0)
+        a.registerId(a.str(valOff, valLen), id)
+    }
+
+    private def endTag(): Unit = {
+      i += 2 // '</'
+      val nameStart = i
+      while (i < len && isNameChar(buf(i))) i += 1
+      val nameEnd = i
+      while (i < len && isWs(buf(i))) i += 1
+      if (i < len && buf(i) == '>') i += 1
+      else if (i >= len) {
+        if (!opts.autoFixUnclosedTag) err("unexpected EOF in end tag")
+      }
+      val nlen = nameEnd - nameStart
+      // find matching open tag on the stack (case-insensitive)
+      var match_ = -1
+      var s = sp - 1
+      while (s >= 0 && match_ < 0) {
+        val nid = stack(s)
+        if (a.nameLen(nid) == nlen && eqSpansIgnoreCase(a.nameOff(nid), nameStart, nlen))
+          match_ = s
+        s -= 1
+      }
+      if (match_ < 0) {
+        if (!opts.autoFixUnexpectedEndtag)
+          err(s"unexpected end tag </${new String(buf, nameStart, nlen)}>")
+        // ignore
+      } else {
+        if (match_ != sp - 1 && !opts.autoFixUnclosedTag)
+          err(s"unclosed tag <${a.lowerName(stack(sp - 1))}>")
+        a.flags(stack(match_)) |= a.F_END_TAG
+        sp = match_
+      }
+    }
+
+    private def eqSpansIgnoreCase(o1: Int, o2: Int, l: Int): Boolean = {
+      var k = 0
+      while (k < l) {
+        val c1 = buf(o1 + k); val c2 = buf(o2 + k)
+        val lc1 = if (c1 >= 'A' && c1 <= 'Z') (c1 + 32).toChar else c1
+        val lc2 = if (c2 >= 'A' && c2 <= 'Z') (c2 + 32).toChar else c2
+        if (lc1 != lc2) return false
+        k += 1
+      }
+      true
+    }
+
+    private def markupDecl(): Unit = {
+      // at '<!'
+      if (startsWith(i, "<!--")) {
+        val cs = i + 4
+        var j = cs
+        var end = -1
+        while (j + 2 < len && end < 0) {
+          if (buf(j) == '-' && buf(j + 1) == '-' && buf(j + 2) == '>') end = j
+          else j += 1
+        }
+        val id = a.alloc(a.COMMENT)
+        if (end < 0) {
+          if (!opts.autoFixUnclosedTag) err("unclosed comment")
+          a.textOff(id) = cs; a.textLen(id) = len - cs
+          i = len
+        } else {
+          a.textOff(id) = cs; a.textLen(id) = end - cs
+          i = end + 3
+        }
+        a.appendChild(cur, id)
+      } else if (startsWith(i, "<![CDATA[")) {
+        val cs = i + 9
+        var j = cs
+        var end = -1
+        while (j + 2 < len && end < 0) {
+          if (buf(j) == ']' && buf(j + 1) == ']' && buf(j + 2) == '>') end = j
+          else j += 1
+        }
+        val id = a.alloc(a.CDATA)
+        if (end < 0) {
+          if (!opts.autoFixUnclosedTag) err("unclosed CDATA")
+          a.textOff(id) = cs; a.textLen(id) = len - cs
+          i = len
+        } else {
+          a.textOff(id) = cs; a.textLen(id) = end - cs
+          i = end + 3
+        }
+        a.appendChild(cur, id)
+      } else {
+        // doctype or other <!...>: stored raw including markers
+        val ds = i
+        var j = i
+        while (j < len && buf(j) != '>') j += 1
+        val id = a.alloc(a.DOCTYPE)
+        val de = if (j < len) j + 1 else len
+        a.textOff(id) = ds; a.textLen(id) = de - ds
+        i = de
+        a.appendChild(cur, id)
+      }
+    }
+
+    private def startsWith(at: Int, s: String): Boolean = {
+      if (at + s.length > len) return false
+      var k = 0
+      while (k < s.length) {
+        if (buf(at + k) != s.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+  }
+}
