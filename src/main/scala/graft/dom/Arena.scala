@@ -374,6 +374,13 @@ final class Arena(initialNodes: Int = 256) {
       out.append(buf, textOff(id), textLen(id))
     case ELEM if isContentTag(id) =>
       out.append(buf, textOff(id), textLen(id))
+      // mutation can append text children to a content tag (reference
+      // tests/insertion.rs:124-131: title append -> text "abcd")
+      var c = firstChild(id)
+      while (c >= 0) {
+        if (isTextKind(c)) Entities.decodeTo(buf, textOff(c), textOff(c) + textLen(c), out)
+        c = nextSib(c)
+      }
     case ELEM | ROOT =>
       var c = firstChild(id)
       while (c >= 0) {

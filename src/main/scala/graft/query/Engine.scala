@@ -505,7 +505,7 @@ object Engine {
         val uniques = uniqueSibling(a, ids, first = false)
         uniques.foreach { e =>
           val prevs = new ArrayBuffer[Int](8)
-          var c = a.firstChild(a.parent(e))
+          var c = if (a.parent(e) < 0) -1 else a.firstChild(a.parent(e))
           while (c >= 0 && c != e) {
             if (a.kind(c) == a.ELEM) prevs += c
             c = a.nextSib(c)

@@ -69,13 +69,14 @@ object Mutation {
     if (curDoc eq tdoc) { nodes.doc = tdoc; nodes.ids = curIds }
   }
 
-  /** a loaded fragment's abstract root stands for its children
+  /** a loaded fragment's abstract root stands for its children; a DOCUMENT
+    * root does not — inserting a document is an error caught by validate
     * (reference insert_adjacent DocumentFragement arm, src/lib.rs:816-823). */
   private def expandFragmentRoots(doc: VDoc, ids: Array[Int]): Array[Int] = {
     val a = doc.arena
     val out = new ArrayBuffer[Int]()
     ids.foreach { e =>
-      if (a.kind(e) == a.ROOT) {
+      if (a.kind(e) == a.ROOT && !doc.isDocument) {
         var c = a.firstChild(e)
         while (c >= 0) { out += c; c = a.nextSib(c) }
       } else out += e

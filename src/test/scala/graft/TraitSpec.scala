@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query.{Elems, Vis}
+
+/** Port of reference `tests/trait.rs` + `tests/error.rs` — document trait
+  * surface, text-node trait, strict vs lenient parsing. */
+class TraitSpec extends AnyFunSuite {
+  def load(html: String): Elems = Vis.load(html).fold(e => fail(e), identity)
+
+  test("document trait") { // tests/trait.rs:7-64
+    val pageTitle = "Vis<dom>"
+    val html = s"""
+    <!doctype html>
+    <html>
+      <head>
+        <title>$pageTitle</title>
+      </head>
+      <body>
+        Visdom!
+      </body>
+    </html>
+  """
+    val root = load(html)
+    val doc = root.doc
+    assert(doc.title.contains(pageTitle))
+    val head = doc.head
+    assert(head.isDefined && head.get.children("").filter("title").text() == pageTitle)
+    val body = doc.body
+    assert(body.isDefined)
+    val prevSib = doc.arena.prevElemSib(body.get.ids(0))
+    assert(prevSib >= 0 && doc.arena.upperName(prevSib) == "HEAD")
+    // byte-identical source round-trip
+    assert(doc.sourceCode == html)
+    assert(doc.documentElement.exists(e => doc.arena.upperName(e) == "HTML"))
+    // fragment: no title/head/body/documentElement
+    val frag = load("""<div>just a document fragement</div>""").doc
+    assert(frag.title.isEmpty)
+    assert(frag.head.isEmpty)
+    assert(frag.documentElement.isEmpty)
+    assert(frag.body.isEmpty)
+  }
+
+  test("text trait") { // tests/trait.rs:67-135
+    val html = """
+    <!doctype html>
+    <html>
+      <head>
+        <title>test text trait</title>
+      </head>
+      <body>
+        <div id="content">Vis<span>dom</span></div>
+      </body>
+    </html>
+  """
+    val root = load(html)
+    val content = root.find("#content")
+    val texts = content.texts(0)
+    assert(texts.length == 2)
+    assert(texts.get(0).text() == "Vis")
+    assert(texts.get(1).text() == "dom")
+    texts.forEach { (_, node) =>
+      node.prependText("^")
+      node.appendText("$")
+      true
+    }
+    assert(texts.get(0).text() == "^Vis$")
+    assert(texts.get(1).text() == "^dom$")
+    texts.remove()
+    assert(content.texts(0).length == 0)
+    // append text for content tag
+    val r2 = load("<script></script>")
+    val scriptText = r2.find("script").texts(1)
+    scriptText.forEach { (_, node) =>
+      assert(node.text() == "")
+      node.prependText("var a;")
+      node.appendText("var b;")
+      assert(node.text() == "var a;var b;")
+      true
+    }
+    val r3 = load("<style></style>")
+    r3.find("style").texts(1).forEach { (_, node) =>
+      assert(node.text() == "")
+      node.appendText("{}")
+      node.prependText("body")
+      assert(node.text() == "body{}")
+      true
+    }
+    // text() decodes; text_chars keeps raw
+    val r4 = load("""<a>&lt;span&gt;&amp;</a>""")
+    r4.find("a").texts(1).forEach { (_, node) =>
+      assert(node.text() == "<span>&")
+      assert(node.textChars() == "&lt;span&gt;&amp;")
+      true
+    }
+  }
+
+  test("README doc example") { // reference src/lib.rs:1141-1206 doc-test
+    val html = """
+     <!doctype html>
+     <html>
+       <head>
+         <meta charset="utf-8" />
+       </head>
+       <body>
+          <nav id="header">
+           <ul>
+             <li>Hello,</li>
+             <li>Vis</li>
+             <li>Dom</li>
+           </ul>
+         </nav>
+       </body>
+    </html>
+  """
+    val doc = load(html)
+    val header = doc.find("#header")
+    val listItems = header.children("ul > li")
+    assert(listItems.length == 3)
+    assert(listItems.text() == "Hello,VisDom")
+    assert(listItems.filter(":nth-child(2)").text() == "Vis")
+    val fourthChild = load("<li>!</li>")
+    val parent = listItems.parent("")
+    assert(parent.length == 1)
+    fourthChild.appendTo(parent)
+    val cur = header.children("ul > li")
+    assert(cur.length == 4)
+    assert(cur.text() == "Hello,VisDom!")
+    val texts = cur.texts(0)
+    texts.forEach { (_, node) =>
+      node.prependText("[")
+      node.appendText("]")
+      true
+    }
+    assert(cur.text() == "[Hello,][Vis][Dom][!]")
+    texts.forEach { (_, node) => node.setText("@"); true }
+    assert(cur.text() == "@@@@")
+    texts.forEach { (_, node) =>
+      val orig = node.text()
+      node.setHtml(s"<span>$orig</span><b>!</b>")
+      true
+    }
+    assert(cur.children("b").length == 4)
+    assert(cur.text() == "@!@!@!@!")
+  }
+
+  test("strict vs lenient parsing") { // tests/error.rs:5-33
+    val bad = """
+  <!doctype html>
+  <html>
+    <head></head>
+    <aa></a>
+  </html>
+  """
+    // strict: error
+    assert(Vis.loadOptions(bad, graft.html.ParseOptions.strict).isLeft)
+    // catch: recovered
+    var caught = 0
+    val root = Vis.loadOptionsCatch(bad, graft.html.ParseOptions.strict, _ => caught += 1)
+    assert(caught == 1)
+    // compat profile recovers
+    assert(Vis.load(bad).isRight)
+    val ok = Vis.load(bad).toOption.get
+    assert(ok.find("aa").length == 1)
+    // invalid selector reports through the handler
+    var selErrors = 0
+    val r2 = Vis.loadCatch("<a></a>", _ => selErrors += 1)
+    val res = r2.find("a:all-childs")
+    assert(res.isEmpty)
+    assert(selErrors == 1)
+  }
+
+  test("lenient fixes: unescaped lt, self closing, Div case") {
+    // tests/selector.rs:111-119, content.rs:184-211 behaviors
+    val root = load("<div>a < b</div>")
+    assert(root.find("div").text() == "a < b")
+    val r2 = load("<div/><span>x</span>")
+    assert(r2.find("div").length == 1)
+    assert(r2.find("span").text() == "x")
+    val r3 = load("<Div>x</div>")
+    assert(r3.find("div").text() == "x")
+    assert(r3.find("div").outerHtml() == "<Div>x</Div>".replace("</Div>", "</Div>") || r3.find("div").outerHtml() == "<Div>x</div>")
+  }
+}
