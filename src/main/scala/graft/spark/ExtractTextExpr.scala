@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst scalar `extract_text(html, selector)` returning the
+  * concatenated `text()` of selector matches (the reference flow
+  * `Vis::load(html).find(sel).text()`, reference `src/lib.rs:1256`,
+  * `elements.rs:1097,2897`).
+  *
+  * A real `Expression` (not a ScalaUDF) keeps the call inside whole-stage
+  * codegen: `doGenCode` emits a direct static call, no row boxing, null
+  * short-circuit for free. `html` may be STRING or BINARY (UTF-8 bytes per
+  * the pages-table input hint).
+  */
+case class ExtractText(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_text"
+
+  private val htmlIsBinary: Boolean = left.dataType == BinaryType
+
+  override def nullSafeEval(html: Any, selector: Any): Any = {
+    if (htmlIsBinary)
+      Extractor.extractTextCodegenBinary(html.asInstanceOf[Array[Byte]],
+        selector.asInstanceOf[UTF8String])
+    else
+      Extractor.extractTextCodegen(html.asInstanceOf[UTF8String],
+        selector.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractTextCodegenBinary" else "extractTextCodegen"
+    nullSafeCodeGen(ctx, ev, (h, s) => {
+      s"""
+         |${ev.value} = graft.spark.Extractor.$fn($h, $s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `extract_main(html)` — the full boilerplate-strip recipe as one scalar. */
+case class ExtractMain(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_main"
+
+  private val htmlIsBinary: Boolean = child.dataType == BinaryType
+
+  override def nullSafeEval(html: Any): Any = {
+    val s =
+      if (htmlIsBinary) Extractor.extractMain(html.asInstanceOf[Array[Byte]], Extractor.Recipe.default)
+      else Extractor.extractMain(html.asInstanceOf[UTF8String].toString, Extractor.Recipe.default)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, h => {
+      val conv =
+        if (htmlIsBinary) s"new String($h, java.nio.charset.StandardCharsets.UTF_8)"
+        else s"$h.toString()"
+      s"""
+         |String graftOut = graft.spark.Extractor.extractMain($conv, graft.spark.Extractor.Recipe$$.MODULE$$.default());
+         |${ev.value} = graftOut == null ? null : org.apache.spark.unsafe.types.UTF8String.fromString(graftOut);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SparkSessionExtensions hook: set
+  * `spark.sql.extensions=graft.spark.GraftSparkExtensions` and the functions
+  * become available to `spark.sql` / `call_function`. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("extract_text"),
+      new ExpressionInfo(classOf[ExtractText].getName, "extract_text"),
+      (children: Seq[Expression]) => ExtractText(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("extract_main"),
+      new ExpressionInfo(classOf[ExtractMain].getName, "extract_main"),
+      (children: Seq[Expression]) => ExtractMain(children.head)))
+  }
+}

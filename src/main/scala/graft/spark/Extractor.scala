@@ -1,0 +1,100 @@
+package graft.spark
+
+import graft.dom.Arena
+import graft.html.{ParseOptions, Parser}
+import graft.query.{Elems, VDoc}
+import graft.selector.Selector
+import java.util.concurrent.ConcurrentHashMap
+
+/** Per-row extraction entry point for Spark executors.
+  *
+  * Design for scale (north rule): one reusable [[Arena]] per executor thread
+  * — parsing a page touches only pre-grown primitive arrays, so a long
+  * `mapPartitions` loop allocates close to nothing per row and GC pressure
+  * stays flat at 10^12-document scale. Selectors are parsed once per JVM and
+  * cached (the reference parses per query too — `mesdoc::init` + lazy_static
+  * caches, reference `src/mesdoc/selector/rule.rs:10-12`).
+  */
+object Extractor extends Serializable {
+
+  /** selector-driven boilerplate-strip recipe (north star: "nav/ads/script/
+    * style removal, main-content DOM heuristics"). */
+  final case class Recipe(
+      remove: String = Recipe.DefaultRemove,
+      mainCandidates: Seq[String] = Recipe.DefaultMain)
+
+  object Recipe {
+    val DefaultRemove = "script,style,nav,aside,header,footer,[hidden]"
+    val DefaultMain: Seq[String] = Seq("main", "[role='main']", "#content", "body")
+    val default: Recipe = Recipe()
+  }
+
+  private val arenas = new ThreadLocal[Arena] {
+    override def initialValue(): Arena = new Arena(1024)
+  }
+
+  private val selectorCache = new ConcurrentHashMap[String, Either[String, Selector]]()
+
+  def compiled(sel: String): Either[String, Selector] =
+    selectorCache.computeIfAbsent(sel, s => Selector.parse(s, useLookup = true))
+
+  /** parse into the thread-local arena; null on parse failure. */
+  def parse(html: String): VDoc = {
+    val arena = arenas.get()
+    Parser.parseInto(arena, html, ParseOptions.compat) match {
+      case Some(_) => null
+      case None => new VDoc(arena)
+    }
+  }
+
+  /** main-content extraction: remove boilerplate, pick the first matching
+    * main-content candidate, return its text(). Null on parse failure. */
+  def extractMain(html: String, recipe: Recipe): String = {
+    val doc = parse(html)
+    if (doc == null) return null
+    val root = doc.rootElems
+    root.find(recipe.remove).remove()
+    var main: Elems = null
+    val it = recipe.mainCandidates.iterator
+    while (main == null && it.hasNext) {
+      val found = root.find(it.next())
+      if (found.nonEmpty) main = found.first()
+    }
+    if (main == null) main = root
+    main.text()
+  }
+
+  def extractMain(htmlBytes: Array[Byte], recipe: Recipe): String =
+    if (htmlBytes == null) null
+    else extractMain(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8), recipe)
+
+  /** generic `extract_text(html, selector)` — text() of all matches. */
+  def extractText(html: String, selector: String): String = {
+    val doc = parse(html)
+    if (doc == null) return null
+    compiled(selector) match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        val sb = new java.lang.StringBuilder(64)
+        found.foreach(e => doc.arena.textContent(e, sb))
+        sb.toString
+    }
+  }
+
+  /** static entry used from generated code (ExtractText.doGenCode). */
+  def extractTextCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null || selector == null) return null
+    val out = extractText(html.toString, selector.toString)
+    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+
+  def extractTextCodegenBinary(html: Array[Byte],
+      selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null || selector == null) return null
+    val out = extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8), selector.toString)
+    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+}
