@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput-batch GC profile: the extraction hot loop allocates output
+  // strings at GB/s across 32 task threads; ParallelGC + a roomy young gen
+  // keeps 8->32 thread scaling near-linear (G1 at 8g collapsed to ~0.9 GB/s)
+  "-XX:+UseParallelGC",
 )

@@ -84,6 +84,46 @@ final class Arena(initialNodes: Int = 256) {
     require(r == 0)
   }
 
+  /** reset decoding UTF-8 bytes straight into the reused char buffer — the
+    * executor hot path allocates nothing per row beyond arena growth. */
+  def resetFromUtf8(src: Array[Byte]): Unit = {
+    n = 0; an = 0
+    idMap.clear(); idMapDirty = false; isDocument = false
+    if (buf.length < src.length) buf = new Array[Char](Integer.highestOneBit(src.length) * 2)
+    var i = 0
+    var o = 0
+    val len = src.length
+    while (i < len) {
+      val b0 = src(i) & 0xff
+      if (b0 < 0x80) { buf(o) = b0.toChar; o += 1; i += 1 }
+      else if (b0 < 0xe0) {
+        if (i + 1 < len) {
+          val cp = ((b0 & 0x1f) << 6) | (src(i + 1) & 0x3f)
+          buf(o) = cp.toChar; o += 1; i += 2
+        } else { buf(o) = '�'; o += 1; i += 1 }
+      } else if (b0 < 0xf0) {
+        if (i + 2 < len) {
+          val cp = ((b0 & 0x0f) << 12) | ((src(i + 1) & 0x3f) << 6) | (src(i + 2) & 0x3f)
+          buf(o) = cp.toChar; o += 1; i += 3
+        } else { buf(o) = '�'; o += 1; i = len }
+      } else {
+        if (i + 3 < len) {
+          val cp = ((b0 & 0x07) << 18) | ((src(i + 1) & 0x3f) << 12) |
+            ((src(i + 2) & 0x3f) << 6) | (src(i + 3) & 0x3f)
+          if (cp >= 0x10000 && cp <= 0x10ffff) {
+            buf(o) = (0xd800 + ((cp - 0x10000) >> 10)).toChar
+            buf(o + 1) = (0xdc00 + ((cp - 0x10000) & 0x3ff)).toChar
+            o += 2
+          } else { buf(o) = '�'; o += 1 }
+          i += 4
+        } else { buf(o) = '�'; o += 1; i = len }
+      }
+    }
+    bufLen = o
+    val r = alloc(ROOT)
+    require(r == 0)
+  }
+
   private def growNodes(): Unit = {
     val cap = kind.length * 2
     kind = java.util.Arrays.copyOf(kind, cap)

@@ -87,17 +87,21 @@ object Entities {
   }
 
   /** Decode entities in `s[from, until)` appending the result to `out`.
-    * Unknown / malformed entities are kept verbatim. */
+    * Unknown / malformed entities are kept verbatim. Bulk-copies the
+    * entity-free stretches (the common case on real pages). */
   def decodeTo(s: Array[Char], from: Int, until: Int, out: java.lang.StringBuilder): Unit = {
     var i = from
+    var runStart = from
     while (i < until) {
-      val c = s(i)
-      if (c == '&') {
+      if (s(i) == '&') {
+        if (i > runStart) out.append(s, runStart, i - runStart)
         val end = decodeOne(s, i, until, out)
         if (end > i) i = end
-        else { out.append(c); i += 1 }
-      } else { out.append(c); i += 1 }
+        else { out.append('&'); i += 1 }
+        runStart = i
+      } else i += 1
     }
+    if (i > runStart) out.append(s, runStart, i - runStart)
   }
 
   /** Try to decode one entity starting at `i` (s(i)=='&'); returns the index

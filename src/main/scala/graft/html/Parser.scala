@@ -67,6 +67,13 @@ object Parser {
     p.run()
   }
 
+  /** executor hot path: UTF-8 bytes decoded straight into the arena. */
+  def parseIntoUtf8(arena: Arena, html: Array[Byte], opts: ParseOptions): Option[ParseError] = {
+    arena.resetFromUtf8(html)
+    val p = new Parser(arena, opts)
+    p.run()
+  }
+
   private def isNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isNameChar(c: Char): Boolean =
@@ -156,17 +163,36 @@ object Parser {
       a.appendChild(cur, id)
     }
 
+    /** span-based lowercase compare avoiding per-tag String allocation. */
+    private def spanIsLower(off: Int, l: Int, w: String): Boolean =
+      l == w.length && a.spanEqIgnoreCase(off, l, w)
+
+    private def spanIsVoid(off: Int, l: Int): Boolean = l match {
+      case 2 => spanIsLower(off, l, "br") || spanIsLower(off, l, "hr")
+      case 3 => spanIsLower(off, l, "img") || spanIsLower(off, l, "col") || spanIsLower(off, l, "wbr")
+      case 4 => spanIsLower(off, l, "base") || spanIsLower(off, l, "area") || spanIsLower(off, l, "link") || spanIsLower(off, l, "meta")
+      case 5 => spanIsLower(off, l, "input") || spanIsLower(off, l, "embed") || spanIsLower(off, l, "param") || spanIsLower(off, l, "track")
+      case 6 => spanIsLower(off, l, "source")
+      case _ => false
+    }
+
+    private def spanIsContent(off: Int, l: Int): Boolean = l match {
+      case 5 => spanIsLower(off, l, "style") || spanIsLower(off, l, "title")
+      case 6 => spanIsLower(off, l, "script")
+      case 8 => spanIsLower(off, l, "textarea")
+      case _ => false
+    }
+
     private def startTag(): Unit = {
-      val tagStart = i
       i += 1 // '<'
       val nameStart = i
       while (i < len && isNameChar(buf(i))) i += 1
       val nameEnd = i
+      val nlen = nameEnd - nameStart
       val id = a.alloc(a.ELEM)
-      a.nameOff(id) = nameStart; a.nameLen(id) = nameEnd - nameStart
-      val lower = a.lowerName(id)
-      val isVoid = voidTags.contains(lower)
-      val isContent = contentTags.contains(lower)
+      a.nameOff(id) = nameStart; a.nameLen(id) = nlen
+      val isVoid = spanIsVoid(nameStart, nlen)
+      val isContent = !isVoid && spanIsContent(nameStart, nlen)
       if (isVoid) a.flags(id) |= a.F_VOID
       if (isContent) a.flags(id) |= a.F_CONTENT_TAG
       // attributes
@@ -178,15 +204,15 @@ object Parser {
         var sawWs = false
         while (i < len && isWs(buf(i))) { i += 1; sawWs = true }
         if (i >= len) {
-          if (!opts.autoFixUnclosedTag) err(s"unexpected EOF in tag <$lower>")
+          if (!opts.autoFixUnclosedTag) err(s"unexpected EOF in tag <${a.lowerName(id)}>")
           done = true
         } else buf(i) match {
           case '>' => i += 1; done = true
           case '/' if i + 1 < len && buf(i + 1) == '>' =>
-            if (!opts.allowSelfClosing && !isVoid) err(s"self-closing not allowed: <$lower/>")
+            if (!opts.allowSelfClosing && !isVoid) err(s"self-closing not allowed: <${a.lowerName(id)}/>")
             selfClosed = true; selfSpace = sawWs
             i += 2; done = true
-          case _ => parseAttr(id, lower)
+          case _ => parseAttr(id)
         }
       }
       a.appendChild(cur, id)
@@ -194,15 +220,14 @@ object Parser {
         a.flags(id) |= a.F_SELF_CLOSED
         if (selfSpace) a.flags(id) |= a.F_SELF_SPACE
       } else if (isContent) {
-        // raw content until matching close tag
+        // raw content until the matching case-insensitive close tag
         val cStart = i
         var cEnd = -1
         var closeEnd = -1
         var j = i
-        val nlen = lower.length
         while (j < len && cEnd < 0) {
           if (buf(j) == '<' && j + 1 < len && buf(j + 1) == '/' &&
-            j + 2 + nlen <= len && a.spanEqIgnoreCase(j + 2, nlen, lower)) {
+            j + 2 + nlen <= len && eqSpansIgnoreCase(nameStart, j + 2, nlen)) {
             var k = j + 2 + nlen
             while (k < len && isWs(buf(k))) k += 1
             if (k < len && buf(k) == '>') { cEnd = j; closeEnd = k + 1 }
@@ -210,7 +235,7 @@ object Parser {
           } else j += 1
         }
         if (cEnd < 0) {
-          if (!opts.autoFixUnclosedTag) err(s"unclosed content tag <$lower>")
+          if (!opts.autoFixUnclosedTag) err(s"unclosed content tag <${a.lowerName(id)}>")
           a.textOff(id) = cStart; a.textLen(id) = len - cStart
           i = len
         } else {
@@ -221,14 +246,9 @@ object Parser {
       } else if (!isVoid) {
         push(id)
       }
-      val _ = tagStart
     }
 
-    /** span compare helper against a lowercase name at raw buf position */
-    private def spanEqLower(off: Int, lower: String): Boolean =
-      a.spanEqIgnoreCase(off, lower.length, lower)
-
-    private def parseAttr(id: Int, lowerTag: String): Unit = {
+    private def parseAttr(id: Int): Unit = {
       val keyStart = i
       if (buf(i) == '=') {
         if (!opts.allowAttrKeyStartsWithEqualSign) err("attribute key starts with '='")
@@ -263,24 +283,20 @@ object Parser {
         i = j
       }
       // duplicate attribute names: first wins, later dropped entirely
+      // (span-vs-span compare — no per-attribute String allocation)
       val keyLen = keyEnd - keyStart
-      val lowerKey = {
-        val sb = new java.lang.StringBuilder(keyLen)
-        var k = keyStart
-        while (k < keyEnd) {
-          val c = buf(k)
-          sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-          k += 1
-        }
-        sb.toString
+      var dup = a.attrHead(id)
+      while (dup >= 0) {
+        if (a.aKeyLen(dup) == keyLen && eqSpansIgnoreCase(a.aKeyOff(dup), keyStart, keyLen))
+          return
+        dup = a.aNext(dup)
       }
-      if (a.findAttr(id, lowerKey) >= 0) return
       val at = a.allocAttr()
       a.aKeyOff(at) = keyStart; a.aKeyLen(at) = keyLen
       a.aValOff(at) = valOff; a.aValLen(at) = valLen
       a.aQuote(at) = quote
       a.appendAttr(id, at)
-      if (lowerKey == "id" && valOff >= 0 && valLen > 0)
+      if (keyLen == 2 && a.spanEqIgnoreCase(keyStart, 2, "id") && valOff >= 0 && valLen > 0)
         a.registerId(a.str(valOff, valLen), id)
     }
 

@@ -247,9 +247,10 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   // ================= content =================
 
   /** THE parity column — concat of per-element decoded text
-    * (reference elements.rs:2897-2903, src/lib.rs:228-236). */
+    * (reference elements.rs:2897-2903, src/lib.rs:228-236). Builder
+    * pre-sized near the document size to avoid growth copies. */
   def text(): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val sb = new java.lang.StringBuilder(math.min(math.max(64, a.bufLen), 1 << 20))
     ids.foreach(e => a.textContent(e, sb))
     sb.toString
   }

@@ -57,20 +57,15 @@ case class ExtractMain(child: Expression)
   private val htmlIsBinary: Boolean = child.dataType == BinaryType
 
   override def nullSafeEval(html: Any): Any = {
-    val s =
-      if (htmlIsBinary) Extractor.extractMain(html.asInstanceOf[Array[Byte]], Extractor.Recipe.default)
-      else Extractor.extractMain(html.asInstanceOf[UTF8String].toString, Extractor.Recipe.default)
-    if (s == null) null else UTF8String.fromString(s)
+    if (htmlIsBinary) Extractor.extractMainCodegen(html.asInstanceOf[Array[Byte]])
+    else Extractor.extractMainCodegenStr(html.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractMainCodegen" else "extractMainCodegenStr"
     nullSafeCodeGen(ctx, ev, h => {
-      val conv =
-        if (htmlIsBinary) s"new String($h, java.nio.charset.StandardCharsets.UTF_8)"
-        else s"$h.toString()"
       s"""
-         |String graftOut = graft.spark.Extractor.extractMain($conv, graft.spark.Extractor.Recipe$$.MODULE$$.default());
-         |${ev.value} = graftOut == null ? null : org.apache.spark.unsafe.types.UTF8String.fromString(graftOut);
+         |${ev.value} = graft.spark.Extractor.$fn($h);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })

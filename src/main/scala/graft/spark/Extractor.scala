@@ -47,10 +47,17 @@ object Extractor extends Serializable {
     }
   }
 
-  /** main-content extraction: remove boilerplate, pick the first matching
-    * main-content candidate, return its text(). Null on parse failure. */
-  def extractMain(html: String, recipe: Recipe): String = {
-    val doc = parse(html)
+  /** parse UTF-8 bytes into the thread-local arena (no intermediate String /
+    * char[] garbage); null on parse failure. */
+  def parseBytes(html: Array[Byte]): VDoc = {
+    val arena = arenas.get()
+    Parser.parseIntoUtf8(arena, html, ParseOptions.compat) match {
+      case Some(_) => null
+      case None => new VDoc(arena)
+    }
+  }
+
+  private def extractMainFrom(doc: VDoc, recipe: Recipe): String = {
     if (doc == null) return null
     val root = doc.rootElems
     root.find(recipe.remove).remove()
@@ -64,9 +71,14 @@ object Extractor extends Serializable {
     main.text()
   }
 
+  /** main-content extraction: remove boilerplate, pick the first matching
+    * main-content candidate, return its text(). Null on parse failure. */
+  def extractMain(html: String, recipe: Recipe): String =
+    extractMainFrom(parse(html), recipe)
+
   def extractMain(htmlBytes: Array[Byte], recipe: Recipe): String =
     if (htmlBytes == null) null
-    else extractMain(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8), recipe)
+    else extractMainFrom(parseBytes(htmlBytes), recipe)
 
   /** generic `extract_text(html, selector)` — text() of all matches. */
   def extractText(html: String, selector: String): String = {
@@ -88,6 +100,18 @@ object Extractor extends Serializable {
       selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null || selector == null) return null
     val out = extractText(html.toString, selector.toString)
+    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+
+  def extractMainCodegen(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null) return null
+    val out = extractMain(html, Recipe.default)
+    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+
+  def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null) return null
+    val out = extractMain(html.toString, Recipe.default)
     if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
 

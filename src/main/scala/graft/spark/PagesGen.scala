@@ -84,4 +84,24 @@ object PagesGen extends Serializable {
 
   def asDataFrame(spark: SparkSession, sfDir: String): DataFrame =
     fromDocuments(spark, sfDir).toDF()
+
+  /** deterministically amplified corpus for throughput benchmarking:
+    * `reps` page copies per document (distinct urls) and `textRep`-fold
+    * payload repetition, so the html volume is bench-scale while extraction
+    * stays byte-verifiable (extracted == the amplified text column). */
+  def amplified(spark: SparkSession, sfDir: String, reps: Int, textRep: Int): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .flatMap { case (id, text0, lang0) =>
+        val text = if (text0 == null) "" else text0
+        val lang = if (lang0 == null) "en" else lang0
+        val big = if (textRep <= 1) text else Array.fill(textRep)(text).mkString(" ")
+        (0 until reps).iterator.map { r =>
+          val ampId = id + r.toLong * 1000000007L
+          pageOf(ampId, big, lang)
+        }
+      }
+  }
 }

@@ -185,7 +185,7 @@ object TextOps extends Serializable {
 
   /** LSH-bucketed ANN scale path: random-hyperplane signs bucket the
     * vectors; search only the query's bucket. */
-  def annLsh(spark: SparkSession, sfDir: String, queryId: Long, k: Int, planes: Int = 8): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String, queryId: Long, k: Int, planes: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def sig(v: Seq[Float]): Int = {

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query.{Engine, Vis}
+import graft.dom.Entities
+
+/** Property-style tests (seeded exhaustive/random sweeps): An+B
+  * allowed-index math against brute force (reference pattern.rs:482-513
+  * generalized), parse→render→parse idempotence, entity round trips,
+  * template extraction byte-identity. */
+class PropertySpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42)
+
+  test("nth allowed-indexes == brute force enumeration") {
+    for {
+      n <- -6L to 6L
+      idx <- -10L to 15L
+      total <- 0 to 40 by 3
+    } {
+      val got = Engine.allowedIndexes(hasN = true, n, idx, total).toSet
+      val expect = (1 to total).filter { p =>
+        if (n == 0) p.toLong == idx
+        else {
+          val diff = p - idx
+          diff % n == 0 && diff / n >= 0
+        }
+      }.map(_ - 1).toSet
+      assert(got == expect, s"n=$n idx=$idx total=$total")
+    }
+  }
+
+  test("constant-index nth") {
+    for (idx <- -5L to 20L; total <- 0 to 15) {
+      val got = Engine.allowedIndexes(hasN = false, 0, idx, total).toSet
+      val expect = if (idx >= 1 && idx <= total) Set((idx - 1).toInt) else Set.empty[Int]
+      assert(got == expect)
+    }
+  }
+
+  test("entity decode(encodeSpecial(x)) == x") {
+    def randStr(): String =
+      (0 until rnd.nextInt(60)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    for (_ <- 1 to 500) {
+      val s = randStr()
+      assert(Entities.decode(Entities.encodeSpecial(s)) == s)
+    }
+    assert(Entities.decode(Entities.encodeSpecial("好用 <&> 'x' \"y\"")) == "好用 <&> 'x' \"y\"")
+    assert(Entities.decode("&#x4F60;&#22909;&nbsp;&amp;amp;") == "你好 &amp;")
+  }
+
+  test("parse -> render(source_code) is byte-identical for generated trees") {
+    val tags = Array("div", "span", "p", "li", "section")
+    def genHtml(depth: Int): String =
+      if (depth == 0) rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      else {
+        val t = tags(rnd.nextInt(tags.length))
+        val cls = rnd.alphanumeric.take(5).mkString
+        val kids = (0 until rnd.nextInt(4)).map(_ => genHtml(depth - 1)).mkString
+        s"""<$t class="$cls">$kids</$t>"""
+      }
+    for (_ <- 1 to 200) {
+      val html = (0 until 3).map(_ => genHtml(3)).mkString
+      val root = Vis.load(html).toOption.get
+      assert(root.doc.sourceCode == html)
+      val again = Vis.load(root.doc.sourceCode).toOption.get
+      assert(again.doc.sourceCode == html)
+    }
+  }
+
+  test("extraction is byte-identical across all page templates") {
+    import graft.spark.{Extractor, PagesGen}
+    for (id <- 0L until 64L) {
+      val text = (0 until rnd.nextInt(50)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val html = PagesGen.htmlOf(id, text, "en")
+      val got = Extractor.extractMain(html, Extractor.Recipe.default)
+      assert(got == text, s"template=${id % 4} text=${text.take(40)}")
+      // and via the UTF-8 byte path
+      val got2 = Extractor.extractMain(
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), Extractor.Recipe.default)
+      assert(got2 == text)
+    }
+    // multi-byte payloads through the byte path
+    val zh = "好用，这是一段中文正文 — with mixed ascii"
+    for (id <- 0L until 4L) {
+      val html = PagesGen.htmlOf(id, zh, "zh")
+      assert(Extractor.extractMain(
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), Extractor.Recipe.default) == zh)
+    }
+  }
+}
