@@ -28,6 +28,8 @@ object ClusterBench {
   def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    // the local-cluster worker builds executor commands from the Spark dist
+    sys.props("spark.test.home") = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     val pagesPath = "/tmp/graft-bench/pages"
     for (execs <- Seq(2, 8)) {
       val spark = session(execs, 4)

@@ -11,7 +11,8 @@ object ThreadBench {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import spark.implicits._
-    val pages = graft.spark.PagesGen.amplified(spark, sfDir, 30, 20)
+    val pages = graft.spark.PagesGen.amplified(spark, sfDir, 30,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSE", "5").toInt)
       .map(_.html).collect()
     spark.stop()
     val bytes = pages.map(_.length.toLong).sum

@@ -445,6 +445,37 @@ final class Arena(initialNodes: Int = 256) {
     sb.toString
   }
 
+  /** text extraction straight to UTF-8 bytes (same traversal rules as
+    * textContent — kept in lockstep, see PropertySpec cross-check). */
+  def textContentUtf8(id: Int, out: Utf8Builder): Unit = kind(id) match {
+    case TEXT | SPACES =>
+      Entities.decodeToUtf8(buf, textOff(id), textOff(id) + textLen(id), out)
+    case CDATA => out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
+    case COMMENT => out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
+    case ELEM if isContentTag(id) =>
+      out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
+      var c = firstChild(id)
+      while (c >= 0) {
+        if (isTextKind(c)) Entities.decodeToUtf8(buf, textOff(c), textOff(c) + textLen(c), out)
+        c = nextSib(c)
+      }
+    case ELEM | ROOT =>
+      var c = firstChild(id)
+      while (c >= 0) {
+        kind(c) match {
+          case TEXT | SPACES =>
+            Entities.decodeToUtf8(buf, textOff(c), textOff(c) + textLen(c), out)
+          case CDATA => out.appendChars(buf, textOff(c), textOff(c) + textLen(c))
+          case ELEM =>
+            if (isContentTag(c)) out.appendChars(buf, textOff(c), textOff(c) + textLen(c))
+            else textContentUtf8(c, out)
+          case _ => ()
+        }
+        c = nextSib(c)
+      }
+    case _ => ()
+  }
+
   /** raw characters without entity decoding (reference text_chars,
     * `src/lib.rs:240-245`; inner only for elements). */
   def textChars(id: Int): String = kind(id) match {

@@ -135,6 +135,31 @@ object Entities {
     }
   }
 
+  /** decode straight to UTF-8 (mirrors decodeTo; hot extraction path). */
+  def decodeToUtf8(s: Array[Char], from: Int, until: Int, out: Utf8Builder): Unit = {
+    var i = from
+    var runStart = from
+    val tmp = new java.lang.StringBuilder(8)
+    while (i < until) {
+      if (s(i) == '&') {
+        if (i > runStart) out.appendChars(s, runStart, i)
+        tmp.setLength(0)
+        val end = decodeOne(s, i, until, tmp)
+        if (end > i) {
+          var k = 0
+          while (k < tmp.length) {
+            val cp = tmp.codePointAt(k)
+            out.appendCodePoint(cp)
+            k += Character.charCount(cp)
+          }
+          i = end
+        } else { out.appendCodePoint('&'); i += 1 }
+        runStart = i
+      } else i += 1
+    }
+    if (i > runStart) out.appendChars(s, runStart, i)
+  }
+
   private def isDigitOf(c: Char, hex: Boolean): Boolean =
     if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     else c >= '0' && c <= '9'

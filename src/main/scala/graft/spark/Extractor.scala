@@ -103,10 +103,29 @@ object Extractor extends Serializable {
     if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
 
+  private val utf8Out = new ThreadLocal[graft.dom.Utf8Builder] {
+    override def initialValue(): graft.dom.Utf8Builder = new graft.dom.Utf8Builder()
+  }
+
+  /** hot path: bytes in, UTF-8 bytes out — no UTF-16 String round trip. */
   def extractMainCodegen(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null) return null
-    val out = extractMain(html, Recipe.default)
-    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    val doc = parseBytes(html)
+    if (doc == null) return null
+    val recipe = Recipe.default
+    val root = doc.rootElems
+    root.find(recipe.remove).remove()
+    var main: Elems = null
+    val it = recipe.mainCandidates.iterator
+    while (main == null && it.hasNext) {
+      val found = root.find(it.next())
+      if (found.nonEmpty) main = found.first()
+    }
+    if (main == null) main = root
+    val ub = utf8Out.get()
+    ub.reset()
+    main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
   }
 
   def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {

@@ -73,6 +73,42 @@ object PagesGen extends Serializable {
       htmlOf(docId, text, lang).getBytes(java.nio.charset.StandardCharsets.UTF_8),
       text, lang)
 
+  /** markup-dense page (Common-Crawl-realistic tag/text ratio): `k` controls
+    * how much nav/menu/table boilerplate wraps the same main content. All
+    * boilerplate is strippable by the default recipe (everything heavy sits
+    * in nav/aside/footer), so extraction stays byte-identical to `text`. */
+  def htmlOfDense(docId: Long, text: String, lang: String, k: Int): String = {
+    val enc = Entities.encodeSpecial(text)
+    val sb = new java.lang.StringBuilder(4096)
+    sb.append(s"""<!doctype html><html lang="$lang"><head><title>doc $docId</title>""")
+    sb.append("""<style>.ad{display:none}.m li{color:#333}</style><script>var cfg={a:1,b:"x"};</script></head><body>""")
+    // menu: many small elements with attributes (parser-heavy, extractor-irrelevant)
+    sb.append("""<nav class="m top" role="navigation"><ul class="menu">""")
+    var i = 0
+    val items = 8 * k
+    while (i < items) {
+      sb.append(s"""<li class="mi mi-$i" data-k="$i"><a href="/cat/${i % 7}/p/$i" title="page $i">item&nbsp;$i</a><span class="badge">${i % 10}</span></li>""")
+      i += 1
+    }
+    sb.append("</ul></nav>")
+    sb.append(s"""<aside class="rel"><table class="t"><thead><tr><th>k</th><th>v</th></tr></thead><tbody>""")
+    i = 0
+    while (i < 2 * k) {
+      sb.append(s"""<tr class="r${i % 2}"><td>$i</td><td><em>v$i</em>&copy;</td></tr>""")
+      i += 1
+    }
+    sb.append("</tbody></table></aside>")
+    sb.append(s"""<div class="ad" data-slot="$docId" hidden><script>track($docId);</script>sponsored</div>""")
+    (docId % 4) match {
+      case 0 => sb.append(s"<main>$enc</main>")
+      case 1 => sb.append(s"""<div role="main">$enc</div>""")
+      case 2 => sb.append(s"""<div id="content">$enc</div>""")
+      case _ => sb.append(enc) // body fallback: recipe strips everything else
+    }
+    sb.append("""<footer><p>copyright</p><nav class="m bottom"><a href="/tos">tos</a></nav></footer></body></html>""")
+    sb.toString
+  }
+
   /** documents table -> pages dataset. */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._
@@ -97,10 +133,12 @@ object PagesGen extends Serializable {
       .flatMap { case (id, text0, lang0) =>
         val text = if (text0 == null) "" else text0
         val lang = if (lang0 == null) "en" else lang0
-        val big = if (textRep <= 1) text else Array.fill(textRep)(text).mkString(" ")
         (0 until reps).iterator.map { r =>
           val ampId = id + r.toLong * 1000000007L
-          pageOf(ampId, big, lang)
+          PageRow(urlOf(ampId), tsOf(ampId),
+            htmlOfDense(ampId, text, lang, textRep)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            text, lang)
         }
       }
   }

@@ -87,4 +87,32 @@ class PropertySpec extends AnyFunSuite {
         html.getBytes(java.nio.charset.StandardCharsets.UTF_8), Extractor.Recipe.default) == zh)
     }
   }
+
+  test("dense bench pages extract byte-identically") {
+    import graft.spark.{Extractor, PagesGen}
+    for (id <- 0L until 16L) {
+      val text = (0 until rnd.nextInt(80)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val html = PagesGen.htmlOfDense(id, text, "en", 5)
+      val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(Extractor.extractMain(bytes, Extractor.Recipe.default) == text, s"template=${id % 4}")
+      assert(Extractor.extractMainCodegen(bytes).toString == text)
+    }
+  }
+
+  test("UTF-8 fast path == String path (textContentUtf8 lockstep)") {
+    import graft.spark.{Extractor, PagesGen}
+    val payloads = Seq(
+      "plain words here",
+      "entities &amp; &lt;tags&gt; &#x4F60;&#22909; &nbsp;done",
+      "好用，这是一段中文 mixed with ascii and 😀 emoji",
+      "quotes 'single' and \"double\" plus <angle>",
+      "")
+    for ((p, i) <- payloads.zipWithIndex; id <- 0L until 4L) {
+      val html = PagesGen.htmlOf(id + i, p, "en")
+      val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val viaString = Extractor.extractMain(bytes, Extractor.Recipe.default)
+      val viaUtf8 = Extractor.extractMainCodegen(bytes)
+      assert(viaUtf8 != null && viaUtf8.toString == viaString)
+    }
+  }
 }
