@@ -137,6 +137,31 @@ object ExtractJob {
     rows.filter(r => seen.add(r.partition_id))
   }
 
+  /** spark-submit entry:
+    * `spark-submit --class graft.spark.ExtractJob visdomspark.jar
+    *    <pagesPathOrSfDir> <outDir> [buckets] [salt] [runId]`
+    * A directory containing `documents.parquet` is synthesized into pages
+    * first (sandbox path); anything else is read as a pages table. */
+  def main(args: Array[String]): Unit = {
+    val in = args(0)
+    val outDir = args(1)
+    val buckets = if (args.length > 2) args(2).toInt else 64
+    val salt = if (args.length > 3) args(3).toInt else 42
+    val runId = if (args.length > 4) args(4) else "run-0"
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.extensions", "graft.spark.GraftSparkExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    try {
+      val pages =
+        if (fsExists(spark, s"$in/documents.parquet")) PagesGen.asDataFrame(spark, in)
+        else spark.read.parquet(in)
+      run(spark, pages, outDir, Config(buckets, salt, runId))
+      spark.read.parquet(s"$outDir/lineage").orderBy("partition_id").show(20, truncate = false)
+    } finally spark.stop()
+  }
+
   private def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

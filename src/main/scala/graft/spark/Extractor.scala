@@ -57,8 +57,9 @@ object Extractor extends Serializable {
     }
   }
 
-  private def extractMainFrom(doc: VDoc, recipe: Recipe): String = {
-    if (doc == null) return null
+  /** pick the recipe's main-content element set after boilerplate removal;
+    * selectors come from the per-JVM parse cache. */
+  private def selectMain(doc: VDoc, recipe: Recipe): Elems = {
     val root = doc.rootElems
     root.find(recipe.remove).remove()
     var main: Elems = null
@@ -67,8 +68,12 @@ object Extractor extends Serializable {
       val found = root.find(it.next())
       if (found.nonEmpty) main = found.first()
     }
-    if (main == null) main = root
-    main.text()
+    if (main == null) root else main
+  }
+
+  private def extractMainFrom(doc: VDoc, recipe: Recipe): String = {
+    if (doc == null) return null
+    selectMain(doc, recipe).text()
   }
 
   /** main-content extraction: remove boilerplate, pick the first matching
