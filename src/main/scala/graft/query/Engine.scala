@@ -312,6 +312,15 @@ object Engine {
         if (!grouped) {
           // ids are exactly the element children of one parent, in order
           val total = ids.length
+          // constant-index *-child fast path (reference specified_handle,
+          // pseudo.rs:154-206): direct positional pick, no index-set scan
+          if (!hasN && !ofType) {
+            if (idx >= 1 && idx <= total) {
+              val pos = if (last) total - idx.toInt else idx.toInt - 1
+              out += ids(pos)
+            }
+            return out
+          }
           val allow = allowedIndexes(hasN, n, idx, total)
           if (allow.nonEmpty) {
             if (!ofType) {
