@@ -96,6 +96,12 @@ object Parser {
       stack(sp) = id; sp += 1
     }
 
+    /** pathological-nesting bound: render/extract walk the tree recursively,
+      * so a crawler bomb (100k nested divs) must not overflow task stacks at
+      * corpus scale. Tags beyond this depth stay childless leaves (lenient
+      * mode) / error (strict). */
+    private val maxDepth = 2048
+
     def run(): Option[ParseError] = {
       try {
         loop()
@@ -244,7 +250,9 @@ object Parser {
           i = closeEnd
         }
       } else if (!isVoid) {
-        push(id)
+        if (sp < maxDepth) push(id)
+        else if (!opts.autoFixUnclosedTag) err("nesting depth limit exceeded")
+        // else: depth-capped element stays a leaf
       }
     }
 

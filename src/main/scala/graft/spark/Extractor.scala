@@ -112,25 +112,22 @@ object Extractor extends Serializable {
     override def initialValue(): graft.dom.Utf8Builder = new graft.dom.Utf8Builder()
   }
 
-  /** hot path: bytes in, UTF-8 bytes out — no UTF-16 String round trip. */
+  /** hot path: bytes in, UTF-8 bytes out — no UTF-16 String round trip.
+    * Defensive: ANY per-row failure (parse error, pathological input) yields
+    * null — a lineage `failure_count` increment, never a task failure. */
   def extractMainCodegen(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null) return null
-    val doc = parseBytes(html)
-    if (doc == null) return null
-    val recipe = Recipe.default
-    val root = doc.rootElems
-    root.find(recipe.remove).remove()
-    var main: Elems = null
-    val it = recipe.mainCandidates.iterator
-    while (main == null && it.hasNext) {
-      val found = root.find(it.next())
-      if (found.nonEmpty) main = found.first()
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val main = selectMain(doc, Recipe.default)
+      val ub = utf8Out.get()
+      ub.reset()
+      main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
     }
-    if (main == null) main = root
-    val ub = utf8Out.get()
-    ub.reset()
-    main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
-    org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
   }
 
   def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {

@@ -99,6 +99,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("crawler-bomb nesting does not overflow extraction") {
+    import graft.spark.Extractor
+    val bomb = ("<div>" * 100000) + "deep" + ("</div>" * 100000)
+    val html = s"<html><body><main>ok</main>$bomb</body></html>"
+    val out = Extractor.extractMain(
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8), Extractor.Recipe.default)
+    assert(out == "ok")
+    val viaCodegen = Extractor.extractMainCodegen(
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(viaCodegen != null && viaCodegen.toString == "ok")
+  }
+
   test("UTF-8 fast path == String path (textContentUtf8 lockstep)") {
     import graft.spark.{Extractor, PagesGen}
     val payloads = Seq(
