@@ -636,11 +636,50 @@ object Engine {
     out
   }
 
+  /** true when every process is one descendant-combinator compound of pure
+    * per-element predicates — the shape of boilerplate-strip selectors like
+    * `script,style,nav,aside,footer,[hidden]`. */
+  private def allSimpleDescendantPreds(sel: Selector): Boolean =
+    sel.process.forall { p =>
+      p.shouldIn.isEmpty && p.query.lengthCompare(1) == 0 && {
+        val seg = p.query.head
+        seg.comb == Combinator.ChildrenAll && !seg.simples.exists(isPositional)
+      }
+    }
+
   /** execute a full selector from a context set (reference find_selector,
     * elements.rs:1776-1817, incl. should_in verification). */
   def findSelector(doc: VDoc, ctx: ArrayBuffer[Int], sel: Selector): ArrayBuffer[Int] = {
     var result = new ArrayBuffer[Int](0)
     if (ctx.isEmpty) return result
+    // fast path: N comma groups of pure descendant predicates fold into ONE
+    // depth-first pass — the per-process union in document order is exactly
+    // "any compound matches" during the walk (big win for the 7-group strip
+    // recipe; semantics unchanged: doc order, unique)
+    if (sel.process.lengthCompare(1) > 0 && allSimpleDescendantPreds(sel)) {
+      val a = doc.arena
+      val compounds = sel.process.map(_.query.head.simples)
+      val roots = if (ctx.length > 1) uniqueParents(a, ctx) else ctx
+      val out = new ArrayBuffer[Int](8)
+      def rec(node: Int): Unit = {
+        var c = a.firstChild(node)
+        while (c >= 0) {
+          if (a.kind(c) == a.ELEM) {
+            var ps = compounds
+            var matched = false
+            while (!matched && ps.nonEmpty) {
+              matched = ps.head.forall(s => matchOne(doc, c, s))
+              ps = ps.tail
+            }
+            if (matched) out += c
+            if (a.firstChild(c) >= 0) rec(c)
+          }
+          c = a.nextSib(c)
+        }
+      }
+      roots.foreach(rec)
+      return out
+    }
     sel.process.foreach { p =>
       var group: ArrayBuffer[Int] = null
       p.shouldIn match {

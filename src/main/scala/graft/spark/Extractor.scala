@@ -57,11 +57,64 @@ object Extractor extends Serializable {
     }
   }
 
+  /** simple single-compound descendant predicates of the candidate
+    * selectors, or null if any candidate needs the general engine. */
+  private def candidateCompounds(recipe: Recipe): Array[List[graft.selector.Simple]] = {
+    val out = new Array[List[graft.selector.Simple]](recipe.mainCandidates.length)
+    var i = 0
+    recipe.mainCandidates.foreach { s =>
+      compiled(s) match {
+        case Right(sel) if sel.process.lengthCompare(1) == 0 &&
+          sel.process.head.shouldIn.isEmpty &&
+          sel.process.head.query.lengthCompare(1) == 0 &&
+          sel.process.head.query.head.comb == graft.selector.Combinator.ChildrenAll &&
+          !sel.process.head.query.head.simples.exists(graft.query.Engine.isPositional) =>
+          out(i) = sel.process.head.query.head.simples
+        case _ => return null
+      }
+      i += 1
+    }
+    out
+  }
+
   /** pick the recipe's main-content element set after boilerplate removal;
-    * selectors come from the per-JVM parse cache. */
+    * selectors come from the per-JVM parse cache. The common all-predicate
+    * candidate list resolves in ONE tree pass (first match per candidate,
+    * highest-priority candidate wins) instead of one find() per candidate. */
   private def selectMain(doc: VDoc, recipe: Recipe): Elems = {
     val root = doc.rootElems
     root.find(recipe.remove).remove()
+    val compounds = candidateCompounds(recipe)
+    if (compounds != null) {
+      val a = doc.arena
+      val firstMatch = Array.fill(compounds.length)(-1)
+      def rec(node: Int): Boolean = { // returns true when candidate 0 found
+        var c = a.firstChild(node)
+        while (c >= 0) {
+          if (a.kind(c) == a.ELEM) {
+            var i = 0
+            while (i < compounds.length) {
+              if (firstMatch(i) < 0 &&
+                compounds(i).forall(s => graft.query.Engine.matchOne(doc, c, s))) {
+                firstMatch(i) = c
+                if (i == 0) return true
+              }
+              i += 1
+            }
+            if (a.firstChild(c) >= 0 && rec(c)) return true
+          }
+          c = a.nextSib(c)
+        }
+        false
+      }
+      rec(0)
+      var i = 0
+      while (i < firstMatch.length) {
+        if (firstMatch(i) >= 0) return new Elems(doc, Array(firstMatch(i)))
+        i += 1
+      }
+      return root
+    }
     var main: Elems = null
     val it = recipe.mainCandidates.iterator
     while (main == null && it.hasNext) {
