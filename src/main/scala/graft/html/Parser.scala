@@ -317,6 +317,12 @@ object Parser {
       if (i < len && buf(i) == '>') i += 1
       else if (i >= len) {
         if (!opts.autoFixUnclosedTag) err("unexpected EOF in end tag")
+      } else {
+        // junk between end-tag name and '>' is consumed and discarded
+        // (HTML5 end tags can't carry attributes)
+        if (!opts.autoFixUnexpectedEndtag) err("malformed end tag")
+        while (i < len && buf(i) != '>') i += 1
+        if (i < len) i += 1
       }
       val nlen = nameEnd - nameStart
       // find matching open tag on the stack (case-insensitive)

@@ -47,10 +47,19 @@ object Extractor extends Serializable {
     }
   }
 
+  /** a rare giant page must not pin executor memory forever: drop the
+    * thread-local arena back to a fresh one when its buffers grew far beyond
+    * what the current row needs. */
+  private final val ArenaShrinkChars = 32 << 20
+
   /** parse UTF-8 bytes into the thread-local arena (no intermediate String /
     * char[] garbage); null on parse failure. */
   def parseBytes(html: Array[Byte]): VDoc = {
-    val arena = arenas.get()
+    var arena = arenas.get()
+    if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
+      arena = new graft.dom.Arena(1024)
+      arenas.set(arena)
+    }
     Parser.parseIntoUtf8(arena, html, ParseOptions.compat) match {
       case Some(_) => null
       case None => new VDoc(arena)
