@@ -67,16 +67,15 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("salted url-hash buckets balance the power-law host skew") {
-    import spark.implicits._
     val pages = PagesGen.asDataFrame(spark, sfDir)
     // raw host distribution is power-law: host-0 holds ~half the corpus
     val hostCounts = pages
       .select(regexp_extract(col("url"), "host-(\\d+)", 1).as("host"))
-      .groupBy("host").count().select(col("count").as[Long]).collect()
+      .groupBy("host").count().collect().map(_.getLong(1))
     assert(hostCounts.max.toDouble / hostCounts.sum > 0.3)
     // salted url-hash buckets are near-uniform: max <= 2x mean
     val buckets = pages.withColumn("b", ExtractJob.bucketCol(42, 16))
-      .groupBy("b").count().select(col("count").as[Long]).collect()
+      .groupBy("b").count().collect().map(_.getLong(1))
     val mean = buckets.sum.toDouble / buckets.length
     assert(buckets.length == 16)
     assert(buckets.max <= 2 * mean, s"skewed buckets: ${buckets.mkString(",")}")
