@@ -94,6 +94,13 @@ final class Arena(initialNodes: Int = 256) {
     var o = 0
     val len = src.length
     while (i < len) {
+      // ASCII run fast path (bytes >= 0): the overwhelmingly common case
+      var b = src(i)
+      while (b >= 0) {
+        buf(o) = b.toChar; o += 1; i += 1
+        b = if (i < len) src(i) else -1
+      }
+      if (i >= len) return finishReset(o)
       val b0 = src(i) & 0xff
       if (b0 < 0x80) { buf(o) = b0.toChar; o += 1; i += 1 }
       else if (b0 < 0xe0) {
@@ -119,7 +126,11 @@ final class Arena(initialNodes: Int = 256) {
         } else { buf(o) = '�'; o += 1; i = len }
       }
     }
-    bufLen = o
+    finishReset(o)
+  }
+
+  private def finishReset(outLen: Int): Unit = {
+    bufLen = outLen
     val r = alloc(ROOT)
     require(r == 0)
   }
