@@ -13,9 +13,13 @@ import scala.collection.mutable
   * lookup (issue #2, `src/lib.rs:611-633`) and preserved quote style, and
   * byte-identical source re-rendering (`tests/trait.rs:48` source_code).
   *
-  * All strings are (offset,len) spans into one shared char buffer: the
-  * source text plus an overflow region appended by mutations. Parsing a
-  * document allocates only in these growable arrays.
+  * All strings are (offset,len) spans into one shared **UTF-8 byte** buffer:
+  * the source bytes plus an overflow region appended by mutations. Working
+  * on bytes is safe because every structural delimiter is ASCII and UTF-8
+  * continuation bytes can never collide with ASCII (self-synchronizing);
+  * case folding is ASCII-only, exactly like the reference's
+  * `to_ascii_lowercase`. Parsing a crawl row is then a plain memcpy of the
+  * raw bytes — no UTF-16 expansion on the hot path.
   */
 final class Arena(initialNodes: Int = 256) {
 
@@ -61,8 +65,8 @@ final class Arena(initialNodes: Int = 256) {
   var aNext: Array[Int] = new Array[Int](64)
   var aRemoved: Array[Boolean] = new Array[Boolean](64)
 
-  // shared char store: [0, srcLen) = source; [srcLen, bufLen) = mutation overflow
-  var buf: Array[Char] = new Array[Char](1024)
+  // shared UTF-8 byte store: [0, srcLen) = source; [srcLen, bufLen) = overflow
+  var buf: Array[Byte] = new Array[Byte](1024)
   var bufLen: Int = 0
 
   /** document id cache (first element wins), built at parse (reference id
@@ -73,64 +77,23 @@ final class Arena(initialNodes: Int = 256) {
 
   var isDocument: Boolean = false
 
-  def reset(src: Array[Char], srcLen: Int): Unit = {
+  private def clearState(): Unit = {
     n = 0; an = 0
     idMap.clear(); idMapDirty = false; isDocument = false
-    if (buf.length < srcLen) buf = new Array[Char](Integer.highestOneBit(srcLen) * 2)
-    System.arraycopy(src, 0, buf, 0, srcLen)
-    bufLen = srcLen
-    // root node
-    val r = alloc(ROOT)
-    require(r == 0)
   }
 
-  /** reset decoding UTF-8 bytes straight into the reused char buffer — the
-    * executor hot path allocates nothing per row beyond arena growth. */
+  def reset(html: String): Unit = {
+    val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    resetFromUtf8(bytes)
+  }
+
+  /** hot path: raw UTF-8 page bytes are the buffer — one memcpy, no decode. */
   def resetFromUtf8(src: Array[Byte]): Unit = {
-    n = 0; an = 0
-    idMap.clear(); idMapDirty = false; isDocument = false
-    if (buf.length < src.length) buf = new Array[Char](Integer.highestOneBit(src.length) * 2)
-    var i = 0
-    var o = 0
-    val len = src.length
-    while (i < len) {
-      // ASCII run fast path (bytes >= 0): the overwhelmingly common case
-      var b = src(i)
-      while (b >= 0) {
-        buf(o) = b.toChar; o += 1; i += 1
-        b = if (i < len) src(i) else -1
-      }
-      if (i >= len) return finishReset(o)
-      val b0 = src(i) & 0xff
-      if (b0 < 0x80) { buf(o) = b0.toChar; o += 1; i += 1 }
-      else if (b0 < 0xe0) {
-        if (i + 1 < len) {
-          val cp = ((b0 & 0x1f) << 6) | (src(i + 1) & 0x3f)
-          buf(o) = cp.toChar; o += 1; i += 2
-        } else { buf(o) = '�'; o += 1; i += 1 }
-      } else if (b0 < 0xf0) {
-        if (i + 2 < len) {
-          val cp = ((b0 & 0x0f) << 12) | ((src(i + 1) & 0x3f) << 6) | (src(i + 2) & 0x3f)
-          buf(o) = cp.toChar; o += 1; i += 3
-        } else { buf(o) = '�'; o += 1; i = len }
-      } else {
-        if (i + 3 < len) {
-          val cp = ((b0 & 0x07) << 18) | ((src(i + 1) & 0x3f) << 12) |
-            ((src(i + 2) & 0x3f) << 6) | (src(i + 3) & 0x3f)
-          if (cp >= 0x10000 && cp <= 0x10ffff) {
-            buf(o) = (0xd800 + ((cp - 0x10000) >> 10)).toChar
-            buf(o + 1) = (0xdc00 + ((cp - 0x10000) & 0x3ff)).toChar
-            o += 2
-          } else { buf(o) = '�'; o += 1 }
-          i += 4
-        } else { buf(o) = '�'; o += 1; i = len }
-      }
-    }
-    finishReset(o)
-  }
-
-  private def finishReset(outLen: Int): Unit = {
-    bufLen = outLen
+    clearState()
+    if (buf.length < src.length)
+      buf = new Array[Byte](Integer.highestOneBit(math.max(1, src.length)) * 2)
+    System.arraycopy(src, 0, buf, 0, src.length)
+    bufLen = src.length
     val r = alloc(ROOT)
     require(r == 0)
   }
@@ -180,62 +143,118 @@ final class Arena(initialNodes: Int = 256) {
     id
   }
 
-  // ---- char store helpers ----
-  def appendChars(s: String): Int = {
-    val need = bufLen + s.length
+  // ---- byte store helpers ----
+  private def ensureBuf(extra: Int): Unit = {
+    val need = bufLen + extra
     if (need > buf.length) {
       var cap = buf.length * 2
       while (cap < need) cap *= 2
       buf = java.util.Arrays.copyOf(buf, cap)
     }
-    val off = bufLen
-    s.getChars(0, s.length, buf, off)
-    bufLen = need
-    off
   }
 
-  def str(off: Int, len: Int): String = new String(buf, off, len)
+  /** append a string's UTF-8 bytes; returns offset (length via utf8Len). */
+  def appendStr(s: String): Int = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    appendRaw(bytes, 0, bytes.length)
+  }
+
+  /** append a string and return its span packed as (off << 32) | byteLen. */
+  def appendStrSpan(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = appendRaw(bytes, 0, bytes.length)
+    (off.toLong << 32) | bytes.length.toLong
+  }
+
+  /** set a node's text content from a string (byte span). */
+  def setTextSpan(node: Int, s: String): Unit = {
+    val span = appendStrSpan(s)
+    textOff(node) = (span >> 32).toInt
+    textLen(node) = (span & 0xffffffffL).toInt
+  }
+
+  def appendRaw(src: Array[Byte], off: Int, len: Int): Int = {
+    ensureBuf(len)
+    System.arraycopy(src, off, buf, bufLen, len)
+    val out = bufLen
+    bufLen += len
+    out
+  }
+
+  /** append bytes from another (or this) arena's buffer. */
+  def appendFrom(other: Arena, off: Int, len: Int): Int = {
+    ensureBuf(len)
+    System.arraycopy(other.buf, off, buf, bufLen, len)
+    val out = bufLen
+    bufLen += len
+    out
+  }
+
+  def utf8Len(s: String): Int = {
+    // fast count without materializing the byte array for pure-ASCII
+    var i = 0
+    var ascii = true
+    while (i < s.length && ascii) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s.length
+    else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+  }
+
+  def str(off: Int, len: Int): String =
+    new String(buf, off, len, java.nio.charset.StandardCharsets.UTF_8)
 
   def spanEqIgnoreCase(off: Int, len: Int, lower: String): Boolean = {
     if (len != lower.length) return false
     var i = 0
     while (i < len) {
       val c = buf(off + i)
-      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-      if (lc != lower.charAt(i)) return false
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+      if (lc != lower.charAt(i).toByte) return false
       i += 1
     }
     true
   }
 
-  /** lowercase tag name of an element ("" for non-elements / root). */
+  /** lowercase tag name of an element ("" for non-elements / root);
+    * ASCII fold (reference to_ascii_lowercase semantics). */
   def lowerName(id: Int): String = {
     if (kind(id) != ELEM) return ""
-    val len = nameLen(id)
-    val off = nameOff(id)
-    val sb = new java.lang.StringBuilder(len)
-    var i = 0
-    while (i < len) {
-      val c = buf(off + i)
-      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-      i += 1
-    }
-    sb.toString
+    foldName(id, upper = false)
   }
 
   /** UPPERCASE tag name — visdom's `tag_name()` (reference
     * `tests/selector.rs:119` asserts "DIV"). */
-  def upperName(id: Int): String = {
+  def upperName(id: Int): String = foldName(id, upper = true)
+
+  private def foldName(id: Int, upper: Boolean): String = {
     val len = nameLen(id)
     val off = nameOff(id)
-    val sb = new java.lang.StringBuilder(len)
+    var ascii = true
     var i = 0
-    while (i < len) {
-      val c = buf(off + i)
-      sb.append(if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
-      i += 1
+    while (i < len && ascii) { if (buf(off + i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Char](len)
+      i = 0
+      while (i < len) {
+        val c = buf(off + i).toChar
+        out(i) =
+          if (upper) { if (c >= 'a' && c <= 'z') (c - 32).toChar else c }
+          else { if (c >= 'A' && c <= 'Z') (c + 32).toChar else c }
+        i += 1
+      }
+      new String(out)
+    } else {
+      val s = str(off, len)
+      val sb = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        sb.append(
+          if (upper) { if (c >= 'a' && c <= 'z') (c - 32).toChar else c }
+          else { if (c >= 'A' && c <= 'Z') (c + 32).toChar else c })
+        i += 1
+      }
+      sb.toString
     }
-    sb.toString
   }
 
   def isContentTag(id: Int): Boolean = (flags(id) & F_CONTENT_TAG) != 0
@@ -412,6 +431,19 @@ final class Arena(initialNodes: Int = 256) {
 
   // ================= render =================
 
+  /** append the UTF-8 span [off, off+len) to a UTF-16 builder (cold paths). */
+  def appendSpanTo(off: Int, len: Int, out: java.lang.StringBuilder): Unit = {
+    // fast ASCII path; fall back to a decoded String for multi-byte runs
+    var i = off
+    val end = off + len
+    var ascii = true
+    while (i < end && ascii) { if (buf(i) < 0) ascii = false else i += 1 }
+    if (ascii) {
+      i = off
+      while (i < end) { out.append(buf(i).toChar); i += 1 }
+    } else out.append(str(off, len))
+  }
+
   /** text extraction — reference `src/lib.rs:228-236`: decode entities in
     * text nodes, content tags contribute raw content, comments are skipped
     * inside elements but a comment's own text is its content. */
@@ -419,12 +451,12 @@ final class Arena(initialNodes: Int = 256) {
     case TEXT | SPACES =>
       Entities.decodeTo(buf, textOff(id), textOff(id) + textLen(id), out)
     case CDATA =>
-      out.append(buf, textOff(id), textLen(id)) // CDATA is literal character data
+      appendSpanTo(textOff(id), textLen(id), out) // CDATA is literal character data
     case COMMENT =>
       // a comment node's own text() is its content (inner=true for comments)
-      out.append(buf, textOff(id), textLen(id))
+      appendSpanTo(textOff(id), textLen(id), out)
     case ELEM if isContentTag(id) =>
-      out.append(buf, textOff(id), textLen(id))
+      appendSpanTo(textOff(id), textLen(id), out)
       // mutation can append text children to a content tag (reference
       // tests/insertion.rs:124-131: title append -> text "abcd")
       var c = firstChild(id)
@@ -439,9 +471,9 @@ final class Arena(initialNodes: Int = 256) {
           case TEXT | SPACES =>
             Entities.decodeTo(buf, textOff(c), textOff(c) + textLen(c), out)
           case CDATA =>
-            out.append(buf, textOff(c), textLen(c))
+            appendSpanTo(textOff(c), textLen(c), out)
           case ELEM =>
-            if (isContentTag(c)) out.append(buf, textOff(c), textLen(c))
+            if (isContentTag(c)) appendSpanTo(textOff(c), textLen(c), out)
             else textContent(c, out)
           case _ => () // comments skipped inside elements
         }
@@ -456,15 +488,16 @@ final class Arena(initialNodes: Int = 256) {
     sb.toString
   }
 
-  /** text extraction straight to UTF-8 bytes (same traversal rules as
-    * textContent — kept in lockstep, see PropertySpec cross-check). */
+  /** text extraction straight to UTF-8 bytes — entity-free runs are pure
+    * memcpy now that spans are bytes (same traversal rules as textContent —
+    * kept in lockstep, see PropertySpec cross-check). */
   def textContentUtf8(id: Int, out: Utf8Builder): Unit = kind(id) match {
     case TEXT | SPACES =>
       Entities.decodeToUtf8(buf, textOff(id), textOff(id) + textLen(id), out)
-    case CDATA => out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
-    case COMMENT => out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
+    case CDATA => out.appendBytes(buf, textOff(id), textLen(id))
+    case COMMENT => out.appendBytes(buf, textOff(id), textLen(id))
     case ELEM if isContentTag(id) =>
-      out.appendChars(buf, textOff(id), textOff(id) + textLen(id))
+      out.appendBytes(buf, textOff(id), textLen(id))
       var c = firstChild(id)
       while (c >= 0) {
         if (isTextKind(c)) Entities.decodeToUtf8(buf, textOff(c), textOff(c) + textLen(c), out)
@@ -476,9 +509,9 @@ final class Arena(initialNodes: Int = 256) {
         kind(c) match {
           case TEXT | SPACES =>
             Entities.decodeToUtf8(buf, textOff(c), textOff(c) + textLen(c), out)
-          case CDATA => out.appendChars(buf, textOff(c), textOff(c) + textLen(c))
+          case CDATA => out.appendBytes(buf, textOff(c), textLen(c))
           case ELEM =>
-            if (isContentTag(c)) out.appendChars(buf, textOff(c), textOff(c) + textLen(c))
+            if (isContentTag(c)) out.appendBytes(buf, textOff(c), textLen(c))
             else textContentUtf8(c, out)
           case _ => ()
         }
@@ -503,22 +536,24 @@ final class Arena(initialNodes: Int = 256) {
   def renderNode(id: Int, out: java.lang.StringBuilder, encodeContent: Boolean): Unit = kind(id) match {
     case TEXT | SPACES =>
       if (encodeContent) encodeLtGt(textOff(id), textLen(id), out)
-      else out.append(buf, textOff(id), textLen(id))
-    case COMMENT => out.append("<!--").append(buf, textOff(id), textLen(id)).append("-->")
-    case CDATA => out.append("<![CDATA[").append(buf, textOff(id), textLen(id)).append("]]>")
-    case DOCTYPE => out.append(buf, textOff(id), textLen(id)) // raw incl. <! >
+      else appendSpanTo(textOff(id), textLen(id), out)
+    case COMMENT =>
+      out.append("<!--"); appendSpanTo(textOff(id), textLen(id), out); out.append("-->")
+    case CDATA =>
+      out.append("<![CDATA["); appendSpanTo(textOff(id), textLen(id), out); out.append("]]>")
+    case DOCTYPE => appendSpanTo(textOff(id), textLen(id), out) // raw incl. <! >
     case ROOT => renderInner(id, out, encodeContent)
     case ELEM =>
-      out.append('<').append(buf, nameOff(id), nameLen(id))
+      out.append('<'); appendSpanTo(nameOff(id), nameLen(id), out)
       var a = attrHead(id)
       while (a >= 0) {
         if (!aRemoved(a)) {
-          out.append(' ').append(buf, aKeyOff(a), aKeyLen(a))
+          out.append(' '); appendSpanTo(aKeyOff(a), aKeyLen(a), out)
           if (aValOff(a) >= 0) {
             out.append('=')
             val q = aQuote(a)
             if (q != 0) out.append(q)
-            out.append(buf, aValOff(a), aValLen(a))
+            appendSpanTo(aValOff(a), aValLen(a), out)
             if (q != 0) out.append(q)
           }
         }
@@ -530,17 +565,20 @@ final class Arena(initialNodes: Int = 256) {
         out.append('>')
       } else {
         out.append('>')
-        if (isContentTag(id)) out.append(buf, textOff(id), textLen(id))
+        if (isContentTag(id)) appendSpanTo(textOff(id), textLen(id), out)
         else renderInner(id, out, encodeContent)
-        if ((flags(id) & F_END_TAG) != 0)
-          out.append('<').append('/').append(buf, nameOff(id), nameLen(id)).append('>')
+        if ((flags(id) & F_END_TAG) != 0) {
+          out.append('<').append('/')
+          appendSpanTo(nameOff(id), nameLen(id), out)
+          out.append('>')
+        }
       }
     case _ => ()
   }
 
   def renderInner(id: Int, out: java.lang.StringBuilder, encodeContent: Boolean): Unit = {
     if (kind(id) == ELEM && isContentTag(id)) {
-      out.append(buf, textOff(id), textLen(id))
+      appendSpanTo(textOff(id), textLen(id), out)
       return
     }
     var c = firstChild(id)
@@ -552,13 +590,17 @@ final class Arena(initialNodes: Int = 256) {
   private def encodeLtGt(off: Int, len: Int, out: java.lang.StringBuilder): Unit = {
     var i = off
     val end = off + len
+    var runStart = off
     while (i < end) {
-      val c = buf(i)
-      if (c == '<') out.append("&lt;")
-      else if (c == '>') out.append("&gt;")
-      else out.append(c)
+      val b = buf(i)
+      if (b == '<' || b == '>') {
+        if (i > runStart) appendSpanTo(runStart, i - runStart, out)
+        out.append(if (b == '<') "&lt;" else "&gt;")
+        runStart = i + 1
+      }
       i += 1
     }
+    if (i > runStart) appendSpanTo(runStart, i - runStart, out)
   }
 
   def innerHtml(id: Int): String = {

@@ -1,6 +1,6 @@
 package graft.dom
 
-/** HTML entity decode/encode.
+/** HTML entity decode/encode over UTF-8 byte spans.
   *
   * Re-derives the behavior visdom gets from the external `htmlentity` crate
   * (re-exported at reference `src/lib.rs:30-36`): decode of named / decimal /
@@ -8,12 +8,16 @@ package graft.dom
   * decode_entity=true) and `NamedOrDecimal` encoding of special characters
   * for `set_text` (reference `src/lib.rs:251-296`).
   *
+  * Entity syntax is pure ASCII, so scanning byte spans is exact; multi-byte
+  * UTF-8 runs between entities pass through untouched (memcpy on the UTF-8
+  * output path).
+  *
   * Named table: HTML4/Latin-1 + common HTML5 names (the subset that can
   * appear in this repo's deterministic fixture corpus; decode requires a
   * terminating `;`).
   */
 object Entities {
-  // name -> code point(s). Kept sorted logically by group for review.
+  // name -> replacement string. Kept sorted logically by group for review.
   private val named: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String](1024)
     def p(n: String, cp: Int): Unit = m.put(n, new String(Character.toChars(cp)))
@@ -86,27 +90,64 @@ object Entities {
     m
   }
 
+  /** append UTF-8 bytes [from, until) to a UTF-16 builder. */
+  private def appendRun(s: Array[Byte], from: Int, until: Int, out: java.lang.StringBuilder): Unit = {
+    var i = from
+    var ascii = true
+    while (i < until && ascii) { if (s(i) < 0) ascii = false else i += 1 }
+    if (ascii) {
+      i = from
+      while (i < until) { out.append(s(i).toChar); i += 1 }
+    } else out.append(new String(s, from, until - from, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Decode entities in `s[from, until)` appending the result to `out`.
     * Unknown / malformed entities are kept verbatim. Bulk-copies the
     * entity-free stretches (the common case on real pages). */
-  def decodeTo(s: Array[Char], from: Int, until: Int, out: java.lang.StringBuilder): Unit = {
+  def decodeTo(s: Array[Byte], from: Int, until: Int, out: java.lang.StringBuilder): Unit = {
     var i = from
     var runStart = from
     while (i < until) {
       if (s(i) == '&') {
-        if (i > runStart) out.append(s, runStart, i - runStart)
+        if (i > runStart) appendRun(s, runStart, i, out)
         val end = decodeOne(s, i, until, out)
         if (end > i) i = end
         else { out.append('&'); i += 1 }
         runStart = i
       } else i += 1
     }
-    if (i > runStart) out.append(s, runStart, i - runStart)
+    if (i > runStart) appendRun(s, runStart, i, out)
+  }
+
+  /** decode straight to UTF-8 (mirrors decodeTo; the extraction hot path —
+    * entity-free runs are raw memcpy). */
+  def decodeToUtf8(s: Array[Byte], from: Int, until: Int, out: Utf8Builder): Unit = {
+    var i = from
+    var runStart = from
+    val tmp = new java.lang.StringBuilder(8)
+    while (i < until) {
+      if (s(i) == '&') {
+        if (i > runStart) out.appendBytes(s, runStart, i - runStart)
+        tmp.setLength(0)
+        val end = decodeOne(s, i, until, tmp)
+        if (end > i) {
+          var k = 0
+          while (k < tmp.length) {
+            val cp = tmp.codePointAt(k)
+            out.appendCodePoint(cp)
+            k += Character.charCount(cp)
+          }
+          i = end
+        } else { out.appendCodePoint('&'); i += 1 }
+        runStart = i
+      } else i += 1
+    }
+    if (i > runStart) out.appendBytes(s, runStart, i - runStart)
   }
 
   /** Try to decode one entity starting at `i` (s(i)=='&'); returns the index
-    * after the entity, or `i` if not a valid entity. */
-  private def decodeOne(s: Array[Char], i: Int, until: Int, out: java.lang.StringBuilder): Int = {
+    * after the entity, or `i` if not a valid entity. Entity syntax is ASCII. */
+  private def decodeOne(s: Array[Byte], i: Int, until: Int, out: java.lang.StringBuilder): Int = {
     var j = i + 1
     if (j >= until) return i
     if (s(j) == '#') {
@@ -125,51 +166,28 @@ object Entities {
       j + 1
     } else {
       val nameStart = j
-      while (j < until && j - nameStart < 32 &&
-        (Character.isLetterOrDigit(s(j)))) j += 1
+      while (j < until && j - nameStart < 32 && isEntityNameByte(s(j))) j += 1
       if (j == nameStart || j >= until || s(j) != ';') return i
-      val name = new String(s, nameStart, j - nameStart)
+      val name = new String(s, nameStart, j - nameStart, java.nio.charset.StandardCharsets.US_ASCII)
       val rep = named.get(name)
       if (rep == null) i
       else { out.append(rep); j + 1 }
     }
   }
 
-  /** decode straight to UTF-8 (mirrors decodeTo; hot extraction path). */
-  def decodeToUtf8(s: Array[Char], from: Int, until: Int, out: Utf8Builder): Unit = {
-    var i = from
-    var runStart = from
-    val tmp = new java.lang.StringBuilder(8)
-    while (i < until) {
-      if (s(i) == '&') {
-        if (i > runStart) out.appendChars(s, runStart, i)
-        tmp.setLength(0)
-        val end = decodeOne(s, i, until, tmp)
-        if (end > i) {
-          var k = 0
-          while (k < tmp.length) {
-            val cp = tmp.codePointAt(k)
-            out.appendCodePoint(cp)
-            k += Character.charCount(cp)
-          }
-          i = end
-        } else { out.appendCodePoint('&'); i += 1 }
-        runStart = i
-      } else i += 1
-    }
-    if (i > runStart) out.appendChars(s, runStart, i)
-  }
+  private def isEntityNameByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
 
-  private def isDigitOf(c: Char, hex: Boolean): Boolean =
+  private def isDigitOf(c: Byte, hex: Boolean): Boolean =
     if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     else c >= '0' && c <= '9'
-  private def digitVal(c: Char): Int =
+  private def digitVal(c: Byte): Int =
     if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
 
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s
-    val arr = s.toCharArray
-    val out = new java.lang.StringBuilder(arr.length)
+    val arr = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder(s.length)
     decodeTo(arr, 0, arr.length, out)
     out.toString
   }

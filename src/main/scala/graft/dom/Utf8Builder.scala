@@ -75,5 +75,12 @@ final class Utf8Builder(initial: Int = 1 << 14) {
     appendChars(arr, 0, arr.length)
   }
 
+  /** raw UTF-8 bytes — memcpy (hot path for entity-free text runs). */
+  def appendBytes(src: Array[Byte], off: Int, count: Int): Unit = {
+    ensure(count)
+    System.arraycopy(src, off, buf, len, count)
+    len += count
+  }
+
   def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }

@@ -61,8 +61,7 @@ object Parser {
   }
 
   def parseInto(arena: Arena, html: String, opts: ParseOptions): Option[ParseError] = {
-    val src = html.toCharArray
-    arena.reset(src, src.length)
+    arena.reset(html)
     val p = new Parser(arena, opts)
     p.run()
   }
@@ -74,12 +73,14 @@ object Parser {
     p.run()
   }
 
-  private def isNameStart(c: Char): Boolean =
+  // byte-level classifiers: UTF-8 continuation bytes are negative and fall
+  // out of every ASCII class naturally
+  private def isNameStart(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-  private def isNameChar(c: Char): Boolean =
+  private def isNameChar(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       c == '-' || c == '_' || c == ':' || c == '.'
-  private def isWs(c: Char): Boolean =
+  private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   private final class Parser(a: Arena, opts: ParseOptions) {
@@ -276,7 +277,7 @@ object Parser {
         j += 1
         while (j < len && isWs(buf(j))) j += 1
         if (j < len && (buf(j) == '"' || buf(j) == '\'')) {
-          quote = buf(j)
+          quote = buf(j).toChar
           j += 1
           val vs = j
           while (j < len && buf(j) != quote) j += 1
@@ -349,9 +350,9 @@ object Parser {
     private def eqSpansIgnoreCase(o1: Int, o2: Int, l: Int): Boolean = {
       var k = 0
       while (k < l) {
-        val c1 = buf(o1 + k); val c2 = buf(o2 + k)
-        val lc1 = if (c1 >= 'A' && c1 <= 'Z') (c1 + 32).toChar else c1
-        val lc2 = if (c2 >= 'A' && c2 <= 'Z') (c2 + 32).toChar else c2
+        val c1: Int = buf(o1 + k); val c2: Int = buf(o2 + k)
+        val lc1 = if (c1 >= 'A' && c1 <= 'Z') c1 + 32 else c1
+        val lc2 = if (c2 >= 'A' && c2 <= 'Z') c2 + 32 else c2
         if (lc1 != lc2) return false
         k += 1
       }

@@ -274,27 +274,20 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
         case k if k == a.ELEM =>
           if (a.isContentTag(e)) {
             if (content.isEmpty) { a.textOff(e) = 0; a.textLen(e) = 0 }
-            else {
-              val off = a.appendChars(content)
-              a.textOff(e) = off; a.textLen(e) = content.length
-            }
+            else a.setTextSpan(e, content)
           } else {
             a.clearChildren(e)
             if (content.nonEmpty) {
               val enc = Entities.encodeSpecial(content)
-              val off = a.appendChars(enc)
               val t = a.alloc(a.TEXT)
-              a.textOff(t) = off; a.textLen(t) = enc.length
+              a.setTextSpan(t, enc)
               a.appendChild(e, t)
             }
           }
         case k if k == a.TEXT || k == a.SPACES || k == a.COMMENT =>
           if (content.isEmpty)
             err("set_text", "the text parameter can't be empty")
-          else {
-            val off = a.appendChars(content)
-            a.textOff(e) = off; a.textLen(e) = content.length
-          }
+          else a.setTextSpan(e, content)
         case _ => ()
       }
     }
@@ -566,10 +559,7 @@ final class TextHandle(val doc: VDoc, val id: Int) {
 
   def textChars(): String = a.str(a.textOff(id), a.textLen(id))
 
-  private def setRaw(s: String): Unit = {
-    val off = a.appendChars(s)
-    a.textOff(id) = off; a.textLen(id) = s.length
-  }
+  private def setRaw(s: String): Unit = a.setTextSpan(id, s)
 
   def appendText(content: String): Unit =
     setRaw(a.str(a.textOff(id), a.textLen(id)) + content)

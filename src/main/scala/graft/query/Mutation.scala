@@ -166,10 +166,7 @@ object Mutation {
     if (targetEle < 0 || (a.kind(targetEle) != a.ELEM && a.kind(targetEle) != a.ROOT)) return
     if (a.kind(targetEle) == a.ELEM && a.isContentTag(targetEle) && !isText) {
       if (content.isEmpty) { a.textOff(targetEle) = 0; a.textLen(targetEle) = 0 }
-      else {
-        val off = a.appendChars(content)
-        a.textOff(targetEle) = off; a.textLen(targetEle) = content.length
-      }
+      else a.setTextSpan(targetEle, content)
       return
     }
     val subOpts = ParseOptions(
@@ -229,20 +226,23 @@ object Mutation {
     if (existing >= 0) {
       encoded match {
         case Some(s) =>
-          val off = a.appendChars(s)
-          a.aValOff(existing) = off; a.aValLen(existing) = s.length
+          val span = a.appendStrSpan(s)
+          a.aValOff(existing) = (span >> 32).toInt
+          a.aValLen(existing) = (span & 0xffffffffL).toInt
           if (a.aQuote(existing) == 0) a.aQuote(existing) = quote
         case None =>
           a.aValOff(existing) = -1; a.aValLen(existing) = 0; a.aQuote(existing) = 0
       }
     } else {
       val idx = a.allocAttr()
-      val keyOff = a.appendChars(name)
-      a.aKeyOff(idx) = keyOff; a.aKeyLen(idx) = name.length
+      val keySpan = a.appendStrSpan(name)
+      a.aKeyOff(idx) = (keySpan >> 32).toInt
+      a.aKeyLen(idx) = (keySpan & 0xffffffffL).toInt
       encoded match {
         case Some(s) =>
-          val off = a.appendChars(s)
-          a.aValOff(idx) = off; a.aValLen(idx) = s.length
+          val span = a.appendStrSpan(s)
+          a.aValOff(idx) = (span >> 32).toInt
+          a.aValLen(idx) = (span & 0xffffffffL).toInt
           a.aQuote(idx) = quote
         case None =>
           a.aValOff(idx) = -1
@@ -259,7 +259,7 @@ object Mutation {
     val d = dstDoc.arena
     val same = s eq d
     def copySpan(off: Int, len: Int): Int =
-      if (same || len == 0) off else d.appendChars(s.str(off, len))
+      if (same || len == 0) off else d.appendFrom(s, off, len)
     def rec(n: Int): Int = {
       val id = d.alloc(s.kind(n))
       d.flags(id) = s.flags(n)
