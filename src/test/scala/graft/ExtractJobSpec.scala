@@ -81,6 +81,13 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.max <= 2 * mean, s"skewed buckets: ${buckets.mkString(",")}")
   }
 
+  test("SparkEntry.entry smoke: flagship returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("url", "extracted"))
+    assert(df.where(col("extracted").isNull).count() == 0)
+  }
+
   test("extract_text SQL function via extensions") {
     spark.sql("""SELECT extract_text('<div id="a">x<b>y</b></div>', '#a') AS t""")
       .collect()(0).getString(0) match {
