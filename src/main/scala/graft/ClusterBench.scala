@@ -31,7 +31,7 @@ object ClusterBench {
     // the local-cluster worker builds executor commands from the Spark dist
     sys.props("spark.test.home") = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     val pagesPath = "/tmp/graft-bench/pages"
-    for (execs <- Seq(2, 8)) {
+    for (execs <- sys.env.getOrElse("GRAFT_EXECS", "2,4,8").split(",").map(_.trim.toInt).toSeq) {
       val spark = session(execs, 4)
       try {
         val pages = spark.read.parquet(pagesPath)
