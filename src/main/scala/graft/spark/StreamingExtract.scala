@@ -1,0 +1,51 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming variant of the extraction pipeline: continuously
+  * ingest newly-landed page files, extract main content, and append to the
+  * extracted table with checkpointed exactly-once file-sink semantics.
+  *
+  * The reference has no streaming surface (single-string API) — this is the
+  * Spark-native composition: the same per-row engine rides any source.
+  * `extract_main` being a deterministic scalar `Expression`, the streaming
+  * planner treats it like any built-in; watermarking applies to `warc_ts`
+  * for the windowed ingest-rate metrics stream.
+  */
+object StreamingExtract {
+
+  /** start the extraction stream: pagesDir (parquet files, pages schema) ->
+    * outDir/extracted, checkpoint in outDir/checkpoint. */
+  def start(spark: SparkSession, pagesDir: String, outDir: String,
+      buckets: Int = 64, salt: Int = 42): StreamingQuery = {
+    val schema = PagesGen.asDataFrame(spark, "/root/testdata/sf0.001").schema
+    val pages = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(pagesDir)
+    pages
+      .withColumn("bucket", ExtractJob.bucketCol(salt, buckets))
+      .select(col("bucket"), col("url"),
+        call_function("extract_main", col("html")).as("text"))
+      .writeStream
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .option("path", s"$outDir/extracted")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+  }
+
+  /** windowed ingest metrics with a watermark on warc_ts (docs/bytes per
+    * 1-minute event-time window). */
+  def metricsStream(spark: SparkSession, pagesDir: String): DataFrame = {
+    val schema = PagesGen.asDataFrame(spark, "/root/testdata/sf0.001").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(pagesDir)
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), "1 minute"))
+      .agg(count(lit(1)).as("doc_count"), sum(octet_length(col("html"))).as("byte_count"))
+  }
+}

@@ -81,6 +81,23 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.max <= 2 * mean, s"skewed buckets: ${buckets.mkString(",")}")
   }
 
+  test("streaming extraction: AvailableNow over landed files, byte-identical") {
+    val in = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    pages.write.mode("overwrite").parquet(in)
+    val q = graft.spark.StreamingExtract.start(spark, in, out, buckets = 8)
+    q.awaitTermination(120000L)
+    val extracted = spark.read.parquet(s"$out/extracted")
+    assert(extracted.count() == pages.count())
+    val joined = extracted.join(pages.select(col("url"), col("text").as("expect")), "url")
+    assert(joined.where(!(col("text") <=> col("expect"))).count() == 0)
+    // restart with the same checkpoint: no new files -> no duplicates
+    val q2 = graft.spark.StreamingExtract.start(spark, in, out, buckets = 8)
+    q2.awaitTermination(120000L)
+    assert(spark.read.parquet(s"$out/extracted").count() == pages.count())
+  }
+
   test("SparkEntry.entry smoke: flagship returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
