@@ -18,9 +18,12 @@ object StreamingExtract {
 
   /** start the extraction stream: pagesDir (parquet files, pages schema) ->
     * outDir/extracted, checkpoint in outDir/checkpoint. */
+  private val pageSchema =
+    org.apache.spark.sql.Encoders.product[PageRow].schema
+
   def start(spark: SparkSession, pagesDir: String, outDir: String,
       buckets: Int = 64, salt: Int = 42): StreamingQuery = {
-    val schema = PagesGen.asDataFrame(spark, "/root/testdata/sf0.001").schema
+    val schema = pageSchema
     val pages = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "8")
@@ -40,7 +43,7 @@ object StreamingExtract {
   /** windowed ingest metrics with a watermark on warc_ts (docs/bytes per
     * 1-minute event-time window). */
   def metricsStream(spark: SparkSession, pagesDir: String): DataFrame = {
-    val schema = PagesGen.asDataFrame(spark, "/root/testdata/sf0.001").schema
+    val schema = pageSchema
     spark.readStream
       .schema(schema)
       .parquet(pagesDir)
