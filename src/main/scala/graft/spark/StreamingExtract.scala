@@ -16,11 +16,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingExtract {
 
-  /** start the extraction stream: pagesDir (parquet files, pages schema) ->
-    * outDir/extracted, checkpoint in outDir/checkpoint. */
   private val pageSchema =
     org.apache.spark.sql.Encoders.product[PageRow].schema
 
+  /** start the extraction stream: pagesDir (parquet files, pages schema) ->
+    * outDir/extracted, checkpoint in outDir/checkpoint. */
   def start(spark: SparkSession, pagesDir: String, outDir: String,
       buckets: Int = 64, salt: Int = 42): StreamingQuery = {
     val schema = pageSchema
