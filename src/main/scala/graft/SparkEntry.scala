@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.query.Vis
-import graft.spark.{Extractor, PagesGen, TextOps}
+import graft.spark.{Extractor, PagesGen, TextFixtures, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator area from
-  * SURVEY.md §2, each with an equivalent DuckDB oracle over the same parquet
-  * tables. HTML-engine queries synthesize a page per document row
-  * deterministically (PagesGen-style), run the engine, and emit columns the
-  * oracle can recompute with plain SQL arithmetic — so a value match proves
-  * the engine end-to-end (parse → select → extract → render).
+  * SURVEY.md §2 plus the training-data ops, each with an equivalent DuckDB
+  * oracle over the same parquet tables. HTML-engine queries synthesize a
+  * page per document row deterministically (PagesGen/TextFixtures-style),
+  * run the engine, and emit columns the oracle can recompute with plain SQL
+  * arithmetic — so a value match proves the operator end-to-end
+  * (parse → select → extract → render).
   */
 object SparkEntry {
 
@@ -189,16 +190,135 @@ object SparkEntry {
       }.toDF("doc_id", "t").orderBy("doc_id")
     }),
 
+    // ---- 13. pseudo-class battery: :not/:has/:contains/:empty/:only-child/
+    //      :root + prefix/suffix/substring attribute operators ----
+    "q_sel_pseudo" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val m = id % 4
+        val html = "<html><body><div id=\"r\"><p class=\"a\">alpha</p><p>beta</p>" +
+          "<span></span><div class=\"in\"><b>inner</b></div>" +
+          rep("<p class=\"x\">gamma</p>", m) + "</div></body></html>"
+        val root = Vis.loadOrThrow(html)
+        (id,
+          root.find("p:not(.a)").length.toLong,
+          root.find("p:contains('amma')").length.toLong,
+          root.find(":empty").length.toLong,
+          root.find("b:only-child").length.toLong,
+          root.find(":root").length.toLong,
+          root.find("[class^='a']").length.toLong,
+          root.find("[class$='n']").length.toLong,
+          root.find("[class*='x']").length.toLong,
+          root.find("div:has(b)").length.toLong)
+      }.toDF("doc_id", "n_not", "n_contains", "n_empty", "n_only", "n_root",
+        "n_pre", "n_suf", "n_sub", "n_has").orderBy("doc_id")
+    }),
+
+    // ---- 14. combinators + positional set ops: `+` `~` closest/parents/
+    //      parentsUntil/slice/eq/add/nextUntil/prevUntil/isAll/filterBy/is ----
+    "q_combinators" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val k = (id % 6) + 3
+        val html = "<html><body><div class=\"w\"><ul>" +
+          (0L until k).map(i =>
+            s"""<li${if (i == 0) " class=\"f\"" else ""}>i$i</li>""").mkString +
+          "</ul></div></body></html>"
+        val root = Vis.loadOrThrow(html)
+        val lis = root.find("li")
+        (id,
+          root.find("li + li").length.toLong,
+          root.find("li.f ~ li").length.toLong,
+          lis.eq(1).closest("div").length.toLong,
+          lis.first().parents("").length.toLong,
+          lis.first().parentsUntil("body", "", contains = false).length.toLong,
+          lis.slice(1, 3).length.toLong,
+          lis.eq(2).text(),
+          root.find("ul").add(lis).length.toLong,
+          lis.first().nextUntil(s"li:nth-child($k)", "", contains = false).length.toLong,
+          lis.last().prevUntil(".f", "", contains = false).length.toLong,
+          (if (lis.isAll("li")) 1L else 0L) + (if (lis.is(".f")) 1L else 0L),
+          lis.filterBy((i, _) => i % 2 == 0).length.toLong)
+      }.toDF("doc_id", "n_adj", "n_gen", "n_closest", "n_parents", "n_puntil",
+        "n_slice", "t_eq", "n_add", "n_nuntil", "n_puntil2", "n_is2", "n_fby")
+        .orderBy("doc_id")
+    }),
+
+    // ---- 15. html()/setHtml/before/after/prepend/append/replaceWith/empty/
+    //      class ops/removeAttr/textChars/setText-encode ----
+    "q_html_mut" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val m = id % 7
+        val html = "<html><body><div id=\"box\" data-x=\"1\"><b>B</b>" +
+          "<em>&amp;E</em></div><p class=\"p0\">P</p></body></html>"
+        val root = Vis.loadOrThrow(html)
+        def frag(h: String) = Vis.loadOrThrow(h)
+        val box = root.find("#box")
+        val b = root.find("b")
+        b.before(frag(s"<u>u$m</u>"))
+        b.after(frag("<s>S</s>"))
+        box.prepend(frag("<i>I</i>"))
+        box.append(frag("<q>Q</q>"))
+        val hInner = box.html()
+        val tChars = root.find("em").textChars()
+        val tDec = root.find("em").text()
+        root.find("q").setHtml(s"<span>z$m</span>")
+        val hQ = root.find("q").html()
+        root.find("s").empty()
+        val hS = root.find("s").outerHtml()
+        root.find("i").setText("a<b&c")
+        val hI = root.find("i").html()
+        root.find("p").replaceWith(frag(s"""<p class="qq">Q$m</p>"""))
+        val tP = root.find("p").outerHtml()
+        box.addClass("c1 c2")
+        box.toggleClass("c2 c3")
+        box.removeClass("c1")
+        val cls = box.attr("class").map(_.value).getOrElse("")
+        val bHas = if (box.hasClass("c3")) 1L else 0L
+        box.removeAttr("data-x")
+        val bAttr = if (box.hasAttr("data-x")) 1L else 0L
+        (id, hInner, tChars, tDec, hQ, hS, hI, tP, cls, bHas, bAttr)
+      }.toDF("doc_id", "h_inner", "t_chars", "t_dec", "h_q", "h_s", "h_i",
+        "t_p", "cls", "b_has", "b_attr").orderBy("doc_id")
+    }),
+
+    // ---- 16. document ops: title/head/body/documentElement/
+    //      getElementById/sourceCode round-trip + :input/:header aliases ----
+    "q_doc_ops" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val m = id % 9
+        val html = s"""<!doctype html><html><head><title>T$m</title></head>""" +
+          s"""<body><h2>H</h2><input type="checkbox" checked />""" +
+          s"""<input id="v" value="v$m" /><textarea>ta$m</textarea>""" +
+          s"""<div id="z$m">Z</div></body></html>"""
+        val root = Vis.loadOrThrow(html)
+        val doc = root.doc
+        (id,
+          doc.title.getOrElse(""),
+          root.find("#v").valString(),
+          root.find("textarea").valString(),
+          root.find(":checked").length.toLong,
+          doc.getElementById(s"z$m").text(),
+          doc.body.map(_.children("").length.toLong).getOrElse(-1L),
+          doc.head.map(_.children("").length.toLong).getOrElse(-1L),
+          root.find(":input").length.toLong,
+          root.find(":header").length.toLong,
+          if (doc.sourceCode == html) 1L else 0L)
+      }.toDF("doc_id", "t_title", "v_in", "v_ta", "n_checked", "t_byid",
+        "n_body", "n_head", "n_input", "n_header", "b_src").orderBy("doc_id")
+    }),
+
     // ---- corpus-level relational ops (Catalyst built-ins) ----
     "q_rollup_lang" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
         .orderBy("lang")),
 
-    "q_dedup_exact" -> ((s, dir) =>
-      docs(s, dir).agg(
-        countDistinct(col("text")).as("distinct_texts"),
-        count(lit(1)).as("total_docs"))),
+    // exact-dedup summary: 8-byte-hash shuffle key, countDistinct verify
+    // within hash groups (never shuffles full text as the key)
+    "q_dedup_exact" -> ((s, dir) => TextOps.dedupExactSummary(docs(s, dir))),
 
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir)).orderBy("doc_id")),
@@ -206,39 +326,63 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
-    // ---- training-data ops without a SQL oracle (rows-only checks) ----
+    // ---- training-data ops over planted-ground-truth corpora ----
+    // language id: planted marker-stopword text, closed-form expected lang
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id").as[Long], col("text").as[String])
-        .map { case (id, t) => (id, TextOps.langId(t)) }
+      docs(s, dir).select(col("doc_id").as[Long])
+        .map(id => (id, TextOps.langId(TextFixtures.langText(id))))
         .toDF("doc_id", "lang_pred").orderBy("doc_id")
     }),
 
+    // fingerprint + simhash: planted identical/unrelated pairs (doc_id ^ 1)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id").as[Long], col("text").as[String])
-        .map { case (id, t) => (id, TextOps.fingerprint(t, 16), TextOps.simHash(t)) }
-        .toDF("doc_id", "fp", "simhash").orderBy("doc_id")
+      docs(s, dir).select(col("doc_id").as[Long]).map { id =>
+        val t = TextFixtures.fpText(id)
+        val p = TextFixtures.fpText(id ^ 1L)
+        val fpEq = TextOps.fingerprint(t, 16) == TextOps.fingerprint(p, 16)
+        val ham = java.lang.Long.bitCount(TextOps.simHash(t) ^ TextOps.simHash(p))
+        (id, fpEq, ham <= 8)
+      }.toDF("doc_id", "fp_eq", "sim_near").orderBy("doc_id")
     }),
 
+    // MinHash-LSH near-dup pairs over the planted near-dup corpus: the
+    // whitespace-variant pairs MUST come out (identical shingle sets), the
+    // mutated pairs MUST NOT (exact-Jaccard verify < 0.9)
     "q_dedup_minhash" -> ((s, dir) => {
-      val pairs = TextOps.minhashPairs(s, docs(s, dir))
-      pairs.agg(count(lit(1)).as("pair_count"))
+      import s.implicits._
+      val synth = docs(s, dir).select(col("doc_id").as[Long])
+        .map(id => (id, TextFixtures.nearDupText(id))).toDF("doc_id", "text")
+      TextOps.minhashPairs(s, synth).orderBy("left_id", "right_id")
     }),
 
+    // brute-force ANN top-k: rank order checked against DuckDB's own
+    // list_cosine_similarity over the same embeddings table
     "q_ann_topk" -> ((s, dir) => TextOps.annTopK(s, dir, queryId = 0L, k = 5)),
 
-    "q_ann_lsh" -> ((s, dir) => TextOps.annLsh(s, dir, queryId = 0L, k = 5)),
+    // LSH ANN: multi-probe recall@k vs brute force over m query vectors
+    "q_ann_lsh" -> ((s, dir) => TextOps.annLshRecall(s, dir, m = 8, k = 5)),
 
-    // lineage rollup over the salted bucket column (Spark hash; rows-only)
+    // lineage rollup derived from the extraction output itself (doc_id
+    // recovered from the url, text bytes from the extracted text — the
+    // oracle recomputes both from the documents table)
     "q_lineage" -> ((s, dir) => {
-      val pages = PagesGen.asDataFrame(s, dir)
-      pages.withColumn("bucket", graft.spark.ExtractJob.bucketCol(42, 16))
+      import s.implicits._
+      PagesGen.fromDocuments(s, dir).map { p =>
+        val t = Extractor.extractMain(p.html, Extractor.Recipe.default)
+        val docId = p.url.substring(p.url.lastIndexOf('/') + 1).toLong
+        val bytes =
+          if (t == null) 0L
+          else t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        (docId % 16, if (t == null) 1L else 0L, bytes, p.warc_ts.getTime / 1000)
+      }.toDF("bucket", "failed", "text_bytes", "ts")
         .groupBy("bucket")
         .agg(count(lit(1)).as("doc_count"),
-          sum(octet_length(col("html"))).as("byte_count"),
-          min(col("warc_ts")).as("warc_ts_min"),
-          max(col("warc_ts")).as("warc_ts_max"))
+          sum(col("text_bytes")).as("text_bytes"),
+          sum(col("failed")).as("failures"),
+          min(col("ts")).as("ts_min"),
+          max(col("ts")).as("ts_max"))
         .orderBy("bucket")
     })
   )
@@ -286,6 +430,48 @@ object SparkEntry {
     "q_texts" ->
       ("SELECT doc_id, concat('a', CAST(doc_id % 100 AS VARCHAR), '|B|C|J') AS t " +
         "FROM documents ORDER BY doc_id"),
+    "q_sel_pseudo" ->
+      ("SELECT doc_id, " +
+        "CAST(1 + doc_id % 4 AS BIGINT) AS n_not, " +
+        "CAST(doc_id % 4 AS BIGINT) AS n_contains, " +
+        "CAST(1 AS BIGINT) AS n_empty, " +
+        "CAST(1 AS BIGINT) AS n_only, " +
+        "CAST(1 AS BIGINT) AS n_root, " +
+        "CAST(1 AS BIGINT) AS n_pre, " +
+        "CAST(1 AS BIGINT) AS n_suf, " +
+        "CAST(doc_id % 4 AS BIGINT) AS n_sub, " +
+        "CAST(2 AS BIGINT) AS n_has " +
+        "FROM documents ORDER BY doc_id"),
+    "q_combinators" ->
+      ("WITH t AS (SELECT doc_id, (doc_id % 6) + 3 AS k FROM documents) " +
+        "SELECT doc_id, CAST(k - 1 AS BIGINT) AS n_adj, CAST(k - 1 AS BIGINT) AS n_gen, " +
+        "CAST(1 AS BIGINT) AS n_closest, CAST(4 AS BIGINT) AS n_parents, " +
+        "CAST(2 AS BIGINT) AS n_puntil, CAST(2 AS BIGINT) AS n_slice, " +
+        "'i2' AS t_eq, CAST(k + 1 AS BIGINT) AS n_add, " +
+        "CAST(k - 2 AS BIGINT) AS n_nuntil, CAST(k - 2 AS BIGINT) AS n_puntil2, " +
+        "CAST(2 AS BIGINT) AS n_is2, " +
+        "CAST(FLOOR((k + 1) / 2.0) AS BIGINT) AS n_fby " +
+        "FROM t ORDER BY doc_id"),
+    "q_html_mut" ->
+      ("SELECT doc_id, " +
+        "concat('<i>I</i><u>u', CAST(doc_id % 7 AS VARCHAR), " +
+        "'</u><b>B</b><s>S</s><em>&amp;E</em><q>Q</q>') AS h_inner, " +
+        "'&amp;E' AS t_chars, '&E' AS t_dec, " +
+        "concat('<span>z', CAST(doc_id % 7 AS VARCHAR), '</span>') AS h_q, " +
+        "'<s></s>' AS h_s, 'a&lt;b&amp;c' AS h_i, " +
+        "concat('<p class=\"qq\">Q', CAST(doc_id % 7 AS VARCHAR), '</p>') AS t_p, " +
+        "'c3' AS cls, CAST(1 AS BIGINT) AS b_has, CAST(0 AS BIGINT) AS b_attr " +
+        "FROM documents ORDER BY doc_id"),
+    "q_doc_ops" ->
+      ("SELECT doc_id, " +
+        "concat('T', CAST(doc_id % 9 AS VARCHAR)) AS t_title, " +
+        "concat('v', CAST(doc_id % 9 AS VARCHAR)) AS v_in, " +
+        "concat('ta', CAST(doc_id % 9 AS VARCHAR)) AS v_ta, " +
+        "CAST(1 AS BIGINT) AS n_checked, 'Z' AS t_byid, " +
+        "CAST(5 AS BIGINT) AS n_body, CAST(1 AS BIGINT) AS n_head, " +
+        "CAST(3 AS BIGINT) AS n_input, CAST(1 AS BIGINT) AS n_header, " +
+        "CAST(1 AS BIGINT) AS b_src " +
+        "FROM documents ORDER BY doc_id"),
     "q_rollup_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
@@ -302,8 +488,33 @@ object SparkEntry {
         "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
         "ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS mean_token_len " +
-        "FROM documents ORDER BY doc_id")
-    // q_lang_id / q_fingerprint / q_dedup_minhash / q_ann_topk / q_ann_lsh /
-    // q_lineage: engine-side hashing & heuristics — rows-only checks.
+        "FROM documents ORDER BY doc_id"),
+    "q_lang_id" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+        "WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_minhash" ->
+      ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
+        "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +
+        "AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1) " +
+        "ORDER BY 1, 2"),
+    "q_ann_topk" ->
+      ("SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS INT) AS rank, vec_id " +
+        "FROM (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(q.embedding AS DOUBLE[])) AS c FROM embeddings e, " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) q) " +
+        "ORDER BY rank LIMIT 5"),
+    "q_ann_lsh" ->
+      ("SELECT CAST(8 AS BIGINT) AS m, CAST(5 AS BIGINT) AS k, " +
+        "CAST(1 AS BIGINT) AS recall_ge_090"),
+    "q_lineage" ->
+      ("SELECT doc_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS doc_count, " +
+        "CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes, " +
+        "CAST(0 AS BIGINT) AS failures, " +
+        "MIN(1735689600 + doc_id) AS ts_min, MAX(1735689600 + doc_id) AS ts_max " +
+        "FROM documents GROUP BY 1 ORDER BY 1")
   )
 }

@@ -90,8 +90,11 @@ final class Arena(initialNodes: Int = 256) {
   /** hot path: raw UTF-8 page bytes are the buffer — one memcpy, no decode. */
   def resetFromUtf8(src: Array[Byte]): Unit = {
     clearState()
-    if (buf.length < src.length)
-      buf = new Array[Byte](Integer.highestOneBit(math.max(1, src.length)) * 2)
+    if (buf.length < src.length) {
+      // compute in Long: highestOneBit*2 overflows negative for >=1GiB inputs
+      val want = java.lang.Long.highestOneBit(math.max(1L, src.length.toLong)) * 2L
+      buf = new Array[Byte](math.min(want, (Int.MaxValue - 8).toLong).toInt)
+    }
     System.arraycopy(src, 0, buf, 0, src.length)
     bufLen = src.length
     val r = alloc(ROOT)

@@ -257,7 +257,10 @@ private final class SelectorParser(s: String, useLookup: Boolean) {
         val q = s.charAt(i); i += 1
         val sb = new java.lang.StringBuilder()
         while (i < n && s.charAt(i) != q) {
-          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          // mesdoc's regex `'((?:\\?+.)*?)'` KEEPS the backslash in the
+          // captured value; it only stops the quote from terminating
+          // (reference selector/pattern.rs:357-366, rules/attr.rs:11)
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append('\\').append(s.charAt(i + 1)); i += 2 }
           else { sb.append(s.charAt(i)); i += 1 }
         }
         if (i >= n) fail("unterminated attr value")
@@ -392,7 +395,9 @@ private final class SelectorParser(s: String, useLookup: Boolean) {
         i += 1
         val sb = new java.lang.StringBuilder()
         while (i < n && s.charAt(i) != c) {
-          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          // backslash retained in the search text, as in the reference's
+          // `:contains` capture regex (reference rules/pseudo.rs:857)
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append('\\').append(s.charAt(i + 1)); i += 2 }
           else { sb.append(s.charAt(i)); i += 1 }
         }
         if (i >= n) fail("unterminated :contains")

@@ -1,12 +1,17 @@
 package graft.spark
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
-import scala.collection.mutable
+import scala.util.control.NonFatal
 
-final case class ExtractedRow(bucket: Int, url: String, text: String)
+final case class ExtractedRow(
+    bucket: Int,
+    url: String,
+    warc_ts: Timestamp,
+    html_bytes: Long,
+    failed: Boolean,
+    text: String)
 
 final case class LineageRow(
     partition_id: Int,
@@ -25,13 +30,17 @@ final case class LineageRow(
   *    partition; the same expression is the physical repartition key, so one
   *    shuffle co-locates each bucket and the writer emits one directory per
   *    bucket.
-  *  - **lineage / exactly-once resume**: one lineage row per bucket
-  *    (ts range, doc/byte/failure counts) collected via a driver-side
-  *    accumulator (O(buckets), not O(rows)) and appended to a lineage table;
-  *    rerunning skips buckets already recorded `done` and dynamic partition
-  *    overwrite makes re-extraction of a half-written bucket idempotent.
+  *  - **lineage / exactly-once resume**: one lineage row per bucket (ts
+  *    range, doc/byte/failure counts) derived by AGGREGATING THE WRITTEN
+  *    OUTPUT — idempotent by construction (no accumulator best-effort
+  *    semantics across stage retries, no driver-side dedup), one cheap
+  *    column-pruned scan (never reads `text`). Rerunning skips buckets
+  *    already recorded `done`; dynamic partition overwrite makes
+  *    re-extraction of a half-written bucket idempotent.
   *  - **per-row engine, zero per-row allocation churn**: `mapPartitions`
-  *    with the thread-local arena in [[Extractor]].
+  *    with the thread-local arena in [[Extractor]]. Every per-row failure
+  *    (parse error, pathological input, null timestamp) yields a null-text
+  *    row counted in `failure_count` — never a task failure.
   *
   * At 100 TB the only wide exchange is the single hash repartition; the
   * extraction itself is embarrassingly parallel map work.
@@ -67,9 +76,7 @@ object ExtractJob {
       if (done.isEmpty) withBucket
       else withBucket.where(!col("bucket").isInCollection(done))
 
-    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
     val recipe = cfg.recipe
-    val runId = cfg.runId
 
     // one shuffle: co-locate buckets (salted url hash)
     val extracted: Dataset[ExtractedRow] = pending
@@ -77,41 +84,12 @@ object ExtractJob {
       .select(col("bucket"), col("url"), col("warc_ts"), col("html"))
       .as[(Int, String, Timestamp, Array[Byte])]
       .mapPartitions { it =>
-        // one shuffle partition may carry several buckets (hash-of-bucket
-        // mod partitions) — aggregate lineage per bucket, not per task
-        final class Stats {
-          var tsMin = Long.MaxValue; var tsMax = Long.MinValue
-          var docs = 0L; var bytes = 0L; var failures = 0L
-        }
-        val stats = new java.util.HashMap[Int, Stats]()
-        var emitted = false
-        val out = it.map { case (b, url, ts, html) =>
-          val s = {
-            val cur = stats.get(b)
-            if (cur != null) cur else { val n = new Stats; stats.put(b, n); n }
-          }
-          s.docs += 1
-          if (html != null) s.bytes += html.length
-          val t = ts.getTime
-          if (t < s.tsMin) s.tsMin = t
-          if (t > s.tsMax) s.tsMax = t
-          val text = Extractor.extractMain(html, recipe)
-          if (text == null) s.failures += 1
-          ExtractedRow(b, url, text)
-        }
-        new Iterator[ExtractedRow] {
-          override def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h && !emitted) {
-              emitted = true
-              stats.forEach { (b, s) =>
-                acc.add(LineageRow(b, new Timestamp(s.tsMin), new Timestamp(s.tsMax),
-                  s.docs, s.bytes, s.failures, "done", runId))
-              }
-            }
-            h
-          }
-          override def next(): ExtractedRow = out.next()
+        it.map { case (b, url, ts, html) =>
+          val bytes = if (html == null) 0L else html.length.toLong
+          val text =
+            try Extractor.extractMain(html, recipe)
+            catch { case NonFatal(_) => null }
+          ExtractedRow(b, url, ts, bytes, text == null, text)
         }
       }
 
@@ -123,18 +101,26 @@ object ExtractJob {
       .mode(SaveMode.Overwrite)
       .parquet(extractedPath)
 
-    val lineage = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
-    if (lineage.nonEmpty) {
-      spark.createDataset(dedupLineage(lineage)).toDF()
-        .repartition(1)
-        .write.mode(SaveMode.Append).parquet(lineagePath)
-    }
-  }
-
-  /** speculative / retried tasks can double-report a bucket; keep one. */
-  private def dedupLineage(rows: Seq[LineageRow]): Seq[LineageRow] = {
-    val seen = mutable.HashSet[Int]()
-    rows.filter(r => seen.add(r.partition_id))
+    // lineage FROM the written data: column pruning keeps this scan tiny
+    // (bucket/warc_ts/html_bytes/failed only — never the text column)
+    val written = spark.read.parquet(extractedPath)
+      .where(if (done.isEmpty) lit(true) else !col("bucket").isInCollection(done))
+    val runId = cfg.runId
+    val lineage = written.groupBy(col("bucket"))
+      .agg(
+        min(col("warc_ts")).as("warc_ts_min"),
+        max(col("warc_ts")).as("warc_ts_max"),
+        count(lit(1)).as("doc_count"),
+        sum(col("html_bytes")).as("byte_count"),
+        sum(col("failed").cast("long")).as("failure_count"))
+      .select(
+        col("bucket").cast("int").as("partition_id"),
+        col("warc_ts_min"), col("warc_ts_max"),
+        col("doc_count"), col("byte_count"), col("failure_count"),
+        lit("done").as("status"), lit(runId).as("run_id"))
+    lineage
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(lineagePath)
   }
 
   /** spark-submit entry:

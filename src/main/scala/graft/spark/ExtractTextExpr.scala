@@ -3,8 +3,9 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst scalar `extract_text(html, selector)` returning the
@@ -21,6 +22,19 @@ case class ExtractText(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "extract_text"
+  // clean analysis-time error instead of a codegen ClassCastException on
+  // e.g. extract_text(123, 'p')
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType = untyped NULL literal: legal, evaluates to null
+    if (!(left.dataType == StringType || left.dataType == BinaryType ||
+        left.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_text: html must be STRING or BINARY, got ${left.dataType.sql}")
+    else if (!(right.dataType == StringType || right.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_text: selector must be STRING, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private val htmlIsBinary: Boolean = left.dataType == BinaryType
 
@@ -53,6 +67,12 @@ case class ExtractMain(child: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "extract_main"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == BinaryType ||
+      child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_main: html must be STRING or BINARY, got ${child.dataType.sql}")
 
   private val htmlIsBinary: Boolean = child.dataType == BinaryType
 

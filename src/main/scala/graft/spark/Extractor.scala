@@ -34,9 +34,17 @@ object Extractor extends Serializable {
   }
 
   private val selectorCache = new ConcurrentHashMap[String, Either[String, Selector]]()
+  // extract_text's selector operand is an arbitrary expression: a per-row
+  // dynamic selector must not grow executor memory without bound
+  private final val SelectorCacheCap = 4096
 
-  def compiled(sel: String): Either[String, Selector] =
-    selectorCache.computeIfAbsent(sel, s => Selector.parse(s, useLookup = true))
+  def compiled(sel: String): Either[String, Selector] = {
+    val hit = selectorCache.get(sel)
+    if (hit != null) return hit
+    val parsed = Selector.parse(sel, useLookup = true)
+    if (selectorCache.size < SelectorCacheCap) selectorCache.putIfAbsent(sel, parsed)
+    parsed
+  }
 
   /** parse into the thread-local arena; null on parse failure. */
   def parse(html: String): VDoc = {

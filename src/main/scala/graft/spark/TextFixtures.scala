@@ -1,0 +1,80 @@
+package graft.spark
+
+/** Deterministic planted-ground-truth corpora for the training-data ops,
+  * derived purely from `doc_id` (same pattern as [[PagesGen]] for the HTML
+  * queries): the DuckDB oracle recomputes the expected answer with plain
+  * SQL arithmetic on `doc_id`, so a value match proves the operator
+  * end-to-end.
+  */
+object TextFixtures extends Serializable {
+
+  private def mix(x: Long): Long = PagesGen.mix(x)
+
+  /** deterministic language-neutral filler token (never a stopword). */
+  def word(h: Long): String = "w" + java.lang.Long.toHexString(mix(h) & 0xffffffffL)
+
+  // ---------- language-id corpus ----------
+
+  /** stopwords UNIQUE to one language's langId set (no cross-set overlap),
+    * so the planted text's argmax language is unambiguous. */
+  private val langMarkers: Map[String, Array[String]] = Map(
+    "en" -> Array("the", "and", "that", "with", "for", "it"),
+    "de" -> Array("und", "der", "nicht", "ein", "mit", "auf"),
+    "es" -> Array("que", "los", "del", "se", "por", "y"),
+    "fr" -> Array("les", "et", "est", "un", "une", "dans"))
+
+  private val langCycle = Array("en", "de", "es", "fr", "zh")
+
+  def plantedLang(id: Long): String = langCycle((id % 5).toInt)
+
+  /** planted-language text: 12 marker stopwords + 6 neutral filler tokens
+    * (zh: a CJK run — the CJK ratio rule fires before stopword scoring). */
+  def langText(id: Long): String = {
+    val lang = plantedLang(id)
+    if (lang == "zh") {
+      val sb = new java.lang.StringBuilder(48)
+      var j = 0
+      while (j < 40) {
+        sb.append((0x4e00 + (mix(id * 41L + j) & 0xfff)).toChar)
+        if (j % 8 == 7) sb.append(' ')
+        j += 1
+      }
+      sb.toString
+    } else {
+      val markers = langMarkers(lang)
+      val toks = new Array[String](18)
+      var j = 0
+      while (j < 12) { toks(j) = markers(((id + j) % markers.length).toInt); j += 1 }
+      while (j < 18) { toks(j) = word(id * 131L + j); j += 1 }
+      toks.mkString(" ")
+    }
+  }
+
+  // ---------- near-dup corpora ----------
+
+  /** MinHash corpus: docs pair up as (2k, 2k+1).
+    *  - even k: the odd partner has IDENTICAL tokens joined with doubled
+    *    whitespace — raw bytes differ (exact dedup misses it) but the
+    *    shingle set is identical, so the LSH band keys collide
+    *    deterministically and exact Jaccard is 1.0;
+    *  - odd k: the odd partner has one mutated token — Jaccard ~0.76, below
+    *    the 0.9 verification threshold, so the pair NEVER reaches the
+    *    output (whether or not a band happened to collide).
+    * Expected pairs therefore = {(2k, 2k+1) : k even}, closed form in SQL. */
+  def nearDupText(id: Long): String = {
+    val g = id >>> 1
+    val toks = Array.tabulate(24)(j => word(g * 31L + j))
+    if ((id & 1L) == 0L) toks.mkString(" ")
+    else if ((g & 1L) == 0L) toks.mkString("  ")
+    else { toks(7) = word(g * 31L + 7001L); toks.mkString(" ") }
+  }
+
+  /** fingerprint/SimHash corpus: pairs (2k, 2k+1) have byte-identical text
+    * when k is even (equal fingerprint, Hamming 0) and unrelated text when k
+    * is odd (distinct fingerprints, Hamming ~32). */
+  def fpText(id: Long): String = {
+    val g = id >>> 1
+    val seed = if ((g & 1L) == 0L) g * 97L else g * 97L + (id & 1L) * 7919L + 13L
+    Array.tabulate(20)(j => word(seed * 131L + j)).mkString(" ")
+  }
+}

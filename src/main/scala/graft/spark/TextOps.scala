@@ -8,9 +8,14 @@ import org.apache.spark.sql.expressions.Window
   * tables: exact + near dedup (MinHash-LSH, SimHash), language id heuristic,
   * quality scoring, token counting, fingerprints, and ANN over embeddings.
   *
-  * All shapes are chosen for 100 TB: everything is a hash-partitioned
-  * aggregate or a bucket-join — no cross joins, no driver collections. The
-  * only O(n^2) work is within an LSH bucket, which salting keeps tiny.
+  * All shapes are chosen for 100 TB:
+  *   - exact dedup shuffles 8-byte hashes, never full-text keys;
+  *   - LSH candidate generation caps bucket sizes (a degenerate bucket can
+  *     never go quadratic) and drops sub-shingle docs instead of colliding
+  *     them all into one signature;
+  *   - candidate pairs are verified with exact Jaccard before they count;
+  *   - ANN probes O(planes) buckets whose count scales with corpus size.
+  * No cross joins, no driver collections of corpus data.
   */
 object TextOps extends Serializable {
 
@@ -24,16 +29,43 @@ object TextOps extends Serializable {
     mix64(h)
   }
 
-  /** w-shingle min-hash signature: `perms` permutations via xor-mix. */
-  def minHashSig(text: String, w: Int, perms: Int): Array[Long] = {
-    val sig = Array.fill(perms)(Long.MaxValue)
-    if (text == null) return sig
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < w) return sig
+  private def tokensOf(text: String): Array[String] =
+    if (text == null) Array.empty else text.split("\\s+").filter(_.nonEmpty)
+
+  /** hashes of the w-token shingles of `text` (empty for sub-w docs). */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val toks = tokensOf(text)
+    if (toks.length < w) return Array.empty
+    val out = new Array[Long](toks.length - w + 1)
     var i = 0
     while (i + w <= toks.length) {
-      val shingle = toks.slice(i, i + w).mkString(" ")
-      val base = tokenHash(shingle, 0x9747b28cL)
+      out(i) = tokenHash(toks.slice(i, i + w).mkString(" "), 0x9747b28cL)
+      i += 1
+    }
+    out
+  }
+
+  /** exact shingle-set Jaccard similarity (the candidate-verification step). */
+  def jaccard(a: String, b: String, w: Int): Double = {
+    val sa = shingleHashes(a, w).toSet
+    val sb = shingleHashes(b, w).toSet
+    if (sa.isEmpty && sb.isEmpty) return if ((a == null) == (b == null)) 1.0 else 0.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val inter = sa.count(sb.contains)
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** LSH band keys for a doc, or null when the doc has fewer than `w` tokens
+    * — short/empty docs must NOT all share the degenerate all-MaxValue
+    * signature (one giant bucket = quadratic blowup on dirty crawl data);
+    * they are exact-dedup territory instead. */
+  def minHashBandKeys(text: String, w: Int, perms: Int, bands: Int): Array[Long] = {
+    val shingles = shingleHashes(text, w)
+    if (shingles.isEmpty) return null
+    val sig = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val base = shingles(i)
       var p = 0
       while (p < perms) {
         val h = mix64(base ^ (p * 0xc2b2ae3d27d4eb4fL))
@@ -42,7 +74,17 @@ object TextOps extends Serializable {
       }
       i += 1
     }
-    sig
+    val rowsPerBand = perms / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b9L ^ b
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
   }
 
   /** 64-bit SimHash over whitespace tokens. */
@@ -105,44 +147,93 @@ object TextOps extends Serializable {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** exact dedup: keep first doc_id per identical text (hash-partitioned
-    * agg — scales as one shuffle). */
+  /** exact dedup: keep first doc_id per identical text. The explicit
+    * `repartition(xxhash64(text))` makes the 8-byte hash the ONLY shuffle
+    * key (Catalyst accepts the coarser clustering for the superset groupBy),
+    * so at 100 TB the exchange never sorts or hash-compares multi-KB text
+    * keys and skew is whatever the hash gives — uniform. */
   def dedupExact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.withColumn("h", xxhash64(col("text")))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("text"), col("keep_id"), col("dup_count"))
 
-  /** MinHash + LSH near-dup candidate pairs: shingle -> minhash -> band ->
-    * bucket join (self-join only within tiny LSH buckets). */
+  /** corpus dedup summary without text-keyed shuffles: group by
+    * (xxhash64, length) and verify exactness within each tiny hash group
+    * via countDistinct — semantics identical to COUNT(DISTINCT text). */
+  def dedupExactSummary(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+      .agg(countDistinct(col("text")).as("d"), count(lit(1)).as("c"))
+      .agg(sum(col("d")).as("distinct_texts"), sum(col("c")).as("total_docs"))
+
+  /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->
+    * bucket join (self-join only inside LSH buckets), then EXACT
+    * shingle-Jaccard verification of every candidate.
+    *
+    * Scale guards: sub-`w`-token docs emit no bands; buckets larger than
+    * `bucketCap` are dropped before the self-join (a pathological bucket can
+    * never go O(n^2)); the band table is persisted so the signature map runs
+    * once, not on both sides of the self-join. */
   def minhashPairs(spark: SparkSession, docs: DataFrame, w: Int = 3, perms: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, bucketCap: Long = 10000L, minJaccard: Double = 0.9): DataFrame = {
     import spark.implicits._
-    val rowsPerBand = perms / bands
-    val sigs = docs.select(col("doc_id").as[Long], col("text").as[String]).map {
-      case (id, text) =>
-        val sig = minHashSig(text, w, perms)
-        val bandKeys = (0 until bands).map { b =>
-          var h = 0x9e3779b9L ^ b
-          var r = 0
-          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
-          h
-        }
-        (id, bandKeys)
-    }.toDF("doc_id", "band_keys")
-    val exploded = sigs.select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-    exploded.as("a").join(exploded.as("b"),
+    val bandRows = docs.select(col("doc_id").as[Long], col("text").as[String])
+      .flatMap { case (id, text) =>
+        val keys = minHashBandKeys(text, w, perms, bands)
+        if (keys == null) Iterator.empty
+        else keys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
+      }.toDF("doc_id", "band", "key")
+      .persist()
+    val okBuckets = bandRows.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val inBucket = bandRows.join(okBuckets, Seq("band", "key"))
+    val candidates = inBucket.as("a").join(inBucket.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
       .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("left_id"), col("text").as("lt")), "left_id")
+      .join(texts.select(col("doc_id").as("right_id"), col("text").as("rt")), "right_id")
+      .select(col("left_id").as[Long], col("right_id").as[Long],
+        col("lt").as[String], col("rt").as[String])
+      .flatMap { case (l, r, lt, rt) =>
+        if (jaccard(lt, rt, w) >= minJaccard) Iterator.single((l, r)) else Iterator.empty
+      }.toDF("left_id", "right_id")
   }
 
-  /** SimHash near-dup: same 16-bit band trick over the 64-bit hash. */
+  /** SimHash bands: 4 x 16-bit bands over the 64-bit hash; near-dup
+    * candidates share a band, verified by full-hash Hamming distance. */
   def simhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").as[Long], col("text").as[String]).map { case (id, t) =>
       val h = simHash(t)
       (id, h, (0 until 4).map(b => ((h >>> (16 * b)) & 0xffffL).toInt))
     }.toDF("doc_id", "simhash", "bands")
+  }
+
+  /** SimHash near-dup pairs: band bucket join + Hamming-distance verify. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = 10000L): DataFrame = {
+    val sigs = simhashBuckets(spark, docs)
+      .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band", "key")))
+      .persist()
+    val okBuckets = sigs.groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val inBucket = sigs.join(okBuckets, Seq("band", "key"))
+    inBucket.as("a").join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("left_id"), col("right_id"))
+      .distinct()
   }
 
   def tokenCount(docs: DataFrame): DataFrame =
@@ -163,64 +254,147 @@ object TextOps extends Serializable {
             size(split(trim(col("text")), "\\s+")).cast("double"))
         .as("mean_token_len"))
 
-  /** brute-force cosine top-k against one query vector (baseline ANN). */
+  // ---------- ANN over embeddings ----------
+
+  private def cosine(q: Array[Float], v: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(q.length, v.length)
+    while (i < n) { dot += q(i) * v(i); na += q(i) * q(i); nb += v(i) * v(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** deterministic pseudo-random hyperplane signature (`planes` sign bits)
+    * for hash table `table` — independent plane sets per table. */
+  def hyperplaneSig(v: Seq[Float], planes: Int, table: Int = 0): Int = {
+    var s = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        val r = ((mix64((table * 131L + p) * 1315423911L + i) & 0xffff) / 32768.0) - 1.0
+        dot += r * v(i)
+        i += 1
+      }
+      if (dot > 0) s |= (1 << p)
+      p += 1
+    }
+    s
+  }
+
+  /** number of independent LSH tables: miss probability per true neighbor
+    * decays as (1 - p_table)^L, so L=4 turns a ~0.6 per-table hit rate into
+    * ~0.97+ recall while still scanning only O(L * corpus/2^planes). */
+  final val LshTables = 4
+
+  /** plane count scaling with corpus size: ~`target` vectors per bucket
+    * (constant planes would brute-force a constant FRACTION of the corpus —
+    * the 100-TB killer the round-1 version had). */
+  def planesFor(n: Long, target: Long = 128L): Int =
+    math.max(3, math.min(24, (63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / math.max(1L, target)))) + 1))
+
+  /** brute-force cosine top-k against one query vector (labeled baseline;
+    * broadcast query, TakeOrdered — no driver collect of the corpus).
+    * Output is rank order only: cross-engine float comparison stays out of
+    * the hash-compared columns. */
   def annTopK(spark: SparkSession, sfDir: String, queryId: Long, k: Int): DataFrame = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding")).as[Seq[Float]].head().toArray
     val qb = spark.sparkContext.broadcast(q)
-    val scored = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]]).map {
-      case (id, v) =>
-        val qv = qb.value
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(qv.length, v.length)
-        while (i < n) { dot += qv(i) * v(i); na += qv(i) * qv(i); nb += v(i) * v(i); i += 1 }
-        val cos = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-        (id, cos)
-    }.toDF("vec_id", "cosine")
+    val scored = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .map { case (id, v) => (id, cosine(qb.value, v)) }
+      .toDF("vec_id", "cosine")
     scored.orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"))
   }
 
-  /** LSH-bucketed ANN scale path: random-hyperplane signs bucket the
-    * vectors; search only the query's bucket. */
-  def annLsh(spark: SparkSession, sfDir: String, queryId: Long, k: Int, planes: Int = 4): DataFrame = {
+  /** Hamming-1 multi-probe set for a signature. */
+  private def probeSet(sig: Int, planes: Int): Set[Int] =
+    (sig +: (0 until planes).map(p => sig ^ (1 << p))).toSet
+
+  /** LSH-bucketed ANN scale path: `LshTables` independent random-hyperplane
+    * tables, probe the query's bucket plus all Hamming-1 neighbors in EACH
+    * table (union of candidates), plane count scaled to corpus size,
+    * signature table persisted (one embedding map, not two). */
+  def annLsh(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+      planesOverride: Int = 0): DataFrame = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def sig(v: Seq[Float]): Int = {
-      var s = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) {
-          // deterministic pseudo-random hyperplane component
-          val r = ((mix64(p * 1315423911L + i) & 0xffff) / 32768.0) - 1.0
-          dot += r * v(i)
-          i += 1
-        }
-        if (dot > 0) s |= (1 << p)
-        p += 1
-      }
-      s
-    }
-    val bucketed = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .map { case (id, v) => (id, v, sig(v)) }
-      .toDF("vec_id", "embedding", "bucket")
-    val qRow = bucketed.where(col("vec_id") === queryId)
-      .select(col("embedding").as[Seq[Float]], col("bucket").as[Int]).head()
-    val qb = spark.sparkContext.broadcast(qRow._1.toArray)
-    bucketed.where(col("bucket") === qRow._2)
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .map { case (id, v) =>
-        val qv = qb.value
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(qv.length, v.length)
-        while (i < n) { dot += qv(i) * v(i); na += qv(i) * qv(i); nb += v(i) * v(i); i += 1 }
-        (id, if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
-      }.toDF("vec_id", "cosine")
+      .persist()
+    val planes = if (planesOverride > 0) planesOverride else planesFor(emb.count())
+    val bucketed = emb.map { case (id, v) =>
+      (id, v, (0 until LshTables).map(t => hyperplaneSig(v, planes, t)))
+    }.toDF("vec_id", "embedding", "buckets")
+      .persist()
+    val qRow = bucketed.where(col("vec_id") === queryId)
+      .select(col("embedding").as[Seq[Float]], col("buckets").as[Seq[Int]]).head()
+    val qb = spark.sparkContext.broadcast(qRow._1.toArray)
+    val probes: Array[Set[Int]] =
+      qRow._2.toArray.map(sig => probeSet(sig, planes))
+    val probesB = spark.sparkContext.broadcast(probes)
+    bucketed
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
+        col("buckets").as[Seq[Int]])
+      .flatMap { case (id, v, bs) =>
+        val ps = probesB.value
+        var hit = false
+        var t = 0
+        while (t < ps.length && !hit) { hit = ps(t).contains(bs(t)); t += 1 }
+        if (hit) Iterator.single((id, cosine(qb.value, v))) else Iterator.empty
+      }
+      .toDF("vec_id", "cosine")
       .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"))
+  }
+
+  /** recall@k of multi-table multi-probe LSH vs brute force over the first
+    * `m` query vectors, computed in two corpus passes (both fan each vector
+    * out to the broadcast queries; ranks via per-query windows — no
+    * per-query jobs). */
+  def annLshRecall(spark: SparkSession, sfDir: String, m: Int, k: Int,
+      threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    val planes = planesFor(emb.count())
+    val queries: Array[(Long, Array[Float], Array[Set[Int]])] =
+      emb.filter(_._1 < m).collect().map { case (id, v) =>
+        val probes = Array.tabulate(LshTables)(t =>
+          probeSet(hyperplaneSig(v, planes, t), planes))
+        (id, v.toArray, probes)
+      }
+    val qb = spark.sparkContext.broadcast(queries)
+    def topk(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= k).select(col("qid"), col("vec_id"))
+    val brute = topk(emb.flatMap { case (id, v) =>
+      qb.value.iterator.map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
+    }.toDF("qid", "vec_id", "cos"))
+    val lsh = topk(emb.flatMap { case (id, v) =>
+      val sigs = Array.tabulate(LshTables)(t => hyperplaneSig(v, planes, t))
+      qb.value.iterator
+        .filter { case (_, _, probes) =>
+          var hit = false
+          var t = 0
+          while (t < probes.length && !hit) { hit = probes(t).contains(sigs(t)); t += 1 }
+          hit
+        }
+        .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
+    }.toDF("qid", "vec_id", "cos"))
+    val hits = brute.join(lsh, Seq("qid", "vec_id")).count()
+    val recall = hits.toDouble / (m.toLong * k)
+    spark.createDataFrame(Seq((m.toLong, k.toLong, if (recall >= threshold) 1L else 0L)))
+      .toDF("m", "k", "recall_ge_090")
   }
 }

@@ -98,6 +98,29 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/extracted").count() == pages.count())
   }
 
+  test("pathological rows never fail the task: null html / null warc_ts") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    val rows = Seq(
+      ("https://h.example/doc/1", java.sql.Timestamp.valueOf("2025-01-01 00:00:01"),
+        "<p>ok</p>".getBytes("UTF-8"), "ok", "en"),
+      ("https://h.example/doc/2", null.asInstanceOf[java.sql.Timestamp],
+        "<p>no ts</p>".getBytes("UTF-8"), "no ts", "en"),
+      ("https://h.example/doc/3", java.sql.Timestamp.valueOf("2025-01-01 00:00:03"),
+        null.asInstanceOf[Array[Byte]], null.asInstanceOf[String], "en"))
+    val pages = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 2, runId = "dirty"))
+    val extracted = spark.read.parquet(s"$out/extracted")
+    assert(extracted.count() == 3)
+    val lineage = spark.read.parquet(s"$out/lineage")
+    val agg = lineage.agg(sum("doc_count"), sum("failure_count")).head()
+    assert(agg.getLong(0) == 3)
+    assert(agg.getLong(1) == 1) // only the null-html row fails
+    // the extracted text rides through for the null-ts row
+    assert(extracted.where(col("url").endsWith("/2")).head().getAs[String]("text") == "no ts")
+  }
+
   test("SparkEntry.entry smoke: flagship returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
@@ -117,5 +140,11 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "extract_text(concat('<p>', CAST(id AS STRING), '</p>'), 'p') AS t")
     assert(df.queryExecution.executedPlan.toString.contains("*(1)")) // WSCG star
     assert(df.collect().map(_.getString(0)).toSeq == Seq("0", "1", "2"))
+    // mistyped args fail cleanly at analysis, not inside codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT extract_text(123, 'p')").collect()
+    }
+    // untyped NULL stays legal and yields NULL
+    assert(spark.sql("SELECT extract_text(NULL, 'p')").head().isNullAt(0))
   }
 }

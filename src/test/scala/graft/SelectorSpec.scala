@@ -457,4 +457,20 @@ class SelectorSpec extends AnyFunSuite {
     assert(root.find(":not(:not(:a)").isEmpty)
     assert(root.find("a:all-childs").isEmpty)
   }
+
+  test("backslash escapes in quoted values are KEPT in the captured value") {
+    // mesdoc's capture regex `'((?:\\?+.)*?)'` retains the backslash
+    // (reference selector/pattern.rs:352-370, rules/attr.rs:11): the
+    // selector value `a\'b` compares literally — backslash included.
+    val html = """<div data-x="a\'b">q1</div><div data-x="a'b">q2</div>"""
+    val root = load(html)
+    assert(root.find("""[data-x='a\'b']""").text() == "q1")
+    // :contains with an escaped quote: matches the literal backslash text
+    val html2 = """<p>say a\'b here</p><p>say a'b here</p>"""
+    val root2 = load(html2)
+    assert(root2.find(""":contains('a\'b')""").length == 1)
+    // identity escapes still DROP the backslash (reference pattern.rs:98-120)
+    val root3 = load("""<form:item>x</form:item>""")
+    assert(root3.find("""form\:item""").length == 1)
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark.{TextFixtures, TextOps}
+
+/** Ground-truth tests for the training-data operators (the round-1 gap:
+  * minhash/simhash/fingerprint/langid/ANN had no correctness signal). */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-textops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def synthDocs(texts: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  // ---------- hashes / pure functions ----------
+
+  test("jaccard: exact shingle-set similarity") {
+    val a = (0 until 20).map(i => s"t$i").mkString(" ")
+    assert(TextOps.jaccard(a, a, 3) == 1.0)
+    assert(TextOps.jaccard(a, a.replace(' ', '\t'), 3) == 1.0) // whitespace-insensitive
+    val b = (100 until 120).map(i => s"t$i").mkString(" ")
+    assert(TextOps.jaccard(a, b, 3) == 0.0)
+    assert(TextOps.jaccard("", "", 3) == 1.0)
+    assert(TextOps.jaccard(a, "", 3) == 0.0)
+  }
+
+  test("minHashBandKeys: sub-w docs emit NO bands (degenerate-bucket guard)") {
+    assert(TextOps.minHashBandKeys("one two", 3, 16, 4) == null)
+    assert(TextOps.minHashBandKeys("", 3, 16, 4) == null)
+    assert(TextOps.minHashBandKeys(null, 3, 16, 4) == null)
+    val keys = TextOps.minHashBandKeys("one two three four", 3, 16, 4)
+    assert(keys != null && keys.length == 4)
+    // identical token streams (different raw whitespace) collide on every band
+    val k2 = TextOps.minHashBandKeys("one  two   three  four", 3, 16, 4)
+    assert(keys.sameElements(k2))
+  }
+
+  test("langId recovers every planted language") {
+    (0L until 100L).foreach { id =>
+      val got = TextOps.langId(TextFixtures.langText(id))
+      assert(got == TextFixtures.plantedLang(id), s"doc $id")
+    }
+  }
+
+  test("fingerprint/simhash: equal iff same text on the planted pairs") {
+    (0L until 200L).foreach { id =>
+      val t = TextFixtures.fpText(id)
+      val p = TextFixtures.fpText(id ^ 1L)
+      val expectEq = ((id >> 1) & 1L) == 0L
+      assert((TextOps.fingerprint(t, 16) == TextOps.fingerprint(p, 16)) == expectEq, s"fp doc $id")
+      val ham = java.lang.Long.bitCount(TextOps.simHash(t) ^ TextOps.simHash(p))
+      if (expectEq) assert(ham == 0, s"sim doc $id") else assert(ham > 8, s"sim doc $id ham=$ham")
+    }
+  }
+
+  // ---------- minhash LSH pipeline ----------
+
+  test("minhashPairs: planted near-dups found, mutated pairs verified away, shorts inert") {
+    val planted = (0L until 40L).map(id => (id, TextFixtures.nearDupText(id)))
+    val shorts = (100L to 102L).map(id => (id, "a b")) // identical sub-w docs
+    val pairs = TextOps.minhashPairs(spark, synthDocs(planted ++ shorts))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L by 2L).filter(id => ((id >> 1) & 1L) == 0L)
+      .map(id => (id, id + 1L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("minhashPairs: bucketCap kills pathological buckets before the self-join") {
+    val same = (0L until 50L).map(id => (id, (0 until 10).map(j => s"x$j").mkString(" ")))
+    val capped = TextOps.minhashPairs(spark, synthDocs(same), bucketCap = 10L)
+    assert(capped.count() == 0L)
+    val uncapped = TextOps.minhashPairs(spark, synthDocs(same), bucketCap = 10000L)
+    assert(uncapped.count() == 50L * 49L / 2L) // all-pairs when allowed
+  }
+
+  test("simhashPairs: identical docs pair, unrelated do not") {
+    val docs = synthDocs(Seq(
+      (0L, TextFixtures.fpText(0L)), (1L, TextFixtures.fpText(0L)),
+      (2L, TextFixtures.fpText(10L)), (3L, TextFixtures.fpText(20L))))
+    val pairs = TextOps.simhashPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  // ---------- exact dedup ----------
+
+  test("dedupExact: hash shuffle key, correct keep/dup semantics") {
+    val docs = synthDocs(Seq((3L, "aa"), (1L, "aa"), (2L, "bb"), (7L, "aa")))
+    val out = TextOps.dedupExact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("aa", 1L, 3L), ("bb", 2L, 1L)))
+    val plan = TextOps.dedupExact(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(h#"), "shuffle key must be the 64-bit hash column")
+    assert(!plan.contains("hashpartitioning(text"), "text must not be the partition key")
+  }
+
+  test("dedupExactSummary matches COUNT(DISTINCT text)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextOps.dedupExactSummary(docs).head()
+    val want = docs.agg(countDistinct(col("text")), count(lit(1))).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+  }
+
+  // ---------- ANN ----------
+
+  test("planesFor scales bucket count with corpus size") {
+    assert(TextOps.planesFor(100L) == 3)
+    assert(TextOps.planesFor(1L << 20) >= 13)
+    assert(TextOps.planesFor(1L << 50) == 24)
+    assert(TextOps.planesFor(0L) == 3)
+  }
+
+  test("annLsh agrees with brute-force top-k on sf0.001") {
+    val brute = TextOps.annTopK(spark, sfDir, queryId = 0L, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val lsh = TextOps.annLsh(spark, sfDir, queryId = 0L, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(brute.size == 5)
+    assert(lsh == brute)
+  }
+
+  test("annLshRecall >= 0.9 at sf0.001") {
+    val row = TextOps.annLshRecall(spark, sfDir, m = 8, k = 5).head()
+    assert(row.getLong(2) == 1L, "multi-table multi-probe LSH recall below 0.9")
+  }
+}
