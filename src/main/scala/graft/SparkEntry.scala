@@ -31,6 +31,23 @@ object SparkEntry {
   // m-variant helper used by the synthetic fixtures
   @inline private def rep(s: String, n: Long): String = s * n.toInt
 
+  /** stable sample across the HTML5 named-entity families; q_entities draws
+    * `doc_id % length` and the oracle carries the decoded literals. */
+  private val EntitySample: Array[String] = Array(
+    "hellip", "ndash", "mdash", "rsquo", "lsquo", "ldquo", "rdquo", "shy",
+    "copy", "reg", "trade", "deg", "middot", "laquo", "raquo", "frac12",
+    "frac34", "frac13", "frac58", "times", "divide", "szlig", "eacute",
+    "Uuml", "ccedil", "oelig", "Scaron", "alpha", "Omega", "pi", "sigmaf",
+    "epsiv", "Acy", "zhcy", "SHCHcy", "yacy", "Aopf", "Zopf", "ropf", "Cfr",
+    "Iscr", "escr", "boxDR", "boxVH", "boxh", "larr", "rArr", "mapsto",
+    "hookleftarrow", "nleftarrow", "xrArr", "forall", "exist", "nexist",
+    "isin", "notin", "sum", "prod", "int", "oint", "le", "ge", "ne", "asymp",
+    "otimes", "perp", "sdot", "lceil", "rang", "spades", "hearts", "check",
+    "bigstar", "euro", "dagger", "permil", "bull", "lambda", "Gamma", "ohm")
+
+  private def sqlStringList(items: Seq[String]): String =
+    items.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ",", "]")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1. flagship byte-identity roundtrip (parse+strip+text+entities) ----
     "q_extract_main" -> ((s, dir) => {
@@ -141,15 +158,18 @@ object SparkEntry {
       }.toDF("doc_id", "txt", "att").orderBy("doc_id")
     }),
 
-    // ---- 9. entity decoding (named / decimal / hex / nbsp) ----
+    // ---- 9. entity decoding (named / decimal / hex / nbsp + a rotating
+    //      draw from the full HTML5 named table) ----
     "q_entities" -> ((s, dir) => {
       import s.implicits._
+      val sample = EntitySample
       docs(s, dir).select("doc_id").as[Long].map { id =>
         val m = id % 100
-        val html = s"<p>&lt;A&gt;&amp;&#66;&#x43;&nbsp;z$m</p>"
+        val name = sample((id % sample.length).toInt)
+        val html = s"<p>&lt;A&gt;&amp;&#66;&#x43;&nbsp;z$m</p><i>&$name;!</i>"
         val root = Vis.loadOrThrow(html)
-        (id, root.find("p").text())
-      }.toDF("doc_id", "txt").orderBy("doc_id")
+        (id, root.find("p").text(), root.find("i").text())
+      }.toDF("doc_id", "txt", "ent").orderBy("doc_id")
     }),
 
     // ---- 10. form value (:checked + val) ----
@@ -418,7 +438,9 @@ object SparkEntry {
       ("SELECT doc_id, concat('k', CAST(doc_id % 10 AS VARCHAR)) AS txt, " +
         "concat('v', CAST(doc_id % 10 AS VARCHAR)) AS att FROM documents ORDER BY doc_id"),
     "q_entities" ->
-      ("SELECT doc_id, concat('<A>&BC', chr(160), 'z', CAST(doc_id % 100 AS VARCHAR)) AS txt " +
+      ("SELECT doc_id, concat('<A>&BC', chr(160), 'z', CAST(doc_id % 100 AS VARCHAR)) AS txt, " +
+        "(" + sqlStringList(EntitySample.map(n => graft.dom.Entities.namedValue(n) + "!")) +
+        s")[CAST(doc_id % ${EntitySample.length} AS INT) + 1] AS ent " +
         "FROM documents ORDER BY doc_id"),
     "q_val" ->
       ("SELECT doc_id, CAST((doc_id % 3) + 1 AS VARCHAR) AS v, CAST(1 AS BIGINT) AS checked_cnt " +
