@@ -29,6 +29,13 @@ object Plans {
       .groupBy("bucket")
       .agg(count(lit(1)).as("docs"), sum(octet_length(col("html"))).as("bytes"))
       .explain("formatted")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("=== exact dedup (shuffle keyed on xxhash64, never full text) ===")
+    graft.spark.TextOps.dedupExact(docs).explain("formatted")
+
+    println("=== minhash LSH candidates (band bucket join; bucket-size cap before self-join) ===")
+    graft.spark.TextOps.minhashPairs(spark, docs).explain("formatted")
     spark.stop()
   }
 }

@@ -377,6 +377,16 @@ object SparkEntry {
       TextOps.minhashPairs(s, synth).orderBy("left_id", "right_id")
     }),
 
+    // SimHash near-dup pairs over the fingerprint corpus: identical-text
+    // pairs collide on every 16-bit band (Hamming 0); unrelated docs that
+    // happen to share a band are rejected by the Hamming<=3 verify
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val synth = docs(s, dir).select(col("doc_id").as[Long])
+        .map(id => (id, TextFixtures.fpText(id))).toDF("doc_id", "text")
+      TextOps.simhashPairs(s, synth).orderBy("left_id", "right_id")
+    }),
+
     // brute-force ANN top-k: rank order checked against DuckDB's own
     // list_cosine_similarity over the same embeddings table
     "q_ann_topk" -> ((s, dir) => TextOps.annTopK(s, dir, queryId = 0L, k = 5)),
@@ -519,6 +529,11 @@ object SparkEntry {
       ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near " +
         "FROM documents ORDER BY doc_id"),
     "q_dedup_minhash" ->
+      ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
+        "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +
+        "AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1) " +
+        "ORDER BY 1, 2"),
+    "q_dedup_simhash" ->
       ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
         "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +
         "AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1) " +

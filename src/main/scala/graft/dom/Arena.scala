@@ -394,6 +394,9 @@ final class Arena(initialNodes: Int = 256) {
     Integer.compare(pa.length, pb.length)
   }
 
+  /** root-to-node child-index path (doc-order sort key for Engine). */
+  def docOrderPath(id: Int): Array[Int] = path(id)
+
   private def path(id: Int): Array[Int] = {
     var depth = 0
     var c = id

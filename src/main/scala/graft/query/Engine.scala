@@ -23,13 +23,45 @@ object Engine {
 
   def sortAndUnique(a: Arena, ids: ArrayBuffer[Int]): ArrayBuffer[Int] = {
     if (ids.length <= 1) return ids
-    val arr = ids.toArray
-    val boxed = arr.map(Integer.valueOf)
-    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => a.compareDocOrder(x, y))
-    val out = new ArrayBuffer[Int](arr.length)
+    val n = ids.length
+    // one root-to-node index path per element, computed ONCE (the previous
+    // boxed comparator re-derived two paths per comparison)
+    val paths = new Array[Array[Int]](n)
     var i = 0
-    while (i < boxed.length) {
-      val v = boxed(i).intValue
+    while (i < n) { paths(i) = a.docOrderPath(ids(i)); i += 1 }
+    @inline def cmp(x: Array[Int], y: Array[Int]): Int = {
+      var k = 0
+      val m = math.min(x.length, y.length)
+      while (k < m) {
+        if (x(k) != y(k)) return Integer.compare(x(k), y(k))
+        k += 1
+      }
+      Integer.compare(x.length, y.length)
+    }
+    // fast path: traversals emit in document order already — detect with
+    // one adjacent-compare pass, skip the sort entirely
+    var sorted = true
+    i = 1
+    while (sorted && i < n) { if (cmp(paths(i - 1), paths(i)) > 0) sorted = false; i += 1 }
+    val pos = new Array[Int](n)
+    i = 0
+    while (i < n) { pos(i) = i; i += 1 }
+    if (!sorted) {
+      // primitive insertion sort on positions (sets are small; no boxing)
+      i = 1
+      while (i < n) {
+        val pv = pos(i)
+        val pp = paths(pv)
+        var j = i - 1
+        while (j >= 0 && cmp(paths(pos(j)), pp) > 0) { pos(j + 1) = pos(j); j -= 1 }
+        pos(j + 1) = pv
+        i += 1
+      }
+    }
+    val out = new ArrayBuffer[Int](n)
+    i = 0
+    while (i < n) {
+      val v = ids(pos(i))
       if (out.isEmpty || out(out.length - 1) != v) out += v
       i += 1
     }

@@ -181,4 +181,19 @@ class TraitSpec extends AnyFunSuite {
     assert(r3.find("div").text() == "x")
     assert(r3.find("div").outerHtml() == "<Div>x</Div>".replace("</Div>", "</Div>") || r3.find("div").outerHtml() == "<Div>x</div>")
   }
+
+  test("render pinning: lenient-fix source_code() behaviors (FUTURE #4)") {
+    // PINNED: an unexpected end tag swallowed by auto_fix_unexpected_endtag
+    // is DROPPED from the render (it created no node); everything the tree
+    // kept round-trips byte-identically.
+    def src(h: String): String = load(h).doc.sourceCode
+    assert(src("<div>a</p>b</div>") == "<div>ab</div>")
+    assert(src("<aa>x</a></aa>") == "<aa>x</aa>")
+    // naive nesting (no <li>-closes-<li>), unclosed at EOF kept as-is
+    assert(src("<ul><li>a<li>b</ul>") == "<ul><li>a<li>b</ul>")
+    assert(src("<p>x") == "<p>x")
+    // unescaped '<' stays text; self-closing slash preserved
+    assert(src("<b>1 < 2</b>") == "<b>1 < 2</b>")
+    assert(src("<img src='a'/>") == "<img src='a'/>")
+  }
 }
