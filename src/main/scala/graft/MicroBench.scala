@@ -9,8 +9,13 @@ import graft.query.{Elems, Vis}
   * comparable. Single-threaded, steady state. */
 object MicroBench {
   private def avgMs(runs: Int)(f: => Unit): Double = {
+    // steady-state warmup: micro ops run billions of times at corpus scale,
+    // so measure C2-compiled code — warm up to 5000 iterations within a 2s
+    // budget (the round-1 runs/4 warmup recorded interpreter time for the
+    // sub-50µs ops)
+    val deadline = System.nanoTime() + 2000000000L
     var i = 0
-    while (i < runs / 4) { f; i += 1 } // warmup
+    while (i < 5000 && (i < runs / 4 || System.nanoTime() < deadline)) { f; i += 1 }
     val t0 = System.nanoTime()
     i = 0
     while (i < runs) { f; i += 1 }

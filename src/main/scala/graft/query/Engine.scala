@@ -485,6 +485,25 @@ object Engine {
             }
           }
         } else {
+          // constant-index *-child (`:first-child`, `:nth-child(7)`,
+          // `:last-child`): O(idx) sibling walk per parent — never
+          // materialize the full child list (reference specified_handle)
+          s match {
+            case Simple.Nth(false, last, false, _, idx) if idx >= 1 =>
+              ids.foreach { e =>
+                var c = if (last) a.lastChild(e) else a.firstChild(e)
+                var remaining = idx
+                while (c >= 0 && remaining > 0) {
+                  if (a.kind(c) == a.ELEM) {
+                    remaining -= 1
+                    if (remaining == 0) out += c
+                  }
+                  c = if (last) a.prevSib(c) else a.nextSib(c)
+                }
+              }
+              return out
+            case _ => ()
+          }
           ids.foreach { e =>
             val childs = elementChildren(a, e)
             if (childs.nonEmpty) out ++= matchAllPositional(doc, childs, s, grouped = false)
