@@ -387,6 +387,15 @@ object SparkEntry {
       TextOps.simhashPairs(s, synth).orderBy("left_id", "right_id")
     }),
 
+    // embedding-cosine near-dup pairs over planted identical/independent
+    // vector pairs: LSH buckets generate candidates, exact cosine verifies
+    "q_dedup_embed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = docs(s, dir).select(col("doc_id").as[Long])
+        .map(id => (id, TextFixtures.pairVec(id).toSeq)).toDF("vec_id", "embedding")
+      TextOps.embedDupPairs(s, emb).orderBy("left_id", "right_id")
+    }),
+
     // brute-force ANN top-k: rank order checked against DuckDB's own
     // list_cosine_similarity over the same embeddings table
     "q_ann_topk" -> ((s, dir) => TextOps.annTopK(s, dir, queryId = 0L, k = 5)),
@@ -512,14 +521,19 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents"),
     "q_token_count" ->
       ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
-        "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS token_count " +
+        "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS token_count, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_count " +
         "FROM documents ORDER BY doc_id"),
     "q_quality" ->
       ("SELECT doc_id, " +
         "CAST(length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')) AS BIGINT) AS punct_count, " +
         "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
         "ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / " +
-        "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS mean_token_len " +
+        "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS mean_token_len, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+        "ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
+        "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
     "q_lang_id" ->
       ("SELECT doc_id, CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
@@ -529,6 +543,11 @@ object SparkEntry {
       ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near " +
         "FROM documents ORDER BY doc_id"),
     "q_dedup_minhash" ->
+      ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
+        "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +
+        "AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1) " +
+        "ORDER BY 1, 2"),
+    "q_dedup_embed" ->
       ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
         "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +
         "AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1) " +

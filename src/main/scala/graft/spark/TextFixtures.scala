@@ -77,4 +77,15 @@ object TextFixtures extends Serializable {
     val seed = if ((g & 1L) == 0L) g * 97L else g * 97L + (id & 1L) * 7919L + 13L
     Array.tabulate(20)(j => word(seed * 131L + j)).mkString(" ")
   }
+
+  /** embedding-dedup corpus: pairs (2k, 2k+1) carry the IDENTICAL unit-ish
+    * vector when k is even (cosine 1.0) and independent random vectors when
+    * k is odd (|cosine| ~ 1/sqrt(dim) << threshold). */
+  def pairVec(id: Long, dim: Int = 16): Array[Float] = {
+    val g = id >>> 1
+    val seed = if ((g & 1L) == 0L) g * 53L else g * 53L + (id & 1L) * 6007L + 11L
+    Array.tabulate(dim) { j =>
+      (((mix(seed * 257L + j) & 0xffff) / 32768.0) - 1.0).toFloat
+    }
+  }
 }

@@ -236,15 +236,27 @@ object TextOps extends Serializable {
       .distinct()
   }
 
+  /** whitespace token count + BPE-ish subword count (letter runs / digit
+    * runs / single punctuation — the pre-tokenizer regex shape). Pure
+    * column expressions, fully codegen'd. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(length(trim(col("text"))) === 0, lit(0L))
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-        .as("token_count"))
+        .as("token_count"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("bpe_count"))
+
+  /** english stopword set shared with the DuckDB oracle. */
+  val Stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with")
 
   /** quality signals: punctuation count, mean token length, stopword ratio
     * (pure column expressions — fully codegen'd). */
-  def qualityScore(docs: DataFrame): DataFrame =
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val toks = split(lower(trim(col("text"))), "\\s+")
     docs.select(
       col("doc_id"),
       (length(col("text")) - length(regexp_replace(col("text"), "[.!?,]", ""))).cast("long").as("punct_count"),
@@ -252,7 +264,13 @@ object TextOps extends Serializable {
         .otherwise(
           (length(regexp_replace(col("text"), "\\s+", "")).cast("double")) /
             size(split(trim(col("text")), "\\s+")).cast("double"))
-        .as("mean_token_len"))
+        .as("mean_token_len"),
+      when(length(trim(col("text"))) === 0, lit(0.0))
+        .otherwise(
+          size(filter(toks, x => array_contains(stopArr, x))).cast("double") /
+            size(toks).cast("double"))
+        .as("stopword_ratio"))
+  }
 
   // ---------- ANN over embeddings ----------
 
@@ -354,6 +372,40 @@ object TextOps extends Serializable {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id"))))
       .select(col("rank"), col("vec_id"))
+  }
+
+  /** embedding-cosine near-dup pairs: multi-table hyperplane-LSH buckets
+    * generate candidates (bucket-size-capped, corpus-scaled plane count),
+    * exact cosine >= threshold verifies them — the vector analog of
+    * [[minhashPairs]]; no all-pairs join anywhere. */
+  def embedDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double = 0.99,
+      bucketCap: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    val planes = planesFor(vecs.count())
+    val sigRows = vecs.flatMap { case (id, v) =>
+      (0 until LshTables).iterator.map(t => (id, t, hyperplaneSig(v, planes, t)))
+    }.toDF("vec_id", "tbl", "sig")
+    val okBuckets = sigRows.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("tbl"), col("sig"))
+    val inBucket = sigRows.join(okBuckets, Seq("tbl", "sig"))
+    val candidates = inBucket.as("a").join(inBucket.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
+      .distinct()
+    val vdf = vecs.toDF("vec_id", "embedding")
+    candidates
+      .join(vdf.select(col("vec_id").as("left_id"), col("embedding").as("lv")), "left_id")
+      .join(vdf.select(col("vec_id").as("right_id"), col("embedding").as("rv")), "right_id")
+      .select(col("left_id").as[Long], col("right_id").as[Long],
+        col("lv").as[Seq[Float]], col("rv").as[Seq[Float]])
+      .flatMap { case (l, r, lv, rv) =>
+        if (cosine(lv.toArray, rv) >= threshold) Iterator.single((l, r)) else Iterator.empty
+      }.toDF("left_id", "right_id")
   }
 
   /** recall@k of multi-table multi-probe LSH vs brute force over the first

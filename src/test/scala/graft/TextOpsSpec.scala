@@ -138,6 +138,32 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == brute)
   }
 
+  test("embedDupPairs: planted identical vectors pair, independents do not") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 40L)
+      .map(id => (id, TextFixtures.pairVec(id).toSeq)).toDF("vec_id", "embedding")
+    val pairs = TextOps.embedDupPairs(spark, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L by 2L).filter(id => ((id >> 1) & 1L) == 0L)
+      .map(id => (id, id + 1L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("qualityScore stopword_ratio + tokenCount bpe_count on known text") {
+    val docs = synthDocs(Seq(
+      (1L, "the cat and the dog"), // 3 of 5 stopwords; bpe: 5 letter runs
+      (2L, "a1,b2!"),              // bpe: a 1 , b 2 ! = 6
+      (3L, " ")))
+    val q = TextOps.qualityScore(docs).orderBy("doc_id").collect()
+    assert(q(0).getDouble(3) == 3.0 / 5.0)
+    assert(q(2).getDouble(3) == 0.0)
+    val t = TextOps.tokenCount(docs).orderBy("doc_id").collect()
+    assert(t(0).getLong(2) == 5L)
+    assert(t(1).getLong(2) == 6L)
+    assert(t(2).getLong(1) == 0L)
+  }
+
   test("annLshRecall >= 0.9 at sf0.001") {
     val row = TextOps.annLshRecall(spark, sfDir, m = 8, k = 5).head()
     assert(row.getLong(2) == 1L, "multi-table multi-probe LSH recall below 0.9")
