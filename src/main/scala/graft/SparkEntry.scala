@@ -330,6 +330,25 @@ object SparkEntry {
         "n_body", "n_head", "n_input", "n_header", "b_src").orderBy("doc_id")
     }),
 
+    // ---- 17. SQL surface: extract_attrs / extract_count / extract_text
+    //      as Catalyst functions over a binary html column ----
+    "q_sql_surface" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val m = (id % 4).toInt
+        val html = "<nav>" +
+          (0 to m).map(i => s"""<a href="/p/$i">x$i</a>""").mkString +
+          "</nav><ul>" + "<li>y</li>" * ((id % 3).toInt + 1) + "</ul>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"),
+          concat_ws(",", call_function("extract_attrs",
+            col("html"), lit("a"), lit("href"))).as("hrefs"),
+          call_function("extract_count", col("html"), lit("li")).as("n_li"),
+          call_function("extract_text", col("html"), lit("nav a:last-child")).as("last_a"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus-level relational ops (Catalyst built-ins) ----
     "q_rollup_lang" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -512,6 +531,13 @@ object SparkEntry {
         "CAST(5 AS BIGINT) AS n_body, CAST(1 AS BIGINT) AS n_head, " +
         "CAST(3 AS BIGINT) AS n_input, CAST(1 AS BIGINT) AS n_header, " +
         "CAST(1 AS BIGINT) AS b_src " +
+        "FROM documents ORDER BY doc_id"),
+    "q_sql_surface" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/p/0' WHEN 1 THEN '/p/0,/p/1' " +
+        "WHEN 2 THEN '/p/0,/p/1,/p/2' ELSE '/p/0,/p/1,/p/2,/p/3' END AS hrefs, " +
+        "CAST((doc_id % 3) + 1 AS BIGINT) AS n_li, " +
+        "concat('x', CAST(doc_id % 4 AS VARCHAR)) AS last_a " +
         "FROM documents ORDER BY doc_id"),
     "q_rollup_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars " +

@@ -95,6 +95,78 @@ case class ExtractMain(child: Expression)
     copy(child = newChild)
 }
 
+/** `extract_attrs(html, selector, attr)` — ARRAY<STRING> of `attr(name)`
+  * per selector match in document order (the reference's find + attr flow);
+  * boolean attributes yield "". */
+case class ExtractAttrs(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_attrs"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def strOk(e: Expression) = e.dataType == StringType || e.dataType == NullType
+    if (!(strOk(first) || first.dataType == BinaryType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_attrs: html must be STRING or BINARY, got ${first.dataType.sql}")
+    else if (!strOk(second) || !strOk(third))
+      TypeCheckResult.TypeCheckFailure("extract_attrs: selector and attr must be STRING")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val htmlIsBinary: Boolean = first.dataType == BinaryType
+
+  override def nullSafeEval(html: Any, sel: Any, attr: Any): Any = {
+    val h =
+      if (htmlIsBinary)
+        new String(html.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
+      else html.asInstanceOf[UTF8String].toString
+    val out = Extractor.extractAttrs(h, sel.asInstanceOf[UTF8String].toString,
+      attr.asInstanceOf[UTF8String].toString)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(v => UTF8String.fromString(v).asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `extract_count(html, selector)` — find(selector).length as BIGINT. */
+case class ExtractCount(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!(left.dataType == StringType || left.dataType == BinaryType ||
+        left.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_count: html must be STRING or BINARY, got ${left.dataType.sql}")
+    else if (!(right.dataType == StringType || right.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure("extract_count: selector must be STRING")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val htmlIsBinary: Boolean = left.dataType == BinaryType
+
+  override def nullSafeEval(html: Any, sel: Any): Any = {
+    val h =
+      if (htmlIsBinary)
+        new String(html.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
+      else html.asInstanceOf[UTF8String].toString
+    val out = Extractor.extractCount(h, sel.asInstanceOf[UTF8String].toString)
+    if (out == null) null else out.longValue()
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SparkSessionExtensions hook: set
   * `spark.sql.extensions=graft.spark.GraftSparkExtensions` and the functions
   * become available to `spark.sql` / `call_function`. */
@@ -108,5 +180,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("extract_main"),
       new ExpressionInfo(classOf[ExtractMain].getName, "extract_main"),
       (children: Seq[Expression]) => ExtractMain(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("extract_attrs"),
+      new ExpressionInfo(classOf[ExtractAttrs].getName, "extract_attrs"),
+      (children: Seq[Expression]) => ExtractAttrs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("extract_count"),
+      new ExpressionInfo(classOf[ExtractCount].getName, "extract_count"),
+      (children: Seq[Expression]) => ExtractCount(children(0), children(1))))
   }
 }

@@ -212,4 +212,38 @@ object Extractor extends Serializable {
     val out = extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8), selector.toString)
     if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
+
+  /** `attr(name)` of every selector match, in document order (the reference
+    * flow `find(sel)` + per-element `attr`, reference elements.rs:3191);
+    * null on parse/selector failure, null entries never emitted —
+    * boolean attributes yield "" (IAttrValue::True analog). */
+  def extractAttrs(html: String, selector: String, attrName: String): Array[String] = {
+    val doc = parse(html)
+    if (doc == null) return null
+    compiled(selector) match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        val out = new ArrayBuffer[String](found.length)
+        found.foreach { e =>
+          new graft.query.Elems(doc, Array(e)).attr(attrName).foreach(v => out += v.value)
+        }
+        out.toArray
+    }
+  }
+
+  /** number of selector matches (find(sel).length at SQL level); -1 is
+    * never emitted — null on parse/selector failure. */
+  def extractCount(html: String, selector: String): java.lang.Long = {
+    val doc = parse(html)
+    if (doc == null) return null
+    compiled(selector) match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        java.lang.Long.valueOf(
+          graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel).length.toLong)
+    }
+  }
 }

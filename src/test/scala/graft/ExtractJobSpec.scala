@@ -147,4 +147,17 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // untyped NULL stays legal and yields NULL
     assert(spark.sql("SELECT extract_text(NULL, 'p')").head().isNullAt(0))
   }
+
+  test("extract_attrs / extract_count SQL functions") {
+    assert(spark.sql("SELECT extract_count('<ul><li>a</li><li>b</li></ul>', 'li')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      """SELECT array_join(extract_attrs('<a href="/x">1</a><a href="/y">2</a>', 'a', 'href'), ',')""")
+      .head().getString(0) == "/x,/y")
+    // boolean attribute yields "" (IAttrValue::True analog)
+    assert(spark.sql("SELECT extract_attrs('<a data-b>2</a>', 'a', 'data-b')")
+      .head().getSeq[String](0) == Seq(""))
+    // invalid selector -> NULL, never a task failure
+    assert(spark.sql("SELECT extract_count('<p>x</p>', ':no-such(')").head().isNullAt(0))
+  }
 }
