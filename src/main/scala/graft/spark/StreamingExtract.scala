@@ -40,6 +40,49 @@ object StreamingExtract {
       .start()
   }
 
+  /** extraction stream WITH per-batch lineage: `foreachBatch` writes the
+    * extracted rows AND one lineage row per (batch, bucket) — both keyed by
+    * `batch_id`, both written with dynamic partition overwrite, so a
+    * replayed micro-batch (checkpoint recovery) rewrites its own partitions
+    * idempotently: exactly-once lineage without accumulators, the streaming
+    * analog of [[ExtractJob]]'s derive-from-output design. */
+  def startWithLineage(spark: SparkSession, pagesDir: String, outDir: String,
+      buckets: Int = 64, salt: Int = 42): StreamingQuery = {
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(pagesDir)
+    pages
+      .withColumn("bucket", ExtractJob.bucketCol(salt, buckets))
+      .select(col("bucket"), col("url"), col("warc_ts"),
+        octet_length(col("html")).cast("long").as("html_bytes"),
+        call_function("extract_main", col("html")).as("text"))
+      .writeStream
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.withColumn("batch_id", lit(batchId)).persist()
+        rows
+          .write.partitionBy("batch_id", "bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(s"$outDir/extracted")
+        rows.groupBy(col("batch_id"), col("bucket"))
+          .agg(min(col("warc_ts")).as("warc_ts_min"),
+            max(col("warc_ts")).as("warc_ts_max"),
+            count(lit(1)).as("doc_count"),
+            sum(col("html_bytes")).as("byte_count"),
+            sum(col("text").isNull.cast("long")).as("failure_count"))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(s"$outDir/lineage")
+        rows.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** windowed ingest metrics with a watermark on warc_ts (docs/bytes per
     * 1-minute event-time window). */
   def metricsStream(spark: SparkSession, pagesDir: String): DataFrame = {

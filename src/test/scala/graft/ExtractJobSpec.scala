@@ -98,6 +98,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/extracted").count() == pages.count())
   }
 
+  test("streaming extraction with per-batch lineage: idempotent on restart") {
+    val in = java.nio.file.Files.createTempDirectory("graft-sl-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sl-out").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    pages.write.mode("overwrite").parquet(in)
+    val q = graft.spark.StreamingExtract.startWithLineage(spark, in, out, buckets = 8)
+    q.awaitTermination(120000L)
+    val extracted = spark.read.parquet(s"$out/extracted")
+    assert(extracted.count() == pages.count())
+    val joined = extracted.join(pages.select(col("url"), col("text").as("expect")), "url")
+    assert(joined.where(!(col("text") <=> col("expect"))).count() == 0)
+    val lineage = spark.read.parquet(s"$out/lineage")
+    val agg = lineage.agg(sum("doc_count"), sum("failure_count"), sum("byte_count")).head()
+    assert(agg.getLong(0) == pages.count())
+    assert(agg.getLong(1) == 0L)
+    val htmlBytes = pages.agg(sum(octet_length(col("html")))).head().getLong(0)
+    assert(agg.getLong(2) == htmlBytes)
+    // restart with the same checkpoint: no new files -> nothing re-emitted
+    val q2 = graft.spark.StreamingExtract.startWithLineage(spark, in, out, buckets = 8)
+    q2.awaitTermination(120000L)
+    assert(spark.read.parquet(s"$out/extracted").count() == pages.count())
+    assert(spark.read.parquet(s"$out/lineage").agg(sum("doc_count")).head().getLong(0) == pages.count())
+  }
+
   test("pathological rows never fail the task: null html / null warc_ts") {
     val s = spark
     import s.implicits._
