@@ -174,20 +174,43 @@ object Parser {
     private def spanIsLower(off: Int, l: Int, w: String): Boolean =
       l == w.length && a.spanEqIgnoreCase(off, l, w)
 
-    private def spanIsVoid(off: Int, l: Int): Boolean = l match {
-      case 2 => spanIsLower(off, l, "br") || spanIsLower(off, l, "hr")
-      case 3 => spanIsLower(off, l, "img") || spanIsLower(off, l, "col") || spanIsLower(off, l, "wbr")
-      case 4 => spanIsLower(off, l, "base") || spanIsLower(off, l, "area") || spanIsLower(off, l, "link") || spanIsLower(off, l, "meta")
-      case 5 => spanIsLower(off, l, "input") || spanIsLower(off, l, "embed") || spanIsLower(off, l, "param") || spanIsLower(off, l, "track")
-      case 6 => spanIsLower(off, l, "source")
-      case _ => false
+    // first-char discrimination before the span compare: one branch kills
+    // the whole candidate list for the common non-void/non-content tags
+    private def spanIsVoid(off: Int, l: Int): Boolean = {
+      val c0 = (buf(off) | 0x20).toChar
+      l match {
+        case 2 =>
+          (c0 == 'b' && spanIsLower(off, l, "br")) ||
+            (c0 == 'h' && spanIsLower(off, l, "hr"))
+        case 3 =>
+          (c0 == 'i' && spanIsLower(off, l, "img")) ||
+            (c0 == 'c' && spanIsLower(off, l, "col")) ||
+            (c0 == 'w' && spanIsLower(off, l, "wbr"))
+        case 4 =>
+          (c0 == 'b' && spanIsLower(off, l, "base")) ||
+            (c0 == 'a' && spanIsLower(off, l, "area")) ||
+            (c0 == 'l' && spanIsLower(off, l, "link")) ||
+            (c0 == 'm' && spanIsLower(off, l, "meta"))
+        case 5 =>
+          (c0 == 'i' && spanIsLower(off, l, "input")) ||
+            (c0 == 'e' && spanIsLower(off, l, "embed")) ||
+            (c0 == 'p' && spanIsLower(off, l, "param")) ||
+            (c0 == 't' && spanIsLower(off, l, "track"))
+        case 6 => c0 == 's' && spanIsLower(off, l, "source")
+        case _ => false
+      }
     }
 
-    private def spanIsContent(off: Int, l: Int): Boolean = l match {
-      case 5 => spanIsLower(off, l, "style") || spanIsLower(off, l, "title")
-      case 6 => spanIsLower(off, l, "script")
-      case 8 => spanIsLower(off, l, "textarea")
-      case _ => false
+    private def spanIsContent(off: Int, l: Int): Boolean = {
+      val c0 = (buf(off) | 0x20).toChar
+      l match {
+        case 5 =>
+          (c0 == 's' && spanIsLower(off, l, "style")) ||
+            (c0 == 't' && spanIsLower(off, l, "title"))
+        case 6 => c0 == 's' && spanIsLower(off, l, "script")
+        case 8 => c0 == 't' && spanIsLower(off, l, "textarea")
+        case _ => false
+      }
     }
 
     private def startTag(): Unit = {

@@ -709,18 +709,28 @@ object Engine {
     // recipe; semantics unchanged: doc order, unique)
     if (sel.process.lengthCompare(1) > 0 && allSimpleDescendantPreds(sel)) {
       val a = doc.arena
-      val compounds = sel.process.map(_.query.head.simples)
+      // flattened to arrays: no per-node closure or List traversal in the
+      // walk (this path runs once per page in the strip recipe)
+      val compounds: Array[Array[Simple]] =
+        sel.process.iterator.map(_.query.head.simples.toArray).toArray
       val roots = if (ctx.length > 1) uniqueParents(a, ctx) else ctx
       val out = new ArrayBuffer[Int](8)
       def rec(node: Int): Unit = {
         var c = a.firstChild(node)
         while (c >= 0) {
           if (a.kind(c) == a.ELEM) {
-            var ps = compounds
             var matched = false
-            while (!matched && ps.nonEmpty) {
-              matched = ps.head.forall(s => matchOne(doc, c, s))
-              ps = ps.tail
+            var pi = 0
+            while (!matched && pi < compounds.length) {
+              val simples = compounds(pi)
+              var all = true
+              var si = 0
+              while (all && si < simples.length) {
+                all = matchOne(doc, c, simples(si))
+                si += 1
+              }
+              matched = all
+              pi += 1
             }
             if (matched) out += c
             if (a.firstChild(c) >= 0) rec(c)

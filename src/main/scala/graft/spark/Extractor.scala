@@ -74,10 +74,24 @@ object Extractor extends Serializable {
     }
   }
 
+  /** node-local simples (tag/class/id/attr): match is independent of the
+    * rest of the tree, so it can be evaluated mid-walk regardless of
+    * pending removals. */
+  private def nodeLocal(s: graft.selector.Simple): Boolean = s match {
+    case graft.selector.Simple.All => true
+    case _: graft.selector.Simple.Tag => true
+    case _: graft.selector.Simple.Cls => true
+    case _: graft.selector.Simple.Id => true
+    case _: graft.selector.Simple.Attr => true
+    case _ => false
+  }
+
   /** simple single-compound descendant predicates of the candidate
-    * selectors, or null if any candidate needs the general engine. */
-  private def candidateCompounds(recipe: Recipe): Array[List[graft.selector.Simple]] = {
-    val out = new Array[List[graft.selector.Simple]](recipe.mainCandidates.length)
+    * selectors (node-local only — they are evaluated during the fused
+    * strip walk, before removal executes), or null if any candidate needs
+    * the general engine. */
+  private def candidateCompounds(recipe: Recipe): Array[Array[graft.selector.Simple]] = {
+    val out = new Array[Array[graft.selector.Simple]](recipe.mainCandidates.length)
     var i = 0
     recipe.mainCandidates.foreach { s =>
       compiled(s) match {
@@ -85,8 +99,8 @@ object Extractor extends Serializable {
           sel.process.head.shouldIn.isEmpty &&
           sel.process.head.query.lengthCompare(1) == 0 &&
           sel.process.head.query.head.comb == graft.selector.Combinator.ChildrenAll &&
-          !sel.process.head.query.head.simples.exists(graft.query.Engine.isPositional) =>
-          out(i) = sel.process.head.query.head.simples
+          sel.process.head.query.head.simples.forall(nodeLocal) =>
+          out(i) = sel.process.head.query.head.simples.toArray
         case _ => return null
       }
       i += 1
@@ -94,37 +108,74 @@ object Extractor extends Serializable {
     out
   }
 
+  /** the strip selector's comma groups as flat compounds when every group
+    * is a single-segment descendant predicate of non-positional simples
+    * (matching is done on the intact tree, exactly like find + remove). */
+  private def stripCompounds(recipe: Recipe): Array[Array[graft.selector.Simple]] =
+    compiled(recipe.remove) match {
+      case Right(sel) if sel.process.forall(p =>
+        p.shouldIn.isEmpty && p.query.lengthCompare(1) == 0 &&
+          p.query.head.comb == graft.selector.Combinator.ChildrenAll &&
+          !p.query.head.simples.exists(graft.query.Engine.isPositional)) =>
+        sel.process.iterator.map(_.query.head.simples.toArray).toArray
+      case _ => null
+    }
+
   /** pick the recipe's main-content element set after boilerplate removal;
-    * selectors come from the per-JVM parse cache. The common all-predicate
-    * candidate list resolves in ONE tree pass (first match per candidate,
-    * highest-priority candidate wins) instead of one find() per candidate. */
+    * selectors come from the per-JVM parse cache.
+    *
+    * Fast path (the default recipe shape): ONE fused tree pass does both
+    * the strip match and the candidate match — a strip-matched element is
+    * recorded for removal and its subtree is NOT entered (removing the
+    * root detaches everything below, and candidates must not come from
+    * stripped subtrees), which skips the bulk of a boilerplate-heavy page.
+    * Candidate simples are node-local (tag/class/id/attr), so evaluating
+    * them before the batched removal is indistinguishable from
+    * remove-then-find. Falls back to the general engine otherwise. */
   private def selectMain(doc: VDoc, recipe: Recipe): Elems = {
     val root = doc.rootElems
-    root.find(recipe.remove).remove()
-    val compounds = candidateCompounds(recipe)
-    if (compounds != null) {
+    val strip = stripCompounds(recipe)
+    val cands = candidateCompounds(recipe)
+    if (strip != null && cands != null) {
       val a = doc.arena
-      val firstMatch = Array.fill(compounds.length)(-1)
-      def rec(node: Int): Boolean = { // returns true when candidate 0 found
-        var c = a.firstChild(node)
-        while (c >= 0) {
-          if (a.kind(c) == a.ELEM) {
-            var i = 0
-            while (i < compounds.length) {
-              if (firstMatch(i) < 0 &&
-                compounds(i).forall(s => graft.query.Engine.matchOne(doc, c, s))) {
-                firstMatch(i) = c
-                if (i == 0) return true
-              }
-              i += 1
-            }
-            if (a.firstChild(c) >= 0 && rec(c)) return true
-          }
-          c = a.nextSib(c)
+      val firstMatch = Array.fill(cands.length)(-1)
+      val toRemove = new scala.collection.mutable.ArrayBuffer[Int](8)
+      @inline def matchesCompound(c: Int, simples: Array[graft.selector.Simple]): Boolean = {
+        var all = true
+        var si = 0
+        while (all && si < simples.length) {
+          all = graft.query.Engine.matchOne(doc, c, simples(si))
+          si += 1
+        }
+        all
+      }
+      @inline def matchesAny(c: Int, compounds: Array[Array[graft.selector.Simple]]): Boolean = {
+        var pi = 0
+        while (pi < compounds.length) {
+          if (matchesCompound(c, compounds(pi))) return true
+          pi += 1
         }
         false
       }
+      def rec(node: Int): Unit = {
+        var c = a.firstChild(node)
+        while (c >= 0) {
+          if (a.kind(c) == a.ELEM) {
+            if (matchesAny(c, strip)) toRemove += c
+            else {
+              var i = 0
+              while (i < cands.length) {
+                if (firstMatch(i) < 0 && matchesCompound(c, cands(i))) firstMatch(i) = c
+                i += 1
+              }
+              if (a.firstChild(c) >= 0) rec(c)
+            }
+          }
+          c = a.nextSib(c)
+        }
+      }
       rec(0)
+      if (toRemove.nonEmpty) new Elems(doc, toRemove.toArray).remove()
       var i = 0
       while (i < firstMatch.length) {
         if (firstMatch(i) >= 0) return new Elems(doc, Array(firstMatch(i)))
@@ -132,6 +183,7 @@ object Extractor extends Serializable {
       }
       return root
     }
+    root.find(recipe.remove).remove()
     var main: Elems = null
     val it = recipe.mainCandidates.iterator
     while (main == null && it.hasNext) {
