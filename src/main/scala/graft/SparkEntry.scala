@@ -330,7 +330,48 @@ object SparkEntry {
         "n_body", "n_head", "n_input", "n_header", "b_src").orderBy("doc_id")
     }),
 
-    // ---- 17. SQL surface: extract_attrs / extract_count / extract_text
+    // ---- 17. closure/membership set ops + clone isolation + texts
+    //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
+    //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
+    "q_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val k = (id % 5) + 2
+        val m = id % 6
+        val html = "<html><body><form><input type=\"submit\" />" +
+          "<button type=\"button\">b</button></form><ul>" +
+          (0L until k).map(i =>
+            s"""<li${if (i == 0) " class=\"a\"" else ""}>x$i</li>""").mkString +
+          s"</ul><p><em>solo</em>t$m</p></body></html>"
+        val root = Vis.loadOrThrow(html)
+        val lis = root.find("li")
+        val setA = lis.filter(".a")
+        val clone = root.find("ul").deepClone()
+        clone.find("li").setText("zz")
+        val bools =
+          (if (lis.isBy((i, _) => i == 0)) 1L else 0L) +
+            (if (setA.isAllIn(lis)) 1L else 0L) +
+            (if (lis.first().isIn(lis)) 1L else 0L) +
+            (if (root.find("ul").containsEle(lis.ids(0),
+              graft.selector.Combinator.Children)) 1L else 0L)
+        (id,
+          root.find(":submit").length.toLong,
+          root.find("em:only-of-type").length.toLong,
+          lis.filterIn(setA).length.toLong,
+          lis.notIn(setA).length.toLong,
+          bools,
+          root.find("ul").hasIn(setA).length.toLong,
+          lis.map((i, _) => i.toLong).sum,
+          lis.first().text(),
+          root.find("p").htmls(),
+          root.find("p").texts(0).length.toLong,
+          root.find("p").textsBy(0, (d, _) => d == 0).length.toLong)
+      }.toDF("doc_id", "n_submit", "n_oot", "n_fin", "n_nin", "n_bools",
+        "n_hasin", "n_map", "t_first", "h_p", "n_texts0", "n_tby")
+        .orderBy("doc_id")
+    }),
+
+    // ---- 18. SQL surface: extract_attrs / extract_count / extract_text
     //      as Catalyst functions over a binary html column ----
     "q_sql_surface" -> ((s, dir) => {
       import s.implicits._
@@ -532,6 +573,15 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS n_input, CAST(1 AS BIGINT) AS n_header, " +
         "CAST(1 AS BIGINT) AS b_src " +
         "FROM documents ORDER BY doc_id"),
+    "q_set_ops" ->
+      ("WITH t AS (SELECT doc_id, (doc_id % 5) + 2 AS k, doc_id % 6 AS m FROM documents) " +
+        "SELECT doc_id, CAST(1 AS BIGINT) AS n_submit, CAST(1 AS BIGINT) AS n_oot, " +
+        "CAST(1 AS BIGINT) AS n_fin, CAST(k - 1 AS BIGINT) AS n_nin, " +
+        "CAST(4 AS BIGINT) AS n_bools, CAST(1 AS BIGINT) AS n_hasin, " +
+        "CAST(k * (k - 1) / 2 AS BIGINT) AS n_map, 'x0' AS t_first, " +
+        "concat('<em>solo</em>t', CAST(m AS VARCHAR)) AS h_p, " +
+        "CAST(2 AS BIGINT) AS n_texts0, CAST(1 AS BIGINT) AS n_tby " +
+        "FROM t ORDER BY doc_id"),
     "q_sql_surface" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/p/0' WHEN 1 THEN '/p/0,/p/1' " +
