@@ -426,25 +426,26 @@ object TextOps extends Serializable {
         (id, v.toArray, probes)
       }
     val qb = spark.sparkContext.broadcast(queries)
-    def topk(scored: DataFrame): DataFrame =
-      scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rank") <= k).select(col("qid"), col("vec_id"))
-    val brute = topk(emb.flatMap { case (id, v) =>
-      qb.value.iterator.map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
-    }.toDF("qid", "vec_id", "cos"))
-    val lsh = topk(emb.flatMap { case (id, v) =>
+    // ONE scored pass marks each (query, vector) pair as an LSH candidate
+    // or not; two stacked windows rank the full set (brute) and the
+    // candidate subset (lsh) — a single job computes the hit count
+    val scored = emb.flatMap { case (id, v) =>
       val sigs = Array.tabulate(LshTables)(t => hyperplaneSig(v, planes, t))
-      qb.value.iterator
-        .filter { case (_, _, probes) =>
-          var hit = false
-          var t = 0
-          while (t < probes.length && !hit) { hit = probes(t).contains(sigs(t)); t += 1 }
-          hit
-        }
-        .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
-    }.toDF("qid", "vec_id", "cos"))
-    val hits = brute.join(lsh, Seq("qid", "vec_id")).count()
+      qb.value.iterator.map { case (qid, qv, probes) =>
+        var hit = false
+        var t = 0
+        while (t < probes.length && !hit) { hit = probes(t).contains(sigs(t)); t += 1 }
+        (qid, id, cosine(qv, v), hit)
+      }
+    }.toDF("qid", "vec_id", "cos", "cand")
+    val wAll = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val wCand = Window.partitionBy(col("qid"), col("cand"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val hits = scored
+      .withColumn("rank_all", row_number().over(wAll))
+      .withColumn("rank_cand", row_number().over(wCand))
+      .where(col("rank_all") <= k && col("cand") && col("rank_cand") <= k)
+      .count()
     val recall = hits.toDouble / (m.toLong * k)
     spark.createDataFrame(Seq((m.toLong, k.toLong, if (recall >= threshold) 1L else 0L)))
       .toDF("m", "k", "recall_ge_090")
