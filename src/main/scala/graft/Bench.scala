@@ -61,6 +61,10 @@ object Bench {
       // contention when all 32 vCPUs are busy)
       val job = pages.select(col("url"), call_function("extract_main", col("html")).as("text"))
       force(job)
+      // integrity tripwire: a broken engine must fail the bench loudly,
+      // never record garbage throughput (synthesized pages always extract)
+      val failures = job.where(col("text").isNull).count()
+      require(failures == 0L, s"extraction failed on $failures pages")
       // best-of-N: the sandbox VM shows bursty hypervisor steal (~4% avg,
       // worse when all 32 vCPUs are busy); min approximates steady state
       val reps = if (cpus >= 8) 5 else 2
