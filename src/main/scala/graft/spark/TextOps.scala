@@ -383,7 +383,10 @@ object TextOps extends Serializable {
     import spark.implicits._
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
-    val planes = planesFor(vecs.count())
+    // near-identical vectors (cos >= threshold) share a bucket in every
+    // table almost surely, so unlike ANN the bucket target can be SMALL:
+    // candidate volume is ~tables * target * n / 2 — keep the constant low
+    val planes = planesFor(vecs.count(), target = 32L)
     val sigRows = vecs.flatMap { case (id, v) =>
       (0 until LshTables).iterator.map(t => (id, t, hyperplaneSig(v, planes, t)))
     }.toDF("vec_id", "tbl", "sig")

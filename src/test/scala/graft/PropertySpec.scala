@@ -127,4 +127,29 @@ class PropertySpec extends AnyFunSuite {
       assert(viaUtf8 != null && viaUtf8.toString == viaString)
     }
   }
+
+  test("textops invariants: jaccard bounds/symmetry, simhash order-invariance, band whitespace-invariance") {
+    import graft.spark.TextOps
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val toksA = Seq.fill(n)("t" + rnd.nextInt(40))
+      val toksB = Seq.fill(1 + rnd.nextInt(30))("t" + rnd.nextInt(40))
+      val a = toksA.mkString(" ")
+      val b = toksB.mkString(" ")
+      val j = TextOps.jaccard(a, b, 3)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == TextOps.jaccard(b, a, 3)) // symmetric
+      assert(TextOps.jaccard(a, a, 3) == 1.0)
+      // simhash is a token-bag signature: order does not matter
+      val shuffled = rnd.shuffle(toksA).mkString(" ")
+      assert(TextOps.simHash(a) == TextOps.simHash(shuffled))
+      // band keys are whitespace-run-invariant
+      val ka = TextOps.minHashBandKeys(a, 3, 16, 4)
+      val kw = TextOps.minHashBandKeys(toksA.mkString("\t \t"), 3, 16, 4)
+      if (ka == null) assert(kw == null) else assert(ka.sameElements(kw))
+      // langId is total over arbitrary token soup
+      assert(Set("en", "de", "es", "fr", "zh", "und").contains(TextOps.langId(a)))
+    }
+  }
 }
