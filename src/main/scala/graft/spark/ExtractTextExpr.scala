@@ -99,8 +99,7 @@ case class ExtractMain(child: Expression)
   * per selector match in document order (the reference's find + attr flow);
   * boolean attributes yield "". */
 case class ExtractAttrs(first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   import org.apache.spark.sql.types.ArrayType
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -130,13 +129,22 @@ case class ExtractAttrs(first: Expression, second: Expression, third: Expression
       out.map(v => UTF8String.fromString(v).asInstanceOf[Any]))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractAttrsCodegenBinary" else "extractAttrsCodegen"
+    nullSafeCodeGen(ctx, ev, (h, s, a) => {
+      s"""
+         |${ev.value} = graft.spark.Extractor.$fn($h, $s, $a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 /** `extract_count(html, selector)` — find(selector).length as BIGINT. */
-case class ExtractCount(left: Expression, right: Expression) extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class ExtractCount(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -161,6 +169,18 @@ case class ExtractCount(left: Expression, right: Expression) extends BinaryExpre
       else html.asInstanceOf[UTF8String].toString
     val out = Extractor.extractCount(h, sel.asInstanceOf[UTF8String].toString)
     if (out == null) null else out.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractCountCodegenBinary" else "extractCountCodegen"
+    nullSafeCodeGen(ctx, ev, (h, s) => {
+      val boxed = ctx.freshName("cnt")
+      s"""
+         |java.lang.Long $boxed = graft.spark.Extractor.$fn($h, $s);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

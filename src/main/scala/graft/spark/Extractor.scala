@@ -285,6 +285,40 @@ object Extractor extends Serializable {
     }
   }
 
+  /** codegen entries for extract_attrs / extract_count (static calls from
+    * generated code; null propagates as SQL NULL). */
+  def extractAttrsCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      sel: org.apache.spark.unsafe.types.UTF8String,
+      attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || sel == null || attr == null) return null
+    attrsToArrayData(extractAttrs(html.toString, sel.toString, attr.toString))
+  }
+
+  def extractAttrsCodegenBinary(html: Array[Byte],
+      sel: org.apache.spark.unsafe.types.UTF8String,
+      attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || sel == null || attr == null) return null
+    attrsToArrayData(extractAttrs(
+      new String(html, java.nio.charset.StandardCharsets.UTF_8), sel.toString, attr.toString))
+  }
+
+  private def attrsToArrayData(out: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v).asInstanceOf[Any]))
+
+  def extractCountCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
+    if (html == null || sel == null) return null
+    extractCount(html.toString, sel.toString)
+  }
+
+  def extractCountCodegenBinary(html: Array[Byte],
+      sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
+    if (html == null || sel == null) return null
+    extractCount(new String(html, java.nio.charset.StandardCharsets.UTF_8), sel.toString)
+  }
+
   /** number of selector matches (find(sel).length at SQL level); -1 is
     * never emitted — null on parse/selector failure. */
   def extractCount(html: String, selector: String): java.lang.Long = {

@@ -183,5 +183,13 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getSeq[String](0) == Seq(""))
     // invalid selector -> NULL, never a task failure
     assert(spark.sql("SELECT extract_count('<p>x</p>', ':no-such(')").head().isNullAt(0))
+    // non-foldable input stays inside whole-stage codegen
+    val df = spark.range(3).selectExpr(
+      "extract_count(concat('<p>', CAST(id AS STRING), '</p>'), 'p') AS n",
+      "extract_attrs(concat('<a href=\"/', CAST(id AS STRING), '\">x</a>'), 'a', 'href') AS h")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L))
+    assert(rows.map(_.getSeq[String](1).head).toSeq == Seq("/0", "/1", "/2"))
   }
 }
