@@ -226,7 +226,7 @@ object Entities {
     // ---- spaces / invisible ----
     alias("emsp13" -> 0x2004, "emsp14" -> 0x2005, "numsp" -> 0x2007,
       "puncsp" -> 0x2008, "hairsp" -> 0x200A, "VeryThinSpace" -> 0x200A,
-      "ThinSpace" -> 0x2009, "ThickSpace" -> 0x2005, "MediumSpace" -> 0x205F,
+      "ThinSpace" -> 0x2009, "MediumSpace" -> 0x205F,
       "ZeroWidthSpace" -> 0x200B, "NegativeVeryThinSpace" -> 0x200B,
       "NegativeThinSpace" -> 0x200B, "NegativeMediumSpace" -> 0x200B,
       "NegativeThickSpace" -> 0x200B, "NoBreak" -> 0x2060,
@@ -234,6 +234,8 @@ object Entities {
       "InvisibleTimes" -> 0x2062, "it" -> 0x2062,
       "InvisibleComma" -> 0x2063, "ic" -> 0x2063,
       "NonBreakingSpace" -> 0xA0)
+    // WHATWG multi-codepoint sequence
+    m.put("ThickSpace", "\u205F\u200A")
 
     // ---- punctuation / typographic extras ----
     alias("hybull" -> 0x2043, "dash" -> 0x2010, "hyphen" -> 0x2010,
