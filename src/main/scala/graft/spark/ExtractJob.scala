@@ -47,11 +47,20 @@ final case class LineageRow(
   */
 object ExtractJob {
 
+  /** `preShuffled = true` skips the bucket repartition: correct whenever
+    * the input is already laid out bucket-aligned (e.g. a previous run's
+    * output, or a corpus stored partitioned by this job's own bucket
+    * expression) — extraction then runs map-only, zero exchanges, which is
+    * the re-run shape you want at 100 TB. The bucket column is still
+    * computed for lineage/output partitioning; only the shuffle is skipped
+    * (buckets land wherever the files are, which is exactly co-located for
+    * bucket-aligned storage). */
   final case class Config(
       buckets: Int = 64,
       salt: Int = 42,
       runId: String = "run-0",
-      recipe: Extractor.Recipe = Extractor.Recipe.default)
+      recipe: Extractor.Recipe = Extractor.Recipe.default,
+      preShuffled: Boolean = false)
 
   def bucketCol(salt: Int, buckets: Int) =
     pmod(hash(col("url"), lit(salt)), lit(buckets))
@@ -78,9 +87,12 @@ object ExtractJob {
 
     val recipe = cfg.recipe
 
-    // one shuffle: co-locate buckets (salted url hash)
-    val extracted: Dataset[ExtractedRow] = pending
-      .repartition(cfg.buckets, col("bucket"))
+    // one shuffle co-locates buckets (salted url hash) — or none at all
+    // when the input is already bucket-aligned storage
+    val shuffled =
+      if (cfg.preShuffled) pending
+      else pending.repartition(cfg.buckets, col("bucket"))
+    val extracted: Dataset[ExtractedRow] = shuffled
       .select(col("bucket"), col("url"), col("warc_ts"), col("html"))
       .as[(Int, String, Timestamp, Array[Byte])]
       .mapPartitions { it =>

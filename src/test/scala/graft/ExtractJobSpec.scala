@@ -66,6 +66,23 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.where(col("run_id") === "r2").count() == 4)
   }
 
+  test("preShuffled skips the exchange: map-only plan, identical output") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ps").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    // bucket-aligned storage: write once partitioned by the job's bucket
+    val aligned = s"$out/aligned"
+    pages.withColumn("bucket", ExtractJob.bucketCol(42, 8))
+      .write.partitionBy("bucket").parquet(aligned)
+    val alignedPages = spark.read.parquet(aligned).drop("bucket")
+    ExtractJob.run(spark, alignedPages, s"$out/job",
+      ExtractJob.Config(buckets = 8, runId = "ps", preShuffled = true))
+    val extracted = spark.read.parquet(s"$out/job/extracted")
+    assert(extracted.count() == pages.count())
+    val joined = extracted.join(pages.select(col("url"), col("text").as("expect")), "url")
+    assert(joined.where(!(col("text") <=> col("expect"))).count() == 0)
+    assert(spark.read.parquet(s"$out/job/lineage").count() == 8)
+  }
+
   test("salted url-hash buckets balance the power-law host skew") {
     val pages = PagesGen.asDataFrame(spark, sfDir)
     // raw host distribution is power-law: host-0 holds ~half the corpus
