@@ -77,11 +77,30 @@ object Parser {
   // out of every ASCII class naturally
   private def isNameStart(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-  private def isNameChar(c: Int): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
-      c == '-' || c == '_' || c == ':' || c == '.'
-  private def isWs(c: Int): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  // byte-class table: one load replaces 4-7 comparisons in the hot scan
+  // loops (indexed by widened-byte & 0xFF; >=0x80 classifies as nothing,
+  // which is correct for raw UTF-8 continuation/lead bytes)
+  private final val CtName = 1
+  private final val CtWs = 2
+  private final val CtKeyStop = 4 // ws = > / : terminates an attr key scan
+  private final val CtValStop = 8 // ws > /   : terminates a bare attr value
+  private val ctab: Array[Byte] = {
+    val t = new Array[Byte](256)
+    def add(c: Char, bit: Int): Unit = t(c & 0xFF) = (t(c & 0xFF) | bit).toByte
+    ('a' to 'z').foreach(add(_, CtName)); ('A' to 'Z').foreach(add(_, CtName))
+    ('0' to '9').foreach(add(_, CtName))
+    "-_:.".foreach(add(_, CtName))
+    " \t\n\r\f".foreach { c => add(c, CtWs); add(c, CtKeyStop); add(c, CtValStop) }
+    add('=', CtKeyStop)
+    add('>', CtKeyStop); add('>', CtValStop)
+    add('/', CtKeyStop); add('/', CtValStop)
+    t
+  }
+  private def isNameChar(c: Int): Boolean = (ctab(c & 0xFF) & CtName) != 0
+  private def isWs(c: Int): Boolean = (ctab(c & 0xFF) & CtWs) != 0
+  private def isKeyStop(c: Int): Boolean = (ctab(c & 0xFF) & CtKeyStop) != 0
+  private def isValStop(c: Int): Boolean = (ctab(c & 0xFF) & CtValStop) != 0
 
   private final class Parser(a: Arena, opts: ParseOptions) {
     private val buf = a.buf
@@ -286,8 +305,13 @@ object Parser {
         if (!opts.allowAttrKeyStartsWithEqualSign) err("attribute key starts with '='")
         i += 1
       }
-      while (i < len && !isWs(buf(i)) && buf(i) != '=' && buf(i) != '>' &&
-        !(buf(i) == '/' && i + 1 < len && buf(i + 1) == '>')) i += 1
+      var scanning = true
+      while (scanning) {
+        while (i < len && !isKeyStop(buf(i))) i += 1
+        // '/' not followed by '>' is part of the key
+        if (i < len && buf(i) == '/' && !(i + 1 < len && buf(i + 1) == '>')) i += 1
+        else scanning = false
+      }
       val keyEnd = i
       if (keyEnd == keyStart) { i += 1; return } // skip stray char
       // lookahead for '='
@@ -308,8 +332,12 @@ object Parser {
           if (j < len) j += 1 // closing quote
         } else {
           val vs = j
-          while (j < len && !isWs(buf(j)) && buf(j) != '>' &&
-            !(buf(j) == '/' && j + 1 < len && buf(j + 1) == '>')) j += 1
+          var vScan = true
+          while (vScan) {
+            while (j < len && !isValStop(buf(j))) j += 1
+            if (j < len && buf(j) == '/' && !(j + 1 < len && buf(j + 1) == '>')) j += 1
+            else vScan = false
+          }
           valOff = vs; valLen = j - vs
         }
         i = j
