@@ -390,6 +390,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 19. multimodal binary columns: stub decode -> typed metadata,
+    //      real histogram features, deterministic frame sampling ----
+    "q_media" -> ((s, dir) => {
+      import graft.spark.MediaOps
+      MediaOps.extractFeatures(s, MediaOps.mediaTable(s, dir))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("sample_rate"), col("dominant_bin"),
+          size(col("features")).as("n_feat"), col("sampled_frames"))
+        .orderBy("media_id")
+    }),
+
     // ---- corpus-level relational ops (Catalyst built-ins) ----
     "q_rollup_lang" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -589,6 +600,16 @@ object SparkEntry {
         "CAST((doc_id % 3) + 1 AS BIGINT) AS n_li, " +
         "concat('x', CAST(doc_id % 4 AS VARCHAR)) AS last_a " +
         "FROM documents ORDER BY doc_id"),
+    "q_media" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(16 + (doc_id % 7) * 16 AS INT) AS width, " +
+        "CAST(16 + (doc_id % 5) * 16 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 8000 END AS INT) AS sample_rate, " +
+        "CAST((doc_id % 251) // 16 AS BIGINT) AS dominant_bin, " +
+        "CAST(16 AS INT) AS n_feat, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN LEAST(4, 1 + doc_id % 24) ELSE 1 END AS INT) AS sampled_frames " +
+        "FROM documents ORDER BY media_id"),
     "q_rollup_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
