@@ -633,8 +633,9 @@ object SparkEntry {
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
     "q_lang_id" ->
-      ("SELECT doc_id, CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
-        "WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang_pred " +
+      ("SELECT doc_id, CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+        "WHEN 2 THEN 'es' WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' WHEN 5 THEN 'ja' " +
+        "WHEN 6 THEN 'ko' WHEN 7 THEN 'ru' ELSE 'ar' END AS lang_pred " +
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near " +

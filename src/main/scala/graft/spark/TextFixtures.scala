@@ -23,30 +23,40 @@ object TextFixtures extends Serializable {
     "es" -> Array("que", "los", "del", "se", "por", "y"),
     "fr" -> Array("les", "et", "est", "un", "une", "dans"))
 
-  private val langCycle = Array("en", "de", "es", "fr", "zh")
+  private val langCycle = Array("en", "de", "es", "fr", "zh", "ja", "ko", "ru", "ar")
 
-  def plantedLang(id: Long): String = langCycle((id % 5).toInt)
+  def plantedLang(id: Long): String = langCycle((id % langCycle.length).toInt)
+
+  /** script-run generators for the non-Latin planted languages. */
+  private val scriptBase: Map[String, (Int, Int)] = Map(
+    "zh" -> (0x4E00, 0xFFF), // CJK unified
+    "ja" -> (0x3041, 0x55), // hiragana+katakana span
+    "ko" -> (0xAC00, 0xFFF), // hangul syllables
+    "ru" -> (0x410, 0x3F), // cyrillic letters
+    "ar" -> (0x621, 0x29)) // arabic letters
 
   /** planted-language text: 12 marker stopwords + 6 neutral filler tokens
-    * (zh: a CJK run — the CJK ratio rule fires before stopword scoring). */
+    * (non-Latin: a script run — the script-ratio rule fires before
+    * stopword scoring). */
   def langText(id: Long): String = {
     val lang = plantedLang(id)
-    if (lang == "zh") {
-      val sb = new java.lang.StringBuilder(48)
-      var j = 0
-      while (j < 40) {
-        sb.append((0x4e00 + (mix(id * 41L + j) & 0xfff)).toChar)
-        if (j % 8 == 7) sb.append(' ')
-        j += 1
-      }
-      sb.toString
-    } else {
-      val markers = langMarkers(lang)
-      val toks = new Array[String](18)
-      var j = 0
-      while (j < 12) { toks(j) = markers(((id + j) % markers.length).toInt); j += 1 }
-      while (j < 18) { toks(j) = word(id * 131L + j); j += 1 }
-      toks.mkString(" ")
+    scriptBase.get(lang) match {
+      case Some((base, span)) =>
+        val sb = new java.lang.StringBuilder(48)
+        var j = 0
+        while (j < 40) {
+          sb.append((base + java.lang.Math.floorMod(mix(id * 41L + j), (span + 1).toLong).toInt).toChar)
+          if (j % 8 == 7) sb.append(' ')
+          j += 1
+        }
+        sb.toString
+      case None =>
+        val markers = langMarkers(lang)
+        val toks = new Array[String](18)
+        var j = 0
+        while (j < 12) { toks(j) = markers(((id + j) % markers.length).toInt); j += 1 }
+        while (j < 18) { toks(j) = word(id * 131L + j); j += 1 }
+        toks.mkString(" ")
     }
   }
 

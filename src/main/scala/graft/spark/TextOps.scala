@@ -120,18 +120,35 @@ object TextOps extends Serializable {
     min
   }
 
-  /** tiny n-gram/stopword language-id heuristic (en/de/es/fr/zh fallback). */
+  /** language id: Unicode-script ratios decide the non-Latin languages
+    * (kana before CJK — Japanese text contains kanji, but kana is the
+    * discriminator), then a stopword score settles the Latin-script ones.
+    * "und" when nothing fires. */
   def langId(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    var cjk = 0
+    var cjk, kana, hangul, cyr, arab, deva, heb, greek = 0
     var i = 0
     val n = math.min(text.length, 4000)
     while (i < n) {
       val c = text.charAt(i)
-      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x3040 && c <= 0x30FF) kana += 1
+      else if (c >= 0xAC00 && c <= 0xD7A3) hangul += 1
+      else if (c >= 0x400 && c <= 0x4FF) cyr += 1
+      else if (c >= 0x600 && c <= 0x6FF) arab += 1
+      else if (c >= 0x900 && c <= 0x97F) deva += 1
+      else if (c >= 0x590 && c <= 0x5FF) heb += 1
+      else if (c >= 0x370 && c <= 0x3FF) greek += 1
       i += 1
     }
+    if (kana * 20 > n) return "ja"
+    if (hangul * 10 > n) return "ko"
     if (cjk * 10 > n) return "zh"
+    if (cyr * 10 > n) return "ru"
+    if (arab * 10 > n) return "ar"
+    if (deva * 10 > n) return "hi"
+    if (heb * 10 > n) return "he"
+    if (greek * 10 > n) return "el"
     val toks = text.toLowerCase.split("\\s+")
     def score(words: Set[String]): Int = toks.count(words.contains)
     val en = score(Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"))
