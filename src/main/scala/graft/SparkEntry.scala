@@ -210,6 +210,25 @@ object SparkEntry {
       }.toDF("doc_id", "t").orderBy("doc_id")
     }),
 
+    // ---- 12b. text-node mutation: TextHandle append/prepend/setText/
+    //      remove/setHtml + Texts.filterBy ----
+    "q_texts_mut" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val m = id % 8
+        val root = Vis.loadOrThrow("<div>a<span>b</span>c</div><p>x</p>")
+        val texts = root.find("div").texts(0)
+        texts.get(0).appendText(s"$m")
+        texts.get(1).setText("B2")
+        texts.get(2).remove()
+        root.find("p").texts(0).get(0).setHtml(s"<b>y$m</b>z")
+        val nonEmpty = root.find("div").texts(0)
+          .filterBy((_, h) => h.text().nonEmpty).length.toLong
+        (id, root.find("div").text(), root.find("p").text(),
+          root.find("p").html(), nonEmpty)
+      }.toDF("doc_id", "t_div", "t_p", "h_p", "n_fby").orderBy("doc_id")
+    }),
+
     // ---- 13. pseudo-class battery: :not/:has/:contains/:empty/:only-child/
     //      :root + prefix/suffix/substring attribute operators ----
     "q_sel_pseudo" -> ((s, dir) => {
@@ -541,6 +560,12 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_texts" ->
       ("SELECT doc_id, concat('a', CAST(doc_id % 100 AS VARCHAR), '|B|C|J') AS t " +
+        "FROM documents ORDER BY doc_id"),
+    "q_texts_mut" ->
+      ("SELECT doc_id, concat('a', CAST(doc_id % 8 AS VARCHAR), 'B2') AS t_div, " +
+        "concat('y', CAST(doc_id % 8 AS VARCHAR), 'z') AS t_p, " +
+        "concat('<b>y', CAST(doc_id % 8 AS VARCHAR), '</b>z') AS h_p, " +
+        "CAST(2 AS BIGINT) AS n_fby " +
         "FROM documents ORDER BY doc_id"),
     "q_sel_pseudo" ->
       ("SELECT doc_id, " +
