@@ -493,6 +493,10 @@ object SparkEntry {
     // LSH ANN: multi-probe recall@k vs brute force over m query vectors
     "q_ann_lsh" -> ((s, dir) => TextOps.annLshRecall(s, dir, m = 8, k = 5)),
 
+    // IVF ANN (coarse-quantizer scale path): nprobe-of-nlist inverted-list
+    // scan, same recall gate
+    "q_ann_ivf" -> ((s, dir) => TextOps.annIvfRecall(s, dir, m = 8, k = 5)),
+
     // lineage rollup derived from the extraction output itself (doc_id
     // recovered from the url, text bytes from the extracted text — the
     // oracle recomputes both from the documents table)
@@ -687,6 +691,9 @@ object SparkEntry {
         "(SELECT embedding FROM embeddings WHERE vec_id = 0) q) " +
         "ORDER BY rank LIMIT 5"),
     "q_ann_lsh" ->
+      ("SELECT CAST(8 AS BIGINT) AS m, CAST(5 AS BIGINT) AS k, " +
+        "CAST(1 AS BIGINT) AS recall_ge_090"),
+    "q_ann_ivf" ->
       ("SELECT CAST(8 AS BIGINT) AS m, CAST(5 AS BIGINT) AS k, " +
         "CAST(1 AS BIGINT) AS recall_ge_090"),
     "q_lineage" ->

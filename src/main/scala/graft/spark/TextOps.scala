@@ -428,6 +428,110 @@ object TextOps extends Serializable {
       }.toDF("left_id", "right_id")
   }
 
+  /** deterministic Lloyd k-means over a driver-side sample (centroid model
+    * is tiny — nlist x dim floats — and broadcasts; the corpus is never
+    * collected). Seeds = evenly-strided sample points. */
+  def kmeansCentroids(sample: Array[Array[Float]], nlist: Int, iters: Int = 8): Array[Array[Float]] = {
+    val n = sample.length
+    val k = math.min(nlist, n)
+    val dim = sample.head.length
+    val cents = Array.tabulate(k)(c => sample(c * n / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val c = nearestCentroid(sample(i), cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { cents(c)(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  def nearestCentroid(v: Seq[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d2 = 0.0
+      var d = 0
+      val lim = math.min(cc.length, v.length)
+      while (d < lim) { val diff = cc(d) - v(d); d2 += diff * diff; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nprobe` nearest centroid indexes for a query vector. */
+  def nearestCentroids(v: Seq[Float], cents: Array[Array[Float]], nprobe: Int): Set[Int] = {
+    val d2 = cents.indices.map { c =>
+      val cc = cents(c)
+      var s = 0.0
+      var d = 0
+      val lim = math.min(cc.length, v.length)
+      while (d < lim) { val diff = cc(d) - v(d); s += diff * diff; d += 1 }
+      (s, c)
+    }
+    d2.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSet
+  }
+
+  /** IVF ANN scale path (the coarse-quantizer alternative to the LSH
+    * tables): k-means centroids from a strided sample partition the
+    * vectors into nlist inverted lists; a query scans only its `nprobe`
+    * nearest lists. Recall@k vs brute force via the same single-pass
+    * stacked-window gate as [[annLshRecall]]. */
+  def annIvfRecall(spark: SparkSession, sfDir: String, m: Int, k: Int,
+      nprobe: Int = 6, threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    val n = emb.count()
+    val nlist = math.max(8L, math.min(1024L, n / 64L)).toInt
+    // strided sample (deterministic, bounded): every (n/1024)-th vector
+    val stride = math.max(1L, n / 1024L)
+    val sample = emb.filter(_._1 % stride == 0L).collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val cents = spark.sparkContext.broadcast(kmeansCentroids(sample, nlist))
+    val queries: Array[(Long, Array[Float], Set[Int])] =
+      emb.filter(_._1 < m).collect().map { case (id, v) =>
+        (id, v.toArray, nearestCentroids(v, cents.value, nprobe))
+      }
+    val qb = spark.sparkContext.broadcast(queries)
+    val scored = emb.flatMap { case (id, v) =>
+      val list = nearestCentroid(v, cents.value)
+      qb.value.iterator.map { case (qid, qv, probes) =>
+        (qid, id, cosine(qv, v), probes.contains(list))
+      }
+    }.toDF("qid", "vec_id", "cos", "cand")
+    val wAll = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val wCand = Window.partitionBy(col("qid"), col("cand"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val hits = scored
+      .withColumn("rank_all", row_number().over(wAll))
+      .withColumn("rank_cand", row_number().over(wCand))
+      .where(col("rank_all") <= k && col("cand") && col("rank_cand") <= k)
+      .count()
+    val recall = hits.toDouble / (m.toLong * k)
+    spark.createDataFrame(Seq((m.toLong, k.toLong, if (recall >= threshold) 1L else 0L)))
+      .toDF("m", "k", "recall_ge_090")
+  }
+
   /** recall@k of multi-table multi-probe LSH vs brute force over the first
     * `m` query vectors, computed in two corpus passes (both fan each vector
     * out to the broadcast queries; ranks via per-query windows — no

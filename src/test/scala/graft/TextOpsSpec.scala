@@ -168,4 +168,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = TextOps.annLshRecall(spark, sfDir, m = 8, k = 5).head()
     assert(row.getLong(2) == 1L, "multi-table multi-probe LSH recall below 0.9")
   }
+
+  test("annIvfRecall >= 0.9 at sf0.001; kmeans assigns every vector") {
+    val row = TextOps.annIvfRecall(spark, sfDir, m = 8, k = 5).head()
+    assert(row.getLong(2) == 1L, "IVF nprobe recall below 0.9")
+    // centroid model invariants
+    val sample = Array.tabulate(64)(i =>
+      graft.spark.TextFixtures.pairVec(i.toLong, dim = 8))
+    val cents = TextOps.kmeansCentroids(sample, nlist = 8)
+    assert(cents.length == 8)
+    assert(cents.forall(_.length == 8))
+    sample.foreach { v =>
+      val c = TextOps.nearestCentroid(v, cents)
+      assert(c >= 0 && c < 8)
+      assert(TextOps.nearestCentroids(v, cents, 3).size == 3)
+    }
+  }
 }
