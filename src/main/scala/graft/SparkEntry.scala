@@ -445,7 +445,7 @@ object SparkEntry {
         .toDF("doc_id", "lang_pred").orderBy("doc_id")
     }),
 
-    // fingerprint + simhash: planted identical/unrelated pairs (doc_id ^ 1)
+    // fingerprint + simhash + winnowing: planted identical/unrelated pairs
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id").as[Long]).map { id =>
@@ -453,8 +453,9 @@ object SparkEntry {
         val p = TextFixtures.fpText(id ^ 1L)
         val fpEq = TextOps.fingerprint(t, 16) == TextOps.fingerprint(p, 16)
         val ham = java.lang.Long.bitCount(TextOps.simHash(t) ^ TextOps.simHash(p))
-        (id, fpEq, ham <= 8)
-      }.toDF("doc_id", "fp_eq", "sim_near").orderBy("doc_id")
+        val ov = TextOps.winnowOverlap(TextOps.winnowSet(t), TextOps.winnowSet(p))
+        (id, fpEq, ham <= 8, ov >= 0.9)
+      }.toDF("doc_id", "fp_eq", "sim_near", "ov_near").orderBy("doc_id")
     }),
 
     // MinHash-LSH near-dup pairs over the planted near-dup corpus: the
@@ -667,8 +668,8 @@ object SparkEntry {
         "WHEN 6 THEN 'ko' WHEN 7 THEN 'ru' ELSE 'ar' END AS lang_pred " +
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
-      ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near " +
-        "FROM documents ORDER BY doc_id"),
+      ("SELECT doc_id, ((doc_id // 2) % 2 = 0) AS fp_eq, ((doc_id // 2) % 2 = 0) AS sim_near, " +
+        "((doc_id // 2) % 2 = 0) AS ov_near FROM documents ORDER BY doc_id"),
     "q_dedup_minhash" ->
       ("SELECT doc_id AS left_id, doc_id + 1 AS right_id FROM documents " +
         "WHERE doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0 " +

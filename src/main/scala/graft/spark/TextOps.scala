@@ -107,7 +107,7 @@ object TextOps extends Serializable {
     out
   }
 
-  /** rolling-hash document fingerprint (winnowing-style min over k-grams). */
+  /** single rolling-hash document fingerprint (global min over k-grams). */
   def fingerprint(text: String, k: Int): Long = {
     if (text == null || text.length < k) return 0L
     var min = Long.MaxValue
@@ -118,6 +118,37 @@ object TextOps extends Serializable {
       i += 1
     }
     min
+  }
+
+  /** full winnowing (Schleimer/Wilkerson/Aiken shape): the rightmost-min
+    * k-gram hash of every length-`w` window, deduplicated — guarantees any
+    * shared substring of length >= k + w - 1 contributes a shared
+    * fingerprint, so overlap is a substring-copy detector, not just
+    * whole-doc equality. */
+  def winnowSet(text: String, k: Int = 16, w: Int = 8): Set[Long] = {
+    if (text == null || text.length < k) return Set.empty
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(text.substring(i, i + k), 0x1b873593L); i += 1 }
+    if (n <= w) return Set(hs.min)
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var s = 0
+    while (s + w <= n) {
+      var minAt = s
+      var j = s + 1
+      while (j < s + w) { if (hs(j) <= hs(minAt)) minAt = j; j += 1 }
+      out += hs(minAt)
+      s += 1
+    }
+    out.toSet
+  }
+
+  /** fingerprint-set overlap coefficient: |A ∩ B| / min(|A|, |B|). */
+  def winnowOverlap(a: Set[Long], b: Set[Long]): Double = {
+    if (a.isEmpty || b.isEmpty) return if (a.isEmpty && b.isEmpty) 1.0 else 0.0
+    val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+    small.count(big.contains).toDouble / small.size
   }
 
   /** language id: Unicode-script ratios decide the non-Latin languages

@@ -72,6 +72,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing: shared substring >= k+w-1 chars yields shared fingerprints") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val a = "PREFIXA " + base + " SUFFIXA"
+    val b = "xyz " + base + " qrs"
+    val ov = TextOps.winnowOverlap(TextOps.winnowSet(a), TextOps.winnowSet(b))
+    assert(ov > 0.5, s"copied-substring overlap was $ov")
+    val c = (100 until 140).map(i => s"tok$i").mkString(" ")
+    val ovU = TextOps.winnowOverlap(TextOps.winnowSet(a), TextOps.winnowSet(c))
+    assert(ovU < 0.2, s"unrelated overlap was $ovU")
+    assert(TextOps.winnowOverlap(TextOps.winnowSet(a), TextOps.winnowSet(a)) == 1.0)
+    assert(TextOps.winnowSet("short", 16, 8).isEmpty)
+    assert(TextOps.winnowSet(null).isEmpty)
+  }
+
   // ---------- minhash LSH pipeline ----------
 
   test("minhashPairs: planted near-dups found, mutated pairs verified away, shorts inert") {
