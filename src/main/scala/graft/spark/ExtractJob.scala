@@ -137,7 +137,7 @@ object ExtractJob {
 
   /** spark-submit entry:
     * `spark-submit --class graft.spark.ExtractJob visdomspark.jar
-    *    <pagesPathOrSfDir> <outDir> [buckets] [salt] [runId]`
+    *    <pagesPathOrSfDir> <outDir> [buckets] [salt] [runId] [preShuffled]`
     * A directory containing `documents.parquet` is synthesized into pages
     * first (sandbox path); anything else is read as a pages table. */
   def main(args: Array[String]): Unit = {
@@ -146,6 +146,7 @@ object ExtractJob {
     val buckets = if (args.length > 2) args(2).toInt else 64
     val salt = if (args.length > 3) args(3).toInt else 42
     val runId = if (args.length > 4) args(4) else "run-0"
+    val preShuffled = args.length > 5 && args(5).toBoolean
     val spark = SparkSession.builder()
       .appName("graft-extract")
       .config("spark.sql.extensions", "graft.spark.GraftSparkExtensions")
@@ -155,7 +156,7 @@ object ExtractJob {
       val pages =
         if (fsExists(spark, s"$in/documents.parquet")) PagesGen.asDataFrame(spark, in)
         else spark.read.parquet(in)
-      run(spark, pages, outDir, Config(buckets, salt, runId))
+      run(spark, pages, outDir, Config(buckets, salt, runId, preShuffled = preShuffled))
       spark.read.parquet(s"$outDir/lineage").orderBy("partition_id").show(20, truncate = false)
     } finally spark.stop()
   }

@@ -525,7 +525,8 @@ object TextOps extends Serializable {
     * tables): k-means centroids from a strided sample partition the
     * vectors into nlist inverted lists; a query scans only its `nprobe`
     * nearest lists. Recall@k vs brute force via the same single-pass
-    * stacked-window gate as [[annLshRecall]]. */
+    * stacked-window gate as [[annLshRecall]] (same caveat: the recall gate
+    * is an evaluation harness — sample the corpus at scale). */
   def annIvfRecall(spark: SparkSession, sfDir: String, m: Int, k: Int,
       nprobe: Int = 6, threshold: Double = 0.9): DataFrame = {
     import spark.implicits._
@@ -564,9 +565,13 @@ object TextOps extends Serializable {
   }
 
   /** recall@k of multi-table multi-probe LSH vs brute force over the first
-    * `m` query vectors, computed in two corpus passes (both fan each vector
-    * out to the broadcast queries; ranks via per-query windows — no
-    * per-query jobs). */
+    * `m` query vectors in ONE scored pass (each vector fans out to the
+    * broadcast queries; ranks via per-query windows).
+    *
+    * This is an EVALUATION HARNESS, not a production operator: the
+    * per-query windows put one query's scores in one partition, so run it
+    * on a sampled corpus at scale. The production ops ([[annTopK]],
+    * [[annLsh]]) use TakeOrdered — no windows, no per-query partitions. */
   def annLshRecall(spark: SparkSession, sfDir: String, m: Int, k: Int,
       threshold: Double = 0.9): DataFrame = {
     import spark.implicits._
