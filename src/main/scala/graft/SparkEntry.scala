@@ -420,6 +420,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- 20. SQL extract_main byte-identity over the synthesized pages:
+    //      the whole-stage-codegen path must equal the oracle text column
+    //      on every row ----
+    "q_sql_extract" -> ((s, dir) => {
+      val pages = PagesGen.asDataFrame(s, dir)
+      pages
+        .select(col("text"),
+          call_function("extract_main", col("html")).as("extracted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!(col("extracted") <=> col("text")), 1L).otherwise(0L)).as("n_mismatch"),
+          sum(when(col("extracted").isNull, 1L).otherwise(0L)).as("n_null"))
+    }),
+
     // ---- corpus-level relational ops (Catalyst built-ins) ----
     "q_rollup_lang" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -630,6 +643,9 @@ object SparkEntry {
         "CAST((doc_id % 3) + 1 AS BIGINT) AS n_li, " +
         "concat('x', CAST(doc_id % 4 AS VARCHAR)) AS last_a " +
         "FROM documents ORDER BY doc_id"),
+    "q_sql_extract" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(0 AS BIGINT) AS n_null FROM documents"),
     "q_media" ->
       ("SELECT doc_id AS media_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
