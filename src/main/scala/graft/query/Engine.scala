@@ -47,15 +47,28 @@ object Engine {
     i = 0
     while (i < n) { pos(i) = i; i += 1 }
     if (!sorted) {
-      // primitive insertion sort on positions (sets are small; no boxing)
-      i = 1
-      while (i < n) {
-        val pv = pos(i)
-        val pp = paths(pv)
-        var j = i - 1
-        while (j >= 0 && cmp(paths(pos(j)), pp) > 0) { pos(j + 1) = pos(j); j -= 1 }
-        pos(j + 1) = pv
-        i += 1
+      if (n <= 64) {
+        // primitive insertion sort on positions (small sets; no boxing)
+        i = 1
+        while (i < n) {
+          val pv = pos(i)
+          val pp = paths(pv)
+          var j = i - 1
+          while (j >= 0 && cmp(paths(pos(j)), pp) > 0) { pos(j + 1) = pos(j); j -= 1 }
+          pos(j + 1) = pv
+          i += 1
+        }
+      } else {
+        // large sets: TimSort on boxed positions. parents()/closest()/
+        // siblings()/ParentAll concatenate many ascending per-node runs —
+        // near worst case for insertion sort (O(n^2)) but near-linear for
+        // TimSort, which detects and merges the runs.
+        val boxed = new Array[Integer](n)
+        i = 0
+        while (i < n) { boxed(i) = Integer.valueOf(pos(i)); i += 1 }
+        java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => cmp(paths(x.intValue), paths(y.intValue)))
+        i = 0
+        while (i < n) { pos(i) = boxed(i).intValue; i += 1 }
       }
     }
     val out = new ArrayBuffer[Int](n)

@@ -258,11 +258,28 @@ object Extractor extends Serializable {
     if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
 
+  /** byte-native hot path for BINARY input: UTF-8 in (parseBytes), UTF-8 out
+    * (Utf8Builder) — no UTF-16 String round trip of the page, same as
+    * extract_main's path. */
   def extractTextCodegenBinary(html: Array[Byte],
       selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null || selector == null) return null
-    val out = extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8), selector.toString)
-    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      compiled(selector.toString) match {
+        case Left(_) => null
+        case Right(sel) =>
+          import scala.collection.mutable.ArrayBuffer
+          val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+          val ub = utf8Out.get()
+          ub.reset()
+          found.foreach(e => doc.arena.textContentUtf8(e, ub))
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   /** `attr(name)` of every selector match, in document order (the reference
@@ -272,6 +289,10 @@ object Extractor extends Serializable {
   def extractAttrs(html: String, selector: String, attrName: String): Array[String] = {
     val doc = parse(html)
     if (doc == null) return null
+    extractAttrsFrom(doc, selector, attrName)
+  }
+
+  private def extractAttrsFrom(doc: VDoc, selector: String, attrName: String): Array[String] =
     compiled(selector) match {
       case Left(_) => null
       case Right(sel) =>
@@ -283,7 +304,6 @@ object Extractor extends Serializable {
         }
         out.toArray
     }
-  }
 
   /** codegen entries for extract_attrs / extract_count (static calls from
     * generated code; null propagates as SQL NULL). */
@@ -294,12 +314,20 @@ object Extractor extends Serializable {
     attrsToArrayData(extractAttrs(html.toString, sel.toString, attr.toString))
   }
 
+  /** byte-native BINARY path: the page parses straight from UTF-8 (no
+    * UTF-16 inflation); only the small matched attr values materialize as
+    * Strings. */
   def extractAttrsCodegenBinary(html: Array[Byte],
       sel: org.apache.spark.unsafe.types.UTF8String,
       attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (html == null || sel == null || attr == null) return null
-    attrsToArrayData(extractAttrs(
-      new String(html, java.nio.charset.StandardCharsets.UTF_8), sel.toString, attr.toString))
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      attrsToArrayData(extractAttrsFrom(doc, sel.toString, attr.toString))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   private def attrsToArrayData(out: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =
@@ -313,10 +341,23 @@ object Extractor extends Serializable {
     extractCount(html.toString, sel.toString)
   }
 
+  /** byte-native BINARY path: parseBytes, never a page-sized String. */
   def extractCountCodegenBinary(html: Array[Byte],
       sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
     if (html == null || sel == null) return null
-    extractCount(new String(html, java.nio.charset.StandardCharsets.UTF_8), sel.toString)
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      compiled(sel.toString) match {
+        case Left(_) => null
+        case Right(s) =>
+          import scala.collection.mutable.ArrayBuffer
+          java.lang.Long.valueOf(
+            graft.query.Engine.findSelector(doc, ArrayBuffer(0), s).length.toLong)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   /** number of selector matches (find(sel).length at SQL level); -1 is

@@ -209,4 +209,33 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L))
     assert(rows.map(_.getSeq[String](1).head).toSeq == Seq("/0", "/1", "/2"))
   }
+
+  test("BINARY input paths (byte-native) equal the STRING paths") {
+    // multi-byte UTF-8 (2/3/4-byte sequences), entities, attrs, counts: the
+    // byte-native parseBytes path must agree with the UTF-16 parse path
+    val pages = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("<div id=\"a\">café &amp; <b>中文</b></div><a href=\"/x\">1</a><a href=\"/ü\">2</a>"),
+        org.apache.spark.sql.Row("<ul><li>&nbsp;x</li><li>y</li></ul><main>emoji 😀 &copy;</main>"),
+        org.apache.spark.sql.Row("<p data-k=\"v&quot;w\">t&lt;/p&gt;ail</p><p>two</p>")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    val out = pages.selectExpr(
+      "extract_text(s, 'div,main,p') AS t_str",
+      "extract_text(encode(s, 'utf-8'), 'div,main,p') AS t_bin",
+      "extract_attrs(s, 'a,p', 'href') AS a_str",
+      "extract_attrs(encode(s, 'utf-8'), 'a,p', 'href') AS a_bin",
+      "extract_count(s, 'li,b,a') AS c_str",
+      "extract_count(encode(s, 'utf-8'), 'li,b,a') AS c_bin"
+    ).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "extract_text binary != string")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "extract_attrs binary != string")
+      assert(r.getLong(4) == r.getLong(5), "extract_count binary != string")
+    }
+    // failure semantics preserved on the binary path: invalid selector -> NULL
+    assert(pages.limit(1)
+      .selectExpr("extract_count(encode(s, 'utf-8'), ':no-such(')")
+      .head().isNullAt(0))
+  }
 }

@@ -2,7 +2,7 @@
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf tables and compare (rows, schema-by-sorted-column-name,
 values) against the Spark parquet dumps from graft.Verify."""
-import json, sys, glob
+import json, sys, glob, math
 import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_r2"
@@ -42,11 +42,22 @@ for name in sorted(oracles):
     if ok:
         s = sdf[scols].reset_index(drop=True)
         o = odf[ocols].reset_index(drop=True)
+        def eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            # floats: tolerance — Spark and DuckDB double paths differ in ulps
+            if isinstance(a, float) or isinstance(b, float):
+                try:
+                    fa, fb = float(a), float(b)
+                except (TypeError, ValueError):
+                    return a == b
+                if fa != fa and fb != fb:  # both NaN
+                    return True
+                return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
+            return a == b or (a != a and b != b)
         for c in scols:
             sv, ov = s[c].tolist(), o[c].tolist()
-            # normalize numpy types to python for equality
-            svn = [None if v is None else (bool(v) if isinstance(v, bool) else v) for v in sv]
-            diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if not (a == b or (a != a and b != b))]
+            diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if not eq(a, b)]
             if diff:
                 i = diff[0]
                 print(f"{name}: VALUE col={c} row={i} spark={sv[i]!r} oracle={ov[i]!r} ({len(diff)} diffs)")
