@@ -36,6 +36,12 @@ object Plans {
 
     println("=== minhash LSH candidates (band bucket join; bucket-size cap before self-join) ===")
     graft.spark.TextOps.minhashPairs(spark, docs).explain("formatted")
+
+    println("=== persisted ANN index probe (partition-pruned (tbl,sigp) read + pushed sig filter) ===")
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = graft.spark.TextOps.ensureAnnIndex(spark, sfDir)
+    graft.spark.TextOps.annLshIndexed(spark, sfDir, idx, 0L, 5, radius = 2)
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -504,12 +504,30 @@ object SparkEntry {
     // list_cosine_similarity over the same embeddings table
     "q_ann_topk" -> ((s, dir) => TextOps.annTopK(s, dir, queryId = 0L, k = 5)),
 
-    // LSH ANN: multi-probe recall@k vs brute force over m query vectors
-    "q_ann_lsh" -> ((s, dir) => TextOps.annLshRecall(s, dir, m = 8, k = 5)),
+    // LSH ANN eval with a CROSS-ENGINE oracle: the exact per-query top-k
+    // computed over multi-probe LSH candidates must equal DuckDB's own
+    // brute-force top-k for every one of the m queries — any candidate-set
+    // miss hash-mismatches (the recall bit is no longer self-graded)
+    "q_ann_lsh" -> ((s, dir) =>
+      TextOps.annLshTopKEval(s, dir, m = 8, k = 5).orderBy("qid", "rank")),
 
-    // IVF ANN (coarse-quantizer scale path): nprobe-of-nlist inverted-list
-    // scan, same recall gate
-    "q_ann_ivf" -> ((s, dir) => TextOps.annIvfRecall(s, dir, m = 8, k = 5)),
+    // IVF ANN eval (coarse-quantizer scale path), same cross-engine
+    // contract: top-k over the nprobe nearest inverted lists == brute force
+    "q_ann_ivf" -> ((s, dir) =>
+      TextOps.annIvfTopKEval(s, dir, m = 8, k = 5, nprobe = 6).orderBy("qid", "rank")),
+
+    // persisted-index probes (the 100-TB path): build-once parquet index
+    // with (tbl, sigp) / list_id partition columns, probe = partition-pruned
+    // read of O(probes) buckets — never a corpus scan; results must equal
+    // DuckDB's brute-force top-k
+    "q_ann_lsh_idx" -> ((s, dir) => {
+      val idx = TextOps.ensureAnnIndex(s, dir)
+      TextOps.annLshIndexed(s, dir, idx, queryId = 0L, k = 5, radius = 2)
+    }),
+    "q_ann_ivf_idx" -> ((s, dir) => {
+      val idx = TextOps.ensureAnnIndex(s, dir)
+      TextOps.annIvfIndexed(s, dir, idx, queryId = 0L, k = 5, nprobe = 6)
+    }),
 
     // lineage rollup derived from the extraction output itself (doc_id
     // recovered from the url, text bytes from the extracted text — the
@@ -533,6 +551,25 @@ object SparkEntry {
         .orderBy("bucket")
     })
   )
+
+  /** DuckDB recomputes brute-force top-5 per query vector independently
+    * (list_cosine_similarity); the Spark side must reproduce it through its
+    * ANN candidate machinery — the cross-engine recall gate. */
+  private val AnnMultiQueryOracle: String =
+    "SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM (" +
+      "SELECT q.vec_id AS qid, e.vec_id AS vec_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank " +
+      "FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q" +
+      ") WHERE rank <= 5 ORDER BY qid, rank"
+
+  private val AnnQuery0Oracle: String =
+    "SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS INT) AS rank, vec_id " +
+      "FROM (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) AS c FROM embeddings e, " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0) q) " +
+      "ORDER BY rank LIMIT 5"
 
   def oracleSql: Map[String, String] = Map(
     "q_extract_main" ->
@@ -707,12 +744,10 @@ object SparkEntry {
         "CAST(q.embedding AS DOUBLE[])) AS c FROM embeddings e, " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0) q) " +
         "ORDER BY rank LIMIT 5"),
-    "q_ann_lsh" ->
-      ("SELECT CAST(8 AS BIGINT) AS m, CAST(5 AS BIGINT) AS k, " +
-        "CAST(1 AS BIGINT) AS recall_ge_090"),
-    "q_ann_ivf" ->
-      ("SELECT CAST(8 AS BIGINT) AS m, CAST(5 AS BIGINT) AS k, " +
-        "CAST(1 AS BIGINT) AS recall_ge_090"),
+    "q_ann_lsh" -> AnnMultiQueryOracle,
+    "q_ann_ivf" -> AnnMultiQueryOracle,
+    "q_ann_lsh_idx" -> AnnQuery0Oracle,
+    "q_ann_ivf_idx" -> AnnQuery0Oracle,
     "q_lineage" ->
       ("SELECT doc_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS doc_count, " +
         "CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes, " +

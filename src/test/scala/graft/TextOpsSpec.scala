@@ -198,4 +198,57 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(TextOps.nearestCentroids(v, cents, 3).size == 3)
     }
   }
+
+  // ---------- persisted ANN index ----------
+
+  private def bruteIds(q: Long, k: Int): Seq[Long] =
+    TextOps.annTopK(spark, sfDir, q, k).collect().map(_.getLong(1)).toSeq
+
+  test("persisted ANN index: pruned LSH and IVF probes equal brute-force top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    try {
+      TextOps.buildAnnIndex(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"), dir)
+      val expected = bruteIds(0L, 5)
+      val lsh = TextOps.annLshIndexed(spark, sfDir, dir, 0L, 5, radius = 2)
+      assert(lsh.collect().map(_.getLong(1)).toSeq == expected)
+      assert(TextOps.annIvfIndexed(spark, sfDir, dir, 0L, 5, nprobe = 6)
+        .collect().map(_.getLong(1)).toSeq == expected)
+      // the probe must be a pruned read, not a corpus scan: partition
+      // filters on (tbl, sigp) and a pushed-down sig filter in the scan
+      val plan = lsh.queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters: [")).getOrElse("")
+      assert(pf.contains("tbl") && pf.contains("sigp"),
+        s"no (tbl, sigp) partition pruning in scan: $pf")
+      assert(plan.contains("In(sig"), "sig filter not pushed to parquet")
+      // layout invariants: partition directories exist per (tbl, sigp)
+      val lshDirs = new java.io.File(s"$dir/lsh").listFiles().filter(_.isDirectory)
+      assert(lshDirs.nonEmpty && lshDirs.forall(_.getName.startsWith("tbl=")))
+      val ivfDirs = new java.io.File(s"$dir/ivf").listFiles().filter(_.isDirectory)
+      assert(ivfDirs.nonEmpty && ivfDirs.forall(_.getName.startsWith("list_id=")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("annLshTopKEval / annIvfTopKEval reproduce brute-force top-k per query") {
+    val expected = (0L until 4L).flatMap(q =>
+      bruteIds(q, 5).zipWithIndex.map { case (id, i) => (q, i + 1, id) })
+    val lsh = TextOps.annLshTopKEval(spark, sfDir, m = 4, k = 5)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(lsh == expected)
+    // sf0.001 has nlist=8 near-orthogonal vectors: true NNs scatter across
+    // lists, so the exact-match eval needs nprobe=8 here (at sf0.01 the
+    // verification corpus is exact at the production default nprobe=6)
+    val ivf = TextOps.annIvfTopKEval(spark, sfDir, m = 4, k = 5, nprobe = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf == expected)
+  }
+
+  test("l2normalize: unit norm, zero-vector passthrough") {
+    val v = TextOps.l2normalize(Seq(3f, 4f))
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6)
+    assert(TextOps.l2normalize(Seq(0f, 0f)).toSeq == Seq(0f, 0f))
+  }
 }
