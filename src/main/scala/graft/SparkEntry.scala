@@ -31,19 +31,79 @@ object SparkEntry {
   // m-variant helper used by the synthetic fixtures
   @inline private def rep(s: String, n: Long): String = s * n.toInt
 
-  /** stable sample across the HTML5 named-entity families; q_entities draws
-    * `doc_id % length` and the oracle carries the decoded literals. */
-  private val EntitySample: Array[String] = Array(
-    "hellip", "ndash", "mdash", "rsquo", "lsquo", "ldquo", "rdquo", "shy",
-    "copy", "reg", "trade", "deg", "middot", "laquo", "raquo", "frac12",
-    "frac34", "frac13", "frac58", "times", "divide", "szlig", "eacute",
-    "Uuml", "ccedil", "oelig", "Scaron", "alpha", "Omega", "pi", "sigmaf",
-    "epsiv", "Acy", "zhcy", "SHCHcy", "yacy", "Aopf", "Zopf", "ropf", "Cfr",
-    "Iscr", "escr", "boxDR", "boxVH", "boxh", "larr", "rArr", "mapsto",
-    "hookleftarrow", "nleftarrow", "xrArr", "forall", "exist", "nexist",
-    "isin", "notin", "sum", "prod", "int", "oint", "le", "ge", "ne", "asymp",
-    "otimes", "perp", "sdot", "lceil", "rang", "spades", "hearts", "check",
-    "bigstar", "euro", "dagger", "permil", "bull", "lambda", "Gamma", "ohm")
+  /** stable sample across the HTML5 named-entity families, extended in
+    * round 3 with multi-codepoint sequences and completeness-patch names;
+    * q_entities draws `doc_id %% length`. The expected decode of each name
+    * is PINNED as a literal generated from the published WHATWG list (not
+    * from graft.dom.Entities), so the DuckDB oracle is independent of the
+    * decode table under test. */
+  private val EntitySample: Array[(String, String)] = Array(
+    ("hellip", "\u2026"), ("ndash", "\u2013"),
+    ("mdash", "\u2014"), ("rsquo", "\u2019"),
+    ("lsquo", "\u2018"), ("ldquo", "\u201c"),
+    ("rdquo", "\u201d"), ("shy", "\u00ad"),
+    ("copy", "\u00a9"), ("reg", "\u00ae"),
+    ("trade", "\u2122"), ("deg", "\u00b0"),
+    ("middot", "\u00b7"), ("laquo", "\u00ab"),
+    ("raquo", "\u00bb"), ("frac12", "\u00bd"),
+    ("frac34", "\u00be"), ("frac13", "\u2153"),
+    ("frac58", "\u215d"), ("times", "\u00d7"),
+    ("divide", "\u00f7"), ("szlig", "\u00df"),
+    ("eacute", "\u00e9"), ("Uuml", "\u00dc"),
+    ("ccedil", "\u00e7"), ("oelig", "\u0153"),
+    ("Scaron", "\u0160"), ("alpha", "\u03b1"),
+    ("Omega", "\u03a9"), ("pi", "\u03c0"),
+    ("sigmaf", "\u03c2"), ("epsiv", "\u03f5"),
+    ("Acy", "\u0410"), ("zhcy", "\u0436"),
+    ("SHCHcy", "\u0429"), ("yacy", "\u044f"),
+    ("Aopf", "\ud835\udd38"), ("Zopf", "\u2124"),
+    ("ropf", "\ud835\udd63"), ("Cfr", "\u212d"),
+    ("Iscr", "\u2110"), ("escr", "\u212f"),
+    ("boxDR", "\u2554"), ("boxVH", "\u256c"),
+    ("boxh", "\u2500"), ("larr", "\u2190"),
+    ("rArr", "\u21d2"), ("mapsto", "\u21a6"),
+    ("hookleftarrow", "\u21a9"), ("nleftarrow", "\u219a"),
+    ("xrArr", "\u27f9"), ("forall", "\u2200"),
+    ("exist", "\u2203"), ("nexist", "\u2204"),
+    ("isin", "\u2208"), ("notin", "\u2209"),
+    ("sum", "\u2211"), ("prod", "\u220f"),
+    ("int", "\u222b"), ("oint", "\u222e"),
+    ("le", "\u2264"), ("ge", "\u2265"),
+    ("ne", "\u2260"), ("asymp", "\u2248"),
+    ("otimes", "\u2297"), ("perp", "\u22a5"),
+    ("sdot", "\u22c5"), ("lceil", "\u2308"),
+    ("rang", "\u27e9"), ("spades", "\u2660"),
+    ("hearts", "\u2665"), ("check", "\u2713"),
+    ("bigstar", "\u2605"), ("euro", "\u20ac"),
+    ("dagger", "\u2020"), ("permil", "\u2030"),
+    ("bull", "\u2022"), ("lambda", "\u03bb"),
+    ("Gamma", "\u0393"), ("ohm", "\u03a9"),
+    ("nLt", "\u226a\u20d2"), ("nGt", "\u226b\u20d2"),
+    ("fjlig", "fj"), ("ThickSpace", "\u205f\u200a"),
+    ("NotEqualTilde", "\u2242\u0338"), ("bne", "=\u20e5"),
+    ("bnequiv", "\u2261\u20e5"), ("caps", "\u2229\ufe00"),
+    ("cups", "\u222a\ufe00"), ("varsubsetneqq", "\u2acb\ufe00"),
+    ("gvertneqq", "\u2269\ufe00"), ("nang", "\u2220\u20d2"),
+    ("nvltrie", "\u22b4\u20d2"), ("race", "\u223d\u0331"),
+    ("acE", "\u223e\u0333"), ("NotSubset", "\u2282\u20d2"),
+    ("NotNestedLessLess", "\u2aa1\u0338"), ("nparsl", "\u2afd\u20e5"),
+    ("smtes", "\u2aac\ufe00"), ("nGg", "\u22d9\u0338"),
+    ("And", "\u2a53"), ("Colone", "\u2a74"),
+    ("Cross", "\u2a2f"), ("DownLeftRightVector", "\u2950"),
+    ("Equal", "\u2a75"), ("HARDcy", "\u042a"),
+    ("LeftTriangleBar", "\u29cf"), ("Not", "\u2aec"),
+    ("RuleDelayed", "\u29f4"), ("ZeroWidthSpace", "\u200b"),
+    ("angmsdaa", "\u29a8"), ("bemptyv", "\u29b0"),
+    ("capbrcup", "\u2a49"), ("congdot", "\u2a6d"),
+    ("cwint", "\u2231"), ("demptyv", "\u29b1"),
+    ("eqvparsl", "\u29e5"), ("gesdotol", "\u2a84"),
+    ("lbrksld", "\u298f"), ("mapstoup", "\u21a5"),
+    ("midcir", "\u2af0"), ("nhpar", "\u2af2"),
+    ("odsold", "\u29bc"), ("olcir", "\u29be"),
+    ("rpargt", "\u2994"), ("simrarr", "\u2972"),
+    ("smashp", "\u2a33"), ("suphsol", "\u27c9"),
+    ("trisb", "\u29cd"), ("upuparrows", "\u21c8"),
+    ("veeeq", "\u225a"), ("xsqcup", "\u2a06"))
 
   private def sqlStringList(items: Seq[String]): String =
     items.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ",", "]")
@@ -165,7 +225,7 @@ object SparkEntry {
       val sample = EntitySample
       docs(s, dir).select("doc_id").as[Long].map { id =>
         val m = id % 100
-        val name = sample((id % sample.length).toInt)
+        val name = sample((id % sample.length).toInt)._1
         val html = s"<p>&lt;A&gt;&amp;&#66;&#x43;&nbsp;z$m</p><i>&$name;!</i>"
         val root = Vis.loadOrThrow(html)
         (id, root.find("p").text(), root.find("i").text())
@@ -603,7 +663,7 @@ object SparkEntry {
         "concat('v', CAST(doc_id % 10 AS VARCHAR)) AS att FROM documents ORDER BY doc_id"),
     "q_entities" ->
       ("SELECT doc_id, concat('<A>&BC', chr(160), 'z', CAST(doc_id % 100 AS VARCHAR)) AS txt, " +
-        "(" + sqlStringList(EntitySample.map(n => graft.dom.Entities.namedValue(n) + "!")) +
+        "(" + sqlStringList(EntitySample.map(_._2 + "!")) +
         s")[CAST(doc_id % ${EntitySample.length} AS INT) + 1] AS ent " +
         "FROM documents ORDER BY doc_id"),
     "q_val" ->

@@ -476,7 +476,7 @@ object Entities {
       "SuchThat" -> 0x220B, "notni" -> 0x220C,
       "notniva" -> 0x220C, "NotReverseElement" -> 0x220C,
       "ForAll" -> 0x2200, "Exists" -> 0x2203, "PartialD" -> 0x2202,
-      "Del" -> 0x2207, "Gradient" -> 0x2207, "Sum" -> 0x2211,
+      "Del" -> 0x2207, "Sum" -> 0x2211,
       "Product" -> 0x220F, "Coproduct" -> 0x2210, "coprod" -> 0x2210,
       "Integral" -> 0x222B, "Proportional" -> 0x221D, "propto" -> 0x221D,
       "varpropto" -> 0x221D, "vprop" -> 0x221D, "Tilde" -> 0x223C,
@@ -522,6 +522,340 @@ object Entities {
       "sfrown" -> 0x2322, "smile" -> 0x2323, "ssmile" -> 0x2323,
       "lmoust" -> 0x23B0, "lmoustache" -> 0x23B0,
       "rmoust" -> 0x23B1, "rmoustache" -> 0x23B1)
+
+    // ---- WHATWG multi-codepoint sequences ----
+    // The complete two-codepoint set from the HTML5 named character
+    // reference table (the reference decodes these through the htmlentity
+    // crate's full WHATWG table, re-exported at reference src/lib.rs:56-59).
+    // Three families: U+0338 / U+20D2 / U+20E5 negation overlays, U+FE00
+    // variation selectors, and the literal ligature/base-char pairs.
+    def seq(pairs: (String, String)*): Unit = pairs.foreach(kv => m.put(kv._1, kv._2))
+    seq(
+      // combining long solidus overlay U+0338
+      "NotEqualTilde" -> "≂̸", "nesim" -> "≂̸",
+      "NotGreaterFullEqual" -> "≧̸", "ngE" -> "≧̸",
+      "ngeqq" -> "≧̸",
+      "nlE" -> "≦̸", "nleqq" -> "≦̸",
+      "NotGreaterGreater" -> "≫̸", "nGtv" -> "≫̸",
+      "NotLessLess" -> "≪̸", "nLtv" -> "≪̸",
+      "NotGreaterSlantEqual" -> "⩾̸", "ngeqslant" -> "⩾̸",
+      "nges" -> "⩾̸",
+      "NotLessSlantEqual" -> "⩽̸", "nleqslant" -> "⩽̸",
+      "nles" -> "⩽̸",
+      "NotHumpDownHump" -> "≎̸", "nbump" -> "≎̸",
+      "NotHumpEqual" -> "≏̸", "nbumpe" -> "≏̸",
+      "NotLeftTriangleBar" -> "⧏̸",
+      "NotRightTriangleBar" -> "⧐̸",
+      "NotNestedLessLess" -> "⪡̸",
+      "NotNestedGreaterGreater" -> "⪢̸",
+      "NotPrecedesEqual" -> "⪯̸", "npre" -> "⪯̸",
+      "npreceq" -> "⪯̸",
+      "NotSucceedsEqual" -> "⪰̸", "nsce" -> "⪰̸",
+      "nsucceq" -> "⪰̸",
+      "NotSucceedsTilde" -> "≿̸",
+      "NotSquareSubset" -> "⊏̸",
+      "NotSquareSuperset" -> "⊐̸",
+      "nGg" -> "⋙̸", "nLl" -> "⋘̸",
+      "napE" -> "⩰̸", "napid" -> "≋̸",
+      "ncongdot" -> "⩭̸", "nedot" -> "≐̸",
+      "notinE" -> "⋹̸", "notindot" -> "⋵̸",
+      "npart" -> "∂̸",
+      "nrarrc" -> "⤳̸", "nrarrw" -> "↝̸",
+      "nsubE" -> "⫅̸", "nsubseteqq" -> "⫅̸",
+      "nsupE" -> "⫆̸", "nsupseteqq" -> "⫆̸",
+      "acE" -> "∾̳", "race" -> "∽̱",
+      // combining vertical line overlays U+20D2 / U+20E5
+      "nGt" -> "≫⃒", "nLt" -> "≪⃒",
+      "nang" -> "∠⃒", "nvap" -> "≍⃒",
+      "nvge" -> "≥⃒", "nvgt" -> ">⃒",
+      "nvle" -> "≤⃒", "nvlt" -> "<⃒",
+      "nvltrie" -> "⊴⃒", "nvrtrie" -> "⊵⃒",
+      "nvsim" -> "∼⃒",
+      "vnsub" -> "⊂⃒", "vnsup" -> "⊃⃒",
+      "NotSubset" -> "⊂⃒", "nsubset" -> "⊂⃒",
+      "NotSuperset" -> "⊃⃒", "nsupset" -> "⊃⃒",
+      "bne" -> "=⃥", "bnequiv" -> "≡⃥",
+      "nparsl" -> "⫽⃥",
+      // variation selector VS1 U+FE00
+      "caps" -> "∩︀", "cups" -> "∪︀",
+      "sqcaps" -> "⊓︀", "sqcups" -> "⊔︀",
+      "gesl" -> "⋛︀", "lesg" -> "⋚︀",
+      "gvnE" -> "≩︀", "gvertneqq" -> "≩︀",
+      "lvnE" -> "≨︀", "lvertneqq" -> "≨︀",
+      "lates" -> "⪭︀", "smtes" -> "⪬︀",
+      "vsubne" -> "⊊︀", "varsubsetneq" -> "⊊︀",
+      "vsubnE" -> "⫋︀", "varsubsetneqq" -> "⫋︀",
+      "vsupne" -> "⊋︀", "varsupsetneq" -> "⊋︀",
+      "vsupnE" -> "⫌︀", "varsupsetneqq" -> "⫌︀",
+      // literal pairs
+      "fjlig" -> "fj", "ThickSpace" -> "  ")
+
+    // ---- WHATWG completeness patch ----
+    // The remaining semicolon-form names of the HTML5 named character
+    // reference table (generated against the published WHATWG list; the
+    // reference decodes the same full table via the htmlentity crate,
+    // reference src/lib.rs:56-59). With this block the decoder covers
+    // every `&name;` the spec defines - 2125 names.
+    seq(
+      "And" -> "\u2a53", "Backslash" -> "\u2216",
+      "Barv" -> "\u2ae7", "Barwed" -> "\u2306",
+      "ClockwiseContourIntegral" -> "\u2232", "Colone" -> "\u2a74",
+      "CounterClockwiseContourIntegral" -> "\u2233", "Cross" -> "\u2a2f",
+      "DDotrahd" -> "\u2911", "Dashv" -> "\u2ae4",
+      "DotDot" -> "\u20dc", "DoubleContourIntegral" -> "\u222f",
+      "DoubleDownArrow" -> "\u21d3", "DoubleLeftTee" -> "\u2ae4",
+      "DoubleLongLeftArrow" -> "\u27f8", "DoubleLongLeftRightArrow" -> "\u27fa",
+      "DoubleLongRightArrow" -> "\u27f9", "DoubleUpArrow" -> "\u21d1",
+      "DoubleUpDownArrow" -> "\u21d5", "DownArrowBar" -> "\u2913",
+      "DownArrowUpArrow" -> "\u21f5", "DownBreve" -> "\u0311",
+      "DownLeftRightVector" -> "\u2950", "DownLeftTeeVector" -> "\u295e",
+      "DownLeftVector" -> "\u21bd", "DownLeftVectorBar" -> "\u2956",
+      "DownRightTeeVector" -> "\u295f", "DownRightVector" -> "\u21c1",
+      "DownRightVectorBar" -> "\u2957", "DownTeeArrow" -> "\u21a7",
+      "EmptySmallSquare" -> "\u25fb", "Equal" -> "\u2a75",
+      "Esim" -> "\u2a73", "FilledSmallSquare" -> "\u25fc",
+      "GreaterEqual" -> "\u2265", "GreaterFullEqual" -> "\u2267",
+      "GreaterGreater" -> "\u2aa2", "LeftArrowBar" -> "\u21e4",
+      "LeftArrowRightArrow" -> "\u21c6", "LeftCeiling" -> "\u2308",
+      "LeftDownTeeVector" -> "\u2961", "LeftDownVector" -> "\u21c3",
+      "LeftDownVectorBar" -> "\u2959", "LeftFloor" -> "\u230a",
+      "LeftRightVector" -> "\u294e", "LeftTeeArrow" -> "\u21a4",
+      "LeftTeeVector" -> "\u295a", "LeftTriangleBar" -> "\u29cf",
+      "LeftUpDownVector" -> "\u2951", "LeftUpTeeVector" -> "\u2960",
+      "LeftUpVector" -> "\u21bf", "LeftUpVectorBar" -> "\u2958",
+      "LeftVector" -> "\u21bc", "LeftVectorBar" -> "\u2952",
+      "LessFullEqual" -> "\u2266", "LessLess" -> "\u2aa1",
+      "LowerLeftArrow" -> "\u2199", "LowerRightArrow" -> "\u2198",
+      "Map" -> "\u2905", "Not" -> "\u2aec",
+      "NotGreaterLess" -> "\u2279", "NotGreaterTilde" -> "\u2275",
+      "NotLeftTriangleEqual" -> "\u22ec", "NotLessGreater" -> "\u2278",
+      "NotLessTilde" -> "\u2274", "NotPrecedesSlantEqual" -> "\u22e0",
+      "NotRightTriangleEqual" -> "\u22ed", "NotSquareSubsetEqual" -> "\u22e2",
+      "NotSquareSupersetEqual" -> "\u22e3", "NotSucceedsSlantEqual" -> "\u22e1",
+      "Or" -> "\u2a54", "Otimes" -> "\u2a37",
+      "OverBar" -> "\u203e", "Poincareplane" -> "\u210c",
+      "Pr" -> "\u2abb", "RBarr" -> "\u2910",
+      "Rarrtl" -> "\u2916", "ReverseUpEquilibrium" -> "\u296f",
+      "RightArrowBar" -> "\u21e5", "RightArrowLeftArrow" -> "\u21c4",
+      "RightCeiling" -> "\u2309", "RightDownTeeVector" -> "\u295d",
+      "RightDownVector" -> "\u21c2", "RightDownVectorBar" -> "\u2955",
+      "RightFloor" -> "\u230b", "RightTeeVector" -> "\u295b",
+      "RightTriangleBar" -> "\u29d0", "RightUpDownVector" -> "\u294f",
+      "RightUpTeeVector" -> "\u295c", "RightUpVector" -> "\u21be",
+      "RightUpVectorBar" -> "\u2954", "RightVector" -> "\u21c0",
+      "RightVectorBar" -> "\u2953", "RoundImplies" -> "\u2970",
+      "RuleDelayed" -> "\u29f4", "Sc" -> "\u2abc",
+      "ShortDownArrow" -> "\u2193", "ShortUpArrow" -> "\u2191",
+      "Superset" -> "\u2283", "TripleDot" -> "\u20db",
+      "Uarrocir" -> "\u2949", "UpArrowBar" -> "\u2912",
+      "UpArrowDownArrow" -> "\u21c5", "UpEquilibrium" -> "\u296e",
+      "UpTeeArrow" -> "\u21a5", "Updownarrow" -> "\u21d5",
+      "UpperLeftArrow" -> "\u2196", "UpperRightArrow" -> "\u2197",
+      "Vbar" -> "\u2aeb", "Vdashl" -> "\u2ae6",
+      "Verbar" -> "\u2016", "VerticalSeparator" -> "\u2758",
+      "ac" -> "\u223e", "acd" -> "\u223f",
+      "aleph" -> "\u2135", "amalg" -> "\u2a3f",
+      "andand" -> "\u2a55", "andd" -> "\u2a5c",
+      "andslope" -> "\u2a58", "andv" -> "\u2a5a",
+      "ange" -> "\u29a4", "angmsdaa" -> "\u29a8",
+      "angmsdab" -> "\u29a9", "angmsdac" -> "\u29aa",
+      "angmsdad" -> "\u29ab", "angmsdae" -> "\u29ac",
+      "angmsdaf" -> "\u29ad", "angmsdag" -> "\u29ae",
+      "angmsdah" -> "\u29af", "angrtvbd" -> "\u299d",
+      "ap" -> "\u2248", "apE" -> "\u2a70",
+      "apacir" -> "\u2a6f", "apid" -> "\u224b",
+      "awint" -> "\u2a11", "bNot" -> "\u2aed",
+      "barwed" -> "\u2305", "barwedge" -> "\u2305",
+      "bbrktbrk" -> "\u23b6", "bemptyv" -> "\u29b0",
+      "bigodot" -> "\u2a00", "bigoplus" -> "\u2a01",
+      "bigotimes" -> "\u2a02", "bigsqcup" -> "\u2a06",
+      "biguplus" -> "\u2a04", "bkarow" -> "\u290d",
+      "bnot" -> "\u2310", "boxbox" -> "\u29c9",
+      "bsemi" -> "\u204f", "bsolb" -> "\u29c5",
+      "bsolhsub" -> "\u27c8", "bullet" -> "\u2022",
+      "bumpE" -> "\u2aae", "capand" -> "\u2a44",
+      "capbrcup" -> "\u2a49", "capcap" -> "\u2a4b",
+      "capcup" -> "\u2a47", "capdot" -> "\u2a40",
+      "ccaps" -> "\u2a4d", "ccups" -> "\u2a4c",
+      "ccupssm" -> "\u2a50", "cemptyv" -> "\u29b2",
+      "cirE" -> "\u29c3", "cirfnint" -> "\u2a10",
+      "cirscir" -> "\u29c2", "clubsuit" -> "\u2663",
+      "congdot" -> "\u2a6d", "csub" -> "\u2acf",
+      "csube" -> "\u2ad1", "csup" -> "\u2ad0",
+      "csupe" -> "\u2ad2", "cudarrl" -> "\u2938",
+      "cudarrr" -> "\u2935", "cularrp" -> "\u293d",
+      "cupbrcap" -> "\u2a48", "cupcap" -> "\u2a46",
+      "cupcup" -> "\u2a4a", "cupor" -> "\u2a45",
+      "curarrm" -> "\u293c", "dHar" -> "\u2965",
+      "dbkarow" -> "\u290f", "ddotseq" -> "\u2a77",
+      "demptyv" -> "\u29b1", "dfisht" -> "\u297f",
+      "diamondsuit" -> "\u2666", "disin" -> "\u22f2",
+      "div" -> "\u00f7", "dlcorn" -> "\u231e",
+      "dlcrop" -> "\u230d", "doublebarwedge" -> "\u2306",
+      "drbkarow" -> "\u2910", "drcorn" -> "\u231f",
+      "drcrop" -> "\u230c", "dsol" -> "\u29f6",
+      "duhar" -> "\u296f", "dwangle" -> "\u29a6",
+      "dzigrarr" -> "\u27ff", "eDDot" -> "\u2a77",
+      "easter" -> "\u2a6e", "eg" -> "\u2a9a",
+      "egs" -> "\u2a96", "egsdot" -> "\u2a98",
+      "el" -> "\u2a99", "elinters" -> "\u23e7",
+      "els" -> "\u2a95", "elsdot" -> "\u2a97",
+      "eparsl" -> "\u29e3", "eplus" -> "\u2a71",
+      "epsi" -> "\u03b5", "eqsim" -> "\u2242",
+      "equivDD" -> "\u2a78", "eqvparsl" -> "\u29e5",
+      "erarr" -> "\u2971", "expectation" -> "\u2130",
+      "fltns" -> "\u25b1", "forkv" -> "\u2ad9",
+      "fpartint" -> "\u2a0d", "gEl" -> "\u2a8c",
+      "geqslant" -> "\u2a7e", "gescc" -> "\u2aa9",
+      "gesdot" -> "\u2a80", "gesdoto" -> "\u2a82",
+      "gesdotol" -> "\u2a84", "gesles" -> "\u2a94",
+      "glE" -> "\u2a92", "gla" -> "\u2aa5",
+      "glj" -> "\u2aa4", "gnap" -> "\u2a8a",
+      "gnapprox" -> "\u2a8a", "gne" -> "\u2a88",
+      "gneq" -> "\u2a88", "gsime" -> "\u2a8e",
+      "gsiml" -> "\u2a90", "gtcc" -> "\u2aa7",
+      "gtcir" -> "\u2a7a", "gtlPar" -> "\u2995",
+      "gtquest" -> "\u2a7c", "gtrarr" -> "\u2978",
+      "gtreqqless" -> "\u2a8c", "half" -> "\u00bd",
+      "harrcir" -> "\u2948", "heartsuit" -> "\u2665",
+      "hksearow" -> "\u2925", "hkswarow" -> "\u2926",
+      "hoarr" -> "\u21ff", "homtht" -> "\u223b",
+      "iiint" -> "\u222d", "iinfin" -> "\u29dc",
+      "iiota" -> "\u2129", "imped" -> "\u01b5",
+      "intlarhk" -> "\u2a17", "intprod" -> "\u2a3c",
+      "iprod" -> "\u2a3c", "isinE" -> "\u22f9",
+      "isindot" -> "\u22f5", "isins" -> "\u22f4",
+      "isinsv" -> "\u22f3", "lAarr" -> "\u21da",
+      "lAtail" -> "\u291b", "lBarr" -> "\u290e",
+      "lEg" -> "\u2a8b", "lHar" -> "\u2962",
+      "laemptyv" -> "\u29b4", "langd" -> "\u2991",
+      "larrb" -> "\u21e4", "larrbfs" -> "\u291f",
+      "larrfs" -> "\u291d", "larrpl" -> "\u2939",
+      "larrsim" -> "\u2973", "lat" -> "\u2aab",
+      "latail" -> "\u2919", "late" -> "\u2aad",
+      "lbarr" -> "\u290c", "lbbrk" -> "\u2772",
+      "lbrke" -> "\u298b", "lbrksld" -> "\u298f",
+      "lbrkslu" -> "\u298d", "ldca" -> "\u2936",
+      "ldrdhar" -> "\u2967", "ldrushar" -> "\u294b",
+      "leqslant" -> "\u2a7d", "lescc" -> "\u2aa8",
+      "lesdot" -> "\u2a7f", "lesdoto" -> "\u2a81",
+      "lesdotor" -> "\u2a83", "lesges" -> "\u2a93",
+      "lesseqqgtr" -> "\u2a8b", "lfisht" -> "\u297c",
+      "lgE" -> "\u2a91", "lharul" -> "\u296a",
+      "llcorner" -> "\u231e", "llhard" -> "\u296b",
+      "lnap" -> "\u2a89", "lnapprox" -> "\u2a89",
+      "lne" -> "\u2a87", "lneq" -> "\u2a87",
+      "loang" -> "\u27ec", "loarr" -> "\u21fd",
+      "lopar" -> "\u2985", "loplus" -> "\u2a2d",
+      "lotimes" -> "\u2a34", "lozenge" -> "\u25ca",
+      "lparlt" -> "\u2993", "lrcorner" -> "\u231f",
+      "lrhard" -> "\u296d", "lsime" -> "\u2a8d",
+      "lsimg" -> "\u2a8f", "ltcc" -> "\u2aa6",
+      "ltcir" -> "\u2a79", "ltlarr" -> "\u2976",
+      "ltquest" -> "\u2a7b", "ltrPar" -> "\u2996",
+      "lurdshar" -> "\u294a", "luruhar" -> "\u2966",
+      "mDDot" -> "\u223a", "mcomma" -> "\u2a29",
+      "midcir" -> "\u2af0", "minusdu" -> "\u2a2a",
+      "mlcp" -> "\u2adb", "mstpos" -> "\u223e",
+      "nLeftarrow" -> "\u21cd", "nLeftrightarrow" -> "\u21ce",
+      "nRightarrow" -> "\u21cf", "ncap" -> "\u2a43",
+      "ncup" -> "\u2a42", "nearhk" -> "\u2924",
+      "nesear" -> "\u2928", "nhpar" -> "\u2af2",
+      "nis" -> "\u22fc", "nisd" -> "\u22fa",
+      "notinvb" -> "\u22f7", "notinvc" -> "\u22f6",
+      "notnivb" -> "\u22fe", "notnivc" -> "\u22fd",
+      "npolint" -> "\u2a14", "nprcue" -> "\u22e0",
+      "nsccue" -> "\u22e1", "nshortparallel" -> "\u2226",
+      "nsmid" -> "\u2224", "nsqsube" -> "\u22e2",
+      "nsqsupe" -> "\u22e3", "nvHarr" -> "\u2904",
+      "nvlArr" -> "\u2902", "nvrArr" -> "\u2903",
+      "nwarhk" -> "\u2923", "nwnear" -> "\u2927",
+      "odiv" -> "\u2a38", "odsold" -> "\u29bc",
+      "ofcir" -> "\u29bf", "ogon" -> "\u02db",
+      "ogt" -> "\u29c1", "ohbar" -> "\u29b5",
+      "olcir" -> "\u29be", "olcross" -> "\u29bb",
+      "olt" -> "\u29c0", "omid" -> "\u29b6",
+      "opar" -> "\u29b7", "operp" -> "\u29b9",
+      "ord" -> "\u2a5d", "oror" -> "\u2a56",
+      "orslope" -> "\u2a57", "orv" -> "\u2a5b",
+      "otimesas" -> "\u2a36", "ovbar" -> "\u233d",
+      "parsim" -> "\u2af3", "parsl" -> "\u2afd",
+      "plankv" -> "\u210f", "plusacir" -> "\u2a23",
+      "pluscir" -> "\u2a22", "plusdu" -> "\u2a25",
+      "pluse" -> "\u2a72", "plussim" -> "\u2a26",
+      "plustwo" -> "\u2a27", "pointint" -> "\u2a15",
+      "prE" -> "\u2ab3", "prap" -> "\u2ab7",
+      "precapprox" -> "\u2ab7", "precnapprox" -> "\u2ab9",
+      "precneqq" -> "\u2ab5", "prnE" -> "\u2ab5",
+      "prnap" -> "\u2ab9", "profline" -> "\u2312",
+      "profsurf" -> "\u2313", "qint" -> "\u2a0c",
+      "quatint" -> "\u2a16", "rAarr" -> "\u21db",
+      "rAtail" -> "\u291c", "rBarr" -> "\u290f",
+      "rHar" -> "\u2964", "raemptyv" -> "\u29b3",
+      "rangd" -> "\u2992", "range" -> "\u29a5",
+      "rarrap" -> "\u2975", "rarrb" -> "\u21e5",
+      "rarrbfs" -> "\u2920", "rarrc" -> "\u2933",
+      "rarrfs" -> "\u291e", "rarrpl" -> "\u2945",
+      "rarrsim" -> "\u2974", "ratail" -> "\u291a",
+      "rbarr" -> "\u290d", "rbbrk" -> "\u2773",
+      "rbrke" -> "\u298c", "rbrksld" -> "\u298e",
+      "rbrkslu" -> "\u2990", "rdca" -> "\u2937",
+      "rdldhar" -> "\u2969", "rfisht" -> "\u297d",
+      "rharul" -> "\u296c", "rnmid" -> "\u2aee",
+      "roang" -> "\u27ed", "roarr" -> "\u21fe",
+      "ropar" -> "\u2986", "roplus" -> "\u2a2e",
+      "rotimes" -> "\u2a35", "rpargt" -> "\u2994",
+      "rppolint" -> "\u2a12", "rtriltri" -> "\u29ce",
+      "ruluhar" -> "\u2968", "rx" -> "\u211e",
+      "scE" -> "\u2ab4", "scap" -> "\u2ab8",
+      "scnE" -> "\u2ab6", "scnap" -> "\u2aba",
+      "scpolint" -> "\u2a13", "sdote" -> "\u2a66",
+      "searhk" -> "\u2925", "seswar" -> "\u2929",
+      "simdot" -> "\u2a6a", "simg" -> "\u2a9e",
+      "simgE" -> "\u2aa0", "siml" -> "\u2a9d",
+      "simlE" -> "\u2a9f", "simplus" -> "\u2a24",
+      "simrarr" -> "\u2972", "slarr" -> "\u2190",
+      "smashp" -> "\u2a33", "smeparsl" -> "\u29e4",
+      "smid" -> "\u2223", "smt" -> "\u2aaa",
+      "smte" -> "\u2aac", "solb" -> "\u29c4",
+      "solbar" -> "\u233f", "spadesuit" -> "\u2660",
+      "srarr" -> "\u2192", "strns" -> "\u00af",
+      "subE" -> "\u2ac5", "subdot" -> "\u2abd",
+      "subedot" -> "\u2ac3", "submult" -> "\u2ac1",
+      "subnE" -> "\u2acb", "subplus" -> "\u2abf",
+      "subrarr" -> "\u2979", "subseteqq" -> "\u2ac5",
+      "subsetneqq" -> "\u2acb", "subsim" -> "\u2ac7",
+      "subsub" -> "\u2ad5", "subsup" -> "\u2ad3",
+      "succapprox" -> "\u2ab8", "succnapprox" -> "\u2aba",
+      "succneqq" -> "\u2ab6", "supE" -> "\u2ac6",
+      "supdot" -> "\u2abe", "supdsub" -> "\u2ad8",
+      "supedot" -> "\u2ac4", "suphsol" -> "\u27c9",
+      "suphsub" -> "\u2ad7", "suplarr" -> "\u297b",
+      "supmult" -> "\u2ac2", "supnE" -> "\u2acc",
+      "supplus" -> "\u2ac0", "supseteqq" -> "\u2ac6",
+      "supsetneqq" -> "\u2acc", "supsim" -> "\u2ac8",
+      "supsub" -> "\u2ad4", "supsup" -> "\u2ad6",
+      "swarhk" -> "\u2926", "swnwar" -> "\u292a",
+      "tdot" -> "\u20db", "thetav" -> "\u03d1",
+      "timesbar" -> "\u2a31", "timesd" -> "\u2a30",
+      "toea" -> "\u2928", "topcir" -> "\u2af1",
+      "tosa" -> "\u2929", "tridot" -> "\u25ec",
+      "triminus" -> "\u2a3a", "triplus" -> "\u2a39",
+      "trisb" -> "\u29cd", "tritime" -> "\u2a3b",
+      "trpezium" -> "\u23e2", "uHar" -> "\u2963",
+      "udhar" -> "\u296e", "ufisht" -> "\u297e",
+      "ulcorn" -> "\u231c", "ulcorner" -> "\u231c",
+      "ulcrop" -> "\u230f", "upsi" -> "\u03c5",
+      "urcorn" -> "\u231d", "urcorner" -> "\u231d",
+      "urcrop" -> "\u230e", "uwangle" -> "\u29a7",
+      "vBar" -> "\u2ae8", "vBarv" -> "\u2ae9",
+      "vangrt" -> "\u299c", "varepsilon" -> "\u03f5",
+      "vee" -> "\u2228", "vzigzag" -> "\u299a",
+      "wedbar" -> "\u2a5f", "wedge" -> "\u2227",
+      "xnis" -> "\u22fb", "xodot" -> "\u2a00",
+      "xoplus" -> "\u2a01", "xotime" -> "\u2a02",
+      "xsqcup" -> "\u2a06", "xuplus" -> "\u2a04",
+      "zigrarr" -> "\u21dd")
   }
 
   /** table size (diagnostics / sweep tests). */

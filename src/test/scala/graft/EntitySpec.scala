@@ -74,4 +74,41 @@ class EntitySpec extends AnyFunSuite {
     assert(dec("a && b") == "a && b")
     assert(dec("&#x;") == "&#x;")
   }
+
+  test("COMPLETE and CORRECT vs the checked-in WHATWG table (independent pin)") {
+    // src/test/resources/whatwg_entities.tsv is generated from the
+    // published WHATWG HTML5 named-character-reference list — an
+    // implementation-independent fixture, so a wrong codepoint in the Scala
+    // table cannot self-certify (the q_entities oracle literal is generated
+    // from this same decode table; this test is the external anchor).
+    val in = getClass.getResourceAsStream("/whatwg_entities.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#")).toVector
+    assert(lines.size == 2125)
+    var checked = 0
+    lines.foreach { line =>
+      val Array(name, hexes) = line.split('\t')
+      val want = hexes.split(',').map(h => Integer.parseInt(h, 16))
+        .foldLeft(new java.lang.StringBuilder)((sb, cp) => sb.appendCodePoint(cp))
+        .toString
+      assert(Entities.namedValue(name) == want,
+        s"&$name; decodes to ${Option(Entities.namedValue(name))}, WHATWG says $want")
+      checked += 1
+    }
+    assert(checked == 2125)
+    // and nothing beyond the spec: no invented names decode
+    assert(Entities.namedCount == 2125)
+  }
+
+  test("multi-codepoint sequences decode through the full parse path") {
+    assert(dec("&nLt;") == "≪⃒")
+    assert(dec("&nGt;") == "≫⃒")
+    assert(dec("&fjlig;") == "fj")
+    assert(dec("&NotEqualTilde;") == "≂̸")
+    assert(dec("&bne;") == "=⃥")
+    assert(dec("&caps;") == "∩︀")
+    assert(dec("&varsubsetneqq;") == "⫋︀")
+    assert(dec("&ThickSpace;") == "  ")
+    assert(dec("&NotSubset;") == "⊂⃒")
+  }
 }

@@ -196,4 +196,23 @@ class TraitSpec extends AnyFunSuite {
     assert(src("<b>1 < 2</b>") == "<b>1 < 2</b>")
     assert(src("<img src='a'/>") == "<img src='a'/>")
   }
+
+  test("render pinning: inter-attribute whitespace normalizes to ONE space (FUTURE #3)") {
+    // PINNED as reference parity by structure, not just assertion: the
+    // reference pushes `Attr { key, value, quote, need_quote }` with no
+    // field spread (reference src/lib.rs:722-729) — a Rust struct literal
+    // names every field, so rphtml's Attr provably has NO slot that could
+    // carry the original whitespace between attributes. Its renderer
+    // (`build`, via outer_html at src/lib.rs:767-781) therefore emits a
+    // fixed single-space separator, exactly like ours. Quote style and
+    // attr order ARE preserved in both.
+    def src(h: String): String = load(h).doc.sourceCode
+    assert(src("<meta\n\t\tname=\"a\"  \t content='b'>") == "<meta name=\"a\" content='b'>")
+    assert(src("<input   disabled\n data-x=1>") == "<input disabled data-x=1>")
+    // whitespace INSIDE quoted values is untouched
+    assert(src("<a title=\"x\n\ty\">z</a>") == "<a title=\"x\n\ty\">z</a>")
+    // render fixpoint holds on the normalized form
+    val once = src("<meta\n\t content=\"a\">")
+    assert(src(once) == once)
+  }
 }
