@@ -480,6 +480,12 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- 19b. REAL container formats through the same decode slot: true
+    //      BMP / WAV bytes parsed by pure-JVM header parsers, histogram
+    //      over the actual pixel / PCM payload ----
+    "q_media_real" -> ((s, dir) =>
+      graft.spark.MediaOps.realMediaFeatures(s, dir).orderBy("media_id")),
+
     // ---- 20. SQL extract_main byte-identity over the synthesized pages:
     //      the whole-stage-codegen path must equal the oracle text column
     //      on every row ----
@@ -752,6 +758,15 @@ object SparkEntry {
         "CAST((doc_id % 251) // 16 AS BIGINT) AS dominant_bin, " +
         "CAST(16 AS INT) AS n_feat, " +
         "CAST(CASE WHEN doc_id % 3 = 2 THEN LEAST(4, 1 + doc_id % 24) ELSE 1 END AS INT) AS sampled_frames " +
+        "FROM documents ORDER BY media_id"),
+    "q_media_real" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id % 7) * 16 ELSE 0 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id % 5) * 16 ELSE 0 END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 8000 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 64 + (doc_id % 17) * 16 END AS BIGINT) AS frames, " +
+        "CAST((doc_id % 251) // 16 AS BIGINT) AS dom_bin " +
         "FROM documents ORDER BY media_id"),
     "q_rollup_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars " +
