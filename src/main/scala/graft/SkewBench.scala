@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spark.{ExtractJob, PagesGen}
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+
+/** Skew witness (north rule): demonstrates — with measured task times, not
+  * assertion — that the salted url-hash bucket flattens the power-law host
+  * straggler.
+  *
+  * The synthetic crawl corpus is power-law by construction (host-0 carries
+  * ~50% of pages, host-1 ~25%, ...; PagesGen.hostId). A crawl stored or
+  * keyed BY HOST therefore pins half the corpus to one task: that is the
+  * skewed baseline (`repartition(hash(host))`). The production layout keys
+  * by `pmod(hash(url, salt), buckets)` (ExtractJob.bucketCol) — per-URL
+  * hashing makes bucket load binomial, so max/median task time ~ 1.
+  *
+  * Prints ONE JSON line with per-layout max/median task-time ratios for the
+  * post-shuffle extraction stage, and writes SKEW_WITNESS.json.
+  */
+object SkewBench {
+
+  /** per-stage task durations, collected by a listener. */
+  private final class TaskTimes extends SparkListener {
+    val byStage = new ConcurrentHashMap[Int, ArrayBuffer[Long]]()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      if (e.taskInfo != null && e.taskInfo.successful) {
+        byStage.computeIfAbsent(e.stageId, _ => ArrayBuffer.empty[Long])
+          .synchronized {
+            byStage.get(e.stageId) += e.taskInfo.duration
+          }
+      }
+    }
+    def clear(): Unit = byStage.clear()
+  }
+
+  private def median(xs: Seq[Long]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2).toDouble
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** run the extraction over `pages` keyed by `key` into `buckets` tasks;
+    * returns (maxTaskMs, medianTaskMs) of the post-shuffle extraction stage
+    * (identified as the stage with exactly `buckets` tasks and the largest
+    * total duration among those). */
+  private def measure(spark: SparkSession, listener: TaskTimes,
+      pages: DataFrame, key: org.apache.spark.sql.Column, buckets: Int): (Long, Double) = {
+    listener.clear()
+    pages.repartition(buckets, key)
+      .select(call_function("extract_main", col("html")).as("text"))
+      .where(col("text").isNotNull)
+      .write.format("noop").mode("overwrite").save()
+    // the listener bus is async; give queued TaskEnd events time to drain
+    Thread.sleep(1500)
+    val candidates = new ArrayBuffer[(Int, Seq[Long])]()
+    listener.byStage.forEach { (stage, times) =>
+      if (times.size == buckets) candidates += ((stage, times.toSeq))
+    }
+    val times = candidates.maxBy(_._2.sum)._2
+    (times.max, median(times))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "120").toInt
+    val buckets = 16
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-skew-witness")
+      .config("spark.sql.shuffle.partitions", buckets)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftSparkExtensions")
+      // AQE would split/coalesce the skewed partitions and hide the effect
+      // under test; the witness isolates the partitioning key itself
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new TaskTimes
+    spark.sparkContext.addSparkListener(listener)
+
+    val pages = PagesGen.amplified(spark, sfDir, reps, 3).toDF().persist()
+    val docs = pages.count() // materialize outside timings
+
+    val host = regexp_extract(col("url"), "https://([^/]+)/", 1)
+    // warmup (JIT the engine on both paths, untimed)
+    measure(spark, listener, pages, ExtractJob.bucketCol(42, buckets), buckets)
+
+    val (maxHost, medHost) = measure(spark, listener, pages, hash(host), buckets)
+    val (maxSalt, medSalt) = measure(spark, listener, pages, ExtractJob.bucketCol(42, buckets), buckets)
+    val rHost = maxHost / math.max(1.0, medHost)
+    val rSalt = maxSalt / math.max(1.0, medSalt)
+
+    val json =
+      f"""{"metric":"skew_witness","docs":$docs%d,"buckets":$buckets%d,""" +
+        f""""host_keyed":{"max_task_ms":$maxHost%d,"median_task_ms":$medHost%.0f,"max_over_median":$rHost%.2f},""" +
+        f""""salted_url_hash":{"max_task_ms":$maxSalt%d,"median_task_ms":$medSalt%.0f,"max_over_median":$rSalt%.2f},""" +
+        f""""note":"power-law corpus (host-0 ~50%% of pages); same data, same work, only the shuffle key differs"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SKEW_WITNESS.json"), json + "\n")
+    println(json)
+    pages.unpersist()
+    spark.stop()
+  }
+}
