@@ -17,6 +17,10 @@ object ThreadBench {
     spark.stop()
     val bytes = pages.map(_.length.toLong).sum
     println(s"pages=${pages.length} bytes=$bytes")
+    // measures the PRODUCTION path — extractMainCodegen is the static entry
+    // the extract_main Catalyst expression calls (UTF-8 in, UTF-8 out);
+    // extractMain(String-out) adds a UTF-16 materialization the SQL path
+    // never pays (~13% per the round-3 JFR)
     def run(threads: Int): Double = {
       val t0 = System.nanoTime()
       val chunk = (pages.length + threads - 1) / threads
@@ -26,8 +30,8 @@ object ThreadBench {
           val end = math.min(pages.length, i + chunk)
           var acc = 0L
           while (i < end) {
-            val s = Extractor.extractMain(pages(i), Extractor.Recipe.default)
-            if (s != null) acc += s.length
+            val s = Extractor.extractMainCodegen(pages(i))
+            if (s != null) acc += s.numBytes()
             i += 1
           }
           if (acc == -1) println("")

@@ -129,19 +129,54 @@ final class Arena(initialNodes: Int = 256) {
     id
   }
 
+  /** fused alloc + appendChild for the parser hot path (FUTURE round-2
+    * lever (a)): every field is written exactly once — the split
+    * alloc/appendChild pair wrote parent/prevSib/nextSib/nodeIdx twice
+    * (clear then overwrite). Semantically identical to
+    * `val id = alloc(k); appendChild(p, id); id`. */
+  def allocChild(k: Byte, p: Int): Int = {
+    if (n == kind.length) growNodes()
+    val id = n; n += 1
+    kind(id) = k
+    parent(id) = p
+    firstChild(id) = -1; lastChild(id) = -1
+    nextSib(id) = -1
+    val last = lastChild(p)
+    prevSib(id) = last
+    if (last >= 0) { nextSib(last) = id; nodeIdx(id) = nodeIdx(last) + 1 }
+    else { firstChild(p) = id; nodeIdx(id) = 0 }
+    lastChild(p) = id
+    flags(id) = 0; nameOff(id) = 0; nameLen(id) = 0
+    textOff(id) = 0; textLen(id) = 0; attrHead(id) = -1
+    id
+  }
+
+  private def growAttrs(): Unit = {
+    val cap = an * 2
+    aKeyOff = java.util.Arrays.copyOf(aKeyOff, cap)
+    aKeyLen = java.util.Arrays.copyOf(aKeyLen, cap)
+    aValOff = java.util.Arrays.copyOf(aValOff, cap)
+    aValLen = java.util.Arrays.copyOf(aValLen, cap)
+    aQuote = java.util.Arrays.copyOf(aQuote, cap)
+    aNext = java.util.Arrays.copyOf(aNext, cap)
+    aRemoved = java.util.Arrays.copyOf(aRemoved, cap)
+  }
+
   def allocAttr(): Int = {
-    if (an == aKeyOff.length) {
-      val cap = an * 2
-      aKeyOff = java.util.Arrays.copyOf(aKeyOff, cap)
-      aKeyLen = java.util.Arrays.copyOf(aKeyLen, cap)
-      aValOff = java.util.Arrays.copyOf(aValOff, cap)
-      aValLen = java.util.Arrays.copyOf(aValLen, cap)
-      aQuote = java.util.Arrays.copyOf(aQuote, cap)
-      aNext = java.util.Arrays.copyOf(aNext, cap)
-      aRemoved = java.util.Arrays.copyOf(aRemoved, cap)
-    }
+    if (an == aKeyOff.length) growAttrs()
     val id = an; an += 1
     aValOff(id) = -1; aValLen(id) = 0; aQuote(id) = 0
+    aNext(id) = -1; aRemoved(id) = false
+    id
+  }
+
+  /** parser-owned attr alloc: the caller sets key/val span and quote
+    * unconditionally and links the chain itself (its duplicate-name walk
+    * already knows the tail) — only the fields the caller does NOT own are
+    * initialized here. */
+  def allocAttrRaw(): Int = {
+    if (an == aKeyOff.length) growAttrs()
+    val id = an; an += 1
     aNext(id) = -1; aRemoved(id) = false
     id
   }

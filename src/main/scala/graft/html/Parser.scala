@@ -105,7 +105,27 @@ object Parser {
   private final class Parser(a: Arena, opts: ParseOptions) {
     private val buf = a.buf
     private val len = a.bufLen
+    // word view for the SWAR '<' scan (the buffer never grows during parse:
+    // the source is fully copied in by resetFromUtf8; overflow appends
+    // happen only in mutations)
+    private val words =
+      java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     private var i = 0
+
+    /** first index >= from holding '<', or len — 8 bytes per step (SWAR
+      * zero-byte trick on x ^ '<<<<<<<<'); the tokenizer's hottest loop. */
+    private def scanToLt(from: Int): Int = {
+      var j = from
+      val n8 = len - 8
+      while (j <= n8) {
+        val x = words.getLong(j) ^ 0x3C3C3C3C3C3C3C3CL
+        val hit = (x - 0x0101010101010101L) & ~x & 0x8080808080808080L
+        if (hit != 0L) return j + (java.lang.Long.numberOfTrailingZeros(hit) >> 3)
+        j += 8
+      }
+      while (j < len && buf(j) != '<') j += 1
+      j
+    }
     // open-element stack (node ids); root implicit at bottom
     private var stack = new Array[Int](32)
     private var sp = 0
@@ -148,9 +168,21 @@ object Parser {
     private def loop(): Unit = {
       var textStart = i
       while (i < len) {
-        val c = buf(i)
-        if (c == '<') {
-          val kindAt = classify(i)
+        i = scanToLt(i)
+        if (i < len) {
+          // classify inlined: 1 = start tag, 2 = end tag, 3 = markup decl,
+          // 0 = plain-text '<' (JFR showed the call boundary itself hot)
+          var kindAt = 0
+          if (i + 1 < len) {
+            val c1: Int = buf(i + 1)
+            if ((c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')) kindAt = 1
+            else if (c1 == '/') {
+              if (i + 2 < len) {
+                val c2: Int = buf(i + 2)
+                if ((c2 >= 'a' && c2 <= 'z') || (c2 >= 'A' && c2 <= 'Z')) kindAt = 2
+              }
+            } else if (c1 == '!') kindAt = 3
+          }
           if (kindAt == 0) {
             // not a tag start: unescaped '<'
             if (!opts.autoFixUnescapedLt) err("unescaped '<' in text")
@@ -164,7 +196,7 @@ object Parser {
             }
             textStart = i
           }
-        } else i += 1
+        }
       }
       flushText(textStart, i)
     }
@@ -184,9 +216,8 @@ object Parser {
       var allWs = true
       var j = from
       while (j < until && allWs) { if (!isWs(buf(j))) allWs = false; j += 1 }
-      val id = a.alloc(if (allWs) a.SPACES else a.TEXT)
+      val id = a.allocChild(if (allWs) a.SPACES else a.TEXT, cur)
       a.textOff(id) = from; a.textLen(id) = until - from
-      a.appendChild(cur, id)
     }
 
     /** span-based lowercase compare avoiding per-tag String allocation. */
@@ -238,7 +269,9 @@ object Parser {
       while (i < len && isNameChar(buf(i))) i += 1
       val nameEnd = i
       val nlen = nameEnd - nameStart
-      val id = a.alloc(a.ELEM)
+      // fused: link into the tree at alloc (appendChild overwrites fold away);
+      // nothing between here and the old link point reads sibling structure
+      val id = a.allocChild(a.ELEM, cur)
       a.nameOff(id) = nameStart; a.nameLen(id) = nlen
       val isVoid = spanIsVoid(nameStart, nlen)
       val isContent = !isVoid && spanIsContent(nameStart, nlen)
@@ -264,7 +297,6 @@ object Parser {
           case _ => parseAttr(id)
         }
       }
-      a.appendChild(cur, id)
       if (selfClosed) {
         a.flags(id) |= a.F_SELF_CLOSED
         if (selfSpace) a.flags(id) |= a.F_SELF_SPACE
@@ -275,13 +307,16 @@ object Parser {
         var closeEnd = -1
         var j = i
         while (j < len && cEnd < 0) {
-          if (buf(j) == '<' && j + 1 < len && buf(j + 1) == '/' &&
-            j + 2 + nlen <= len && eqSpansIgnoreCase(nameStart, j + 2, nlen)) {
-            var k = j + 2 + nlen
-            while (k < len && isWs(buf(k))) k += 1
-            if (k < len && buf(k) == '>') { cEnd = j; closeEnd = k + 1 }
-            else j += 1
-          } else j += 1
+          j = scanToLt(j) // raw content skips to candidate '<' 8 bytes/step
+          if (j < len) {
+            if (j + 1 < len && buf(j + 1) == '/' &&
+              j + 2 + nlen <= len && eqSpansIgnoreCase(nameStart, j + 2, nlen)) {
+              var k = j + 2 + nlen
+              while (k < len && isWs(buf(k))) k += 1
+              if (k < len && buf(k) == '>') { cEnd = j; closeEnd = k + 1 }
+              else j += 1
+            } else j += 1
+          }
         }
         if (cEnd < 0) {
           if (!opts.autoFixUnclosedTag) err(s"unclosed content tag <${a.lowerName(id)}>")
@@ -343,19 +378,23 @@ object Parser {
         i = j
       }
       // duplicate attribute names: first wins, later dropped entirely
-      // (span-vs-span compare — no per-attribute String allocation)
+      // (span-vs-span compare — no per-attribute String allocation). The
+      // walk doubles as the tail finder, so the append is O(1) — no second
+      // chain walk in appendAttr.
       val keyLen = keyEnd - keyStart
+      var lastAttr = -1
       var dup = a.attrHead(id)
       while (dup >= 0) {
         if (a.aKeyLen(dup) == keyLen && eqSpansIgnoreCase(a.aKeyOff(dup), keyStart, keyLen))
           return
+        lastAttr = dup
         dup = a.aNext(dup)
       }
-      val at = a.allocAttr()
+      val at = a.allocAttrRaw()
       a.aKeyOff(at) = keyStart; a.aKeyLen(at) = keyLen
       a.aValOff(at) = valOff; a.aValLen(at) = valLen
       a.aQuote(at) = quote
-      a.appendAttr(id, at)
+      if (lastAttr >= 0) a.aNext(lastAttr) = at else a.attrHead(id) = at
       if (keyLen == 2 && a.spanEqIgnoreCase(keyStart, 2, "id") && valOff >= 0 && valLen > 0)
         a.registerId(a.str(valOff, valLen), id)
     }
@@ -420,7 +459,7 @@ object Parser {
           if (buf(j) == '-' && buf(j + 1) == '-' && buf(j + 2) == '>') end = j
           else j += 1
         }
-        val id = a.alloc(a.COMMENT)
+        val id = a.allocChild(a.COMMENT, cur)
         if (end < 0) {
           if (!opts.autoFixUnclosedTag) err("unclosed comment")
           a.textOff(id) = cs; a.textLen(id) = len - cs
@@ -429,7 +468,6 @@ object Parser {
           a.textOff(id) = cs; a.textLen(id) = end - cs
           i = end + 3
         }
-        a.appendChild(cur, id)
       } else if (startsWith(i, "<![CDATA[")) {
         val cs = i + 9
         var j = cs
@@ -438,7 +476,7 @@ object Parser {
           if (buf(j) == ']' && buf(j + 1) == ']' && buf(j + 2) == '>') end = j
           else j += 1
         }
-        val id = a.alloc(a.CDATA)
+        val id = a.allocChild(a.CDATA, cur)
         if (end < 0) {
           if (!opts.autoFixUnclosedTag) err("unclosed CDATA")
           a.textOff(id) = cs; a.textLen(id) = len - cs
@@ -447,17 +485,15 @@ object Parser {
           a.textOff(id) = cs; a.textLen(id) = end - cs
           i = end + 3
         }
-        a.appendChild(cur, id)
       } else {
         // doctype or other <!...>: stored raw including markers
         val ds = i
         var j = i
         while (j < len && buf(j) != '>') j += 1
-        val id = a.alloc(a.DOCTYPE)
+        val id = a.allocChild(a.DOCTYPE, cur)
         val de = if (j < len) j + 1 else len
         a.textOff(id) = ds; a.textLen(id) = de - ds
         i = de
-        a.appendChild(cur, id)
       }
     }
 
