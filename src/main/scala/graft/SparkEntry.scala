@@ -489,14 +489,17 @@ object SparkEntry {
     // ---- 20. SQL extract_main byte-identity over the synthesized pages:
     //      the whole-stage-codegen path must equal the oracle text column
     //      on every row ----
+    // the SQL/codegen surface emits the extracted text itself, row by row;
+    // the DuckDB oracle is the documents.text column — a genuine
+    // cross-engine byte-identity check (nothing self-graded: any
+    // divergence of the whole-stage-codegen path hash-mismatches)
     "q_sql_extract" -> ((s, dir) => {
       val pages = PagesGen.asDataFrame(s, dir)
       pages
-        .select(col("text"),
+        .select(
+          expr("CAST(regexp_extract(url, '/([0-9]+)$', 1) AS BIGINT)").as("doc_id"),
           call_function("extract_main", col("html")).as("extracted"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(!(col("extracted") <=> col("text")), 1L).otherwise(0L)).as("n_mismatch"),
-          sum(when(col("extracted").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy("doc_id")
     }),
 
     // ---- corpus-level relational ops (Catalyst built-ins) ----
@@ -747,8 +750,8 @@ object SparkEntry {
         "concat('x', CAST(doc_id % 4 AS VARCHAR)) AS last_a " +
         "FROM documents ORDER BY doc_id"),
     "q_sql_extract" ->
-      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch, " +
-        "CAST(0 AS BIGINT) AS n_null FROM documents"),
+      ("SELECT doc_id, CASE WHEN text IS NULL THEN '' ELSE text END AS extracted " +
+        "FROM documents ORDER BY doc_id"),
     "q_media" ->
       ("SELECT doc_id AS media_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
