@@ -83,6 +83,33 @@ object StreamingExtract {
       .start()
   }
 
+  /** streaming exact dedup with BOUNDED state: extract, key by the 8-byte
+    * xxhash64 of the extracted text (state never stores the text itself),
+    * keep the first occurrence per hash inside the `dedupWindow` event-time
+    * watermark. `dropDuplicatesWithinWatermark` expires state as the
+    * watermark advances, so at corpus scale state is bounded by
+    * (dedup window) x (ingest rate) — never corpus size. The streaming
+    * analog of [[TextOps.dedupExact]]. */
+  def dedupStream(spark: SparkSession, pagesDir: String, outDir: String,
+      dedupWindow: String = "1 hour"): StreamingQuery = {
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(pagesDir)
+    pages
+      .select(col("url"), col("warc_ts"),
+        call_function("extract_main", col("html")).as("text"))
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("warc_ts", dedupWindow)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .writeStream
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .option("path", s"$outDir/deduped")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+  }
+
   /** windowed ingest metrics with a watermark on warc_ts (docs/bytes per
     * 1-minute event-time window). */
   def metricsStream(spark: SparkSession, pagesDir: String): DataFrame = {

@@ -139,6 +139,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/lineage").agg(sum("doc_count")).head().getLong(0) == pages.count())
   }
 
+  test("streaming exact dedup: bounded state, first occurrence kept") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-sd-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sd-out").toString
+    // 120 pages, each text planted twice (doc pairs share fpText(id ^ 1)
+    // only when (id/2) even — simpler: duplicate every page body verbatim)
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    val dup = pages.union(pages.withColumn("url", concat(col("url"), lit("-copy"))))
+    dup.write.mode("overwrite").parquet(in)
+    val q = graft.spark.StreamingExtract.dedupStream(spark, in, out)
+    q.awaitTermination(120000L)
+    val deduped = spark.read.parquet(s"$out/deduped")
+    val distinctTexts = pages.select(col("text")).distinct().count()
+    assert(deduped.count() == distinctTexts,
+      s"expected $distinctTexts distinct texts, got ${deduped.count()}")
+    // state is keyed by hash, not text: output carries the 8-byte key
+    assert(deduped.columns.contains("text_hash"))
+    // restart on the same checkpoint: nothing re-emitted
+    val q2 = graft.spark.StreamingExtract.dedupStream(spark, in, out)
+    q2.awaitTermination(120000L)
+    assert(spark.read.parquet(s"$out/deduped").count() == distinctTexts)
+  }
+
   test("pathological rows never fail the task: null html / null warc_ts") {
     val s = spark
     import s.implicits._
