@@ -48,6 +48,44 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("byte tokenizer (SWAR scan) == char tokenizer on ASCII soup") {
+    // differential: parseIntoUtf8 (SWAR 8-byte '<' scan, fused allocChild)
+    // must build the identical tree as the UTF-16 parse for every input —
+    // pinned via byte-identical render and text
+    val alphabet = "<>/=\"' abc&;#!-x"
+    for (_ <- 1 to 2000) {
+      val s = (0 until rnd.nextInt(150)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val a1 = new Arena(64)
+      val a2 = new Arena(64)
+      assert(Parser.parseInto(a1, s, ParseOptions.compat).isEmpty)
+      assert(Parser.parseIntoUtf8(a2,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), ParseOptions.compat).isEmpty)
+      assert(a1.sourceCode() == a2.sourceCode(), s"render diverged on: ${s.take(100)}")
+      assert(a1.text(0) == a2.text(0), s"text diverged on: ${s.take(100)}")
+    }
+  }
+
+  test("SWAR scan boundary cases: '<' at every offset mod 8, at EOF, none at all") {
+    // place a tag start at every alignment relative to the 8-byte words
+    for (pad <- 0 until 24) {
+      val s = ("x" * pad) + "<b>y</b>" + ("z" * ((24 - pad) % 9))
+      val root = Vis.loadOrThrow(s)
+      assert(root.find("b").text() == "y", s"pad=$pad")
+    }
+    // '<' as the very last byte (tail loop, classify sees EOF)
+    assert(Vis.loadOrThrow("abc<").doc.sourceCode == "abc<")
+    // no '<' anywhere: one text node spanning the buffer
+    val plain = "q" * 1000
+    assert(Vis.loadOrThrow(plain).doc.sourceCode == plain)
+    // content tag close straddling word boundaries
+    for (pad <- 0 until 16) {
+      val s = ("p" * pad) + "<script>a<b()" + ("c" * pad) + "</script>tail"
+      val root = Vis.loadOrThrow(s)
+      assert(root.find("script").length == 1, s"pad=$pad")
+      assert(root.doc.sourceCode.endsWith("</script>tail"), s"pad=$pad")
+    }
+  }
+
   test("garbage selectors return Left, never throw") {
     val alphabet = ":()[]>+~,.#*=^$|!'\" abz-0"
     for (_ <- 1 to 3000) {
