@@ -598,6 +598,13 @@ object SparkEntry {
       TextOps.annIvfIndexed(s, dir, idx, queryId = 0L, k = 5, nprobe = 6)
     }),
 
+    // batch probe: ONE pruned index read serves all m queries; per-query
+    // top-k must equal DuckDB's brute force for every query
+    "q_ann_batch_idx" -> ((s, dir) => {
+      val idx = TextOps.ensureAnnIndex(s, dir)
+      TextOps.annLshIndexedBatch(s, dir, idx, queryIds = 0L until 8L, k = 5, radius = 2)
+    }),
+
     // lineage rollup derived from the extraction output itself (doc_id
     // recovered from the url, text bytes from the extracted text — the
     // oracle recomputes both from the documents table)
@@ -826,6 +833,7 @@ object SparkEntry {
     "q_ann_ivf" -> AnnMultiQueryOracle,
     "q_ann_lsh_idx" -> AnnQuery0Oracle,
     "q_ann_ivf_idx" -> AnnQuery0Oracle,
+    "q_ann_batch_idx" -> AnnMultiQueryOracle,
     "q_lineage" ->
       ("SELECT doc_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS doc_count, " +
         "CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes, " +

@@ -791,6 +791,59 @@ object TextOps extends Serializable {
       .select(col("rank"), col("vec_id"))
   }
 
+  /** batch LSH probe: ONE partition-pruned read serves a whole query set —
+    * the production shape when ANN queries arrive in batches (dedup
+    * candidates, recommendation fan-out). The scan filter is the UNION of
+    * every query's probe buckets (still pruned: O(m * probes) buckets
+    * total), the tiny query set broadcasts, and each surviving row is
+    * scored only against the queries whose probe set contains its bucket.
+    * Per-query window ranking is fine here because each query's candidate
+    * set is bucket-sized, not corpus-sized. */
+  def annLshIndexedBatch(spark: SparkSession, sfDir: String, indexDir: String,
+      queryIds: Seq[Long], k: Int, radius: Int = 1): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val planes = meta.getAs[Int]("planes")
+    val tables = meta.getAs[Int]("tables")
+    val shift = math.max(0, planes - 8)
+    val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .collect().sortBy(_._1)
+    // per query, per table: the probe set
+    val queries: Array[(Long, Array[Float], Array[Set[Int]])] = qvecs.map { case (id, v) =>
+      val arr = v.toArray
+      (id, arr, Array.tabulate(tables)(t => probeSetR(hyperplaneSig(arr, planes, t), planes, radius)))
+    }
+    val qb = spark.sparkContext.broadcast(queries)
+    // union scan filter: tbl = t AND sigp IN (all queries' prefixes) AND sig IN (all probes)
+    val perTable = (0 until tables).map { t =>
+      val probes = queries.iterator.flatMap(_._3(t)).toSeq.distinct
+      val prefixes = probes.map(_ >>> shift).distinct
+      col("tbl") === t && col("sigp").isin(prefixes: _*) && col("sig").isin(probes: _*)
+    }
+    val scored = spark.read.parquet(s"$indexDir/lsh")
+      .where(perTable.reduce(_ || _))
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
+        col("tbl").as[Int], col("sig").as[Int])
+      .flatMap { case (id, v, tbl, sig) =>
+        // a vector appears once per table in the index; emit it for every
+        // query probing this bucket — multi-table hits collapse in the
+        // (qid, vec_id) dedup below
+        qb.value.iterator.flatMap { case (qid, qv, probes) =>
+          if (probes(tbl).contains(sig)) Iterator.single((qid, id, cosine(qv, v)))
+          else Iterator.empty
+        }
+      }
+      .toDF("qid", "vec_id", "cos")
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy("qid", "rank")
+  }
+
   /** build-if-absent wrapper keyed by the sf dir (the correctness/bench
     * harness entry — production callers own indexDir lifetimes). */
   def ensureAnnIndex(spark: SparkSession, sfDir: String): String = {

@@ -246,6 +246,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == expected)
   }
 
+  test("annLshIndexedBatch: one pruned read, per-query top-k == brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx-b").toString
+    try {
+      TextOps.buildAnnIndex(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"), dir)
+      val expected = (0L until 4L).flatMap(q =>
+        bruteIds(q, 5).zipWithIndex.map { case (id, i) => (q, i + 1, id) })
+      val got = TextOps.annLshIndexedBatch(spark, sfDir, dir, 0L until 4L, k = 5, radius = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("l2normalize: unit norm, zero-vector passthrough") {
     val v = TextOps.l2normalize(Seq(3f, 4f))
     assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6)
