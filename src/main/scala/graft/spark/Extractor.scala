@@ -108,18 +108,60 @@ object Extractor extends Serializable {
     out
   }
 
-  /** the strip selector's comma groups as flat compounds when every group
-    * is a single-segment descendant predicate of non-positional simples
-    * (matching is done on the intact tree, exactly like find + remove). */
+  /** a selector's comma groups as flat compounds when every group is a
+    * single-segment descendant predicate of non-positional simples
+    * (matching is done on the intact tree, exactly like find): these
+    * qualify for the fused one-pass tree walk instead of the general
+    * engine. Null when any group needs the engine. */
+  private def simpleCompounds(sel: graft.selector.Selector): Array[Array[graft.selector.Simple]] =
+    if (sel.process.forall(p =>
+      p.shouldIn.isEmpty && p.query.lengthCompare(1) == 0 &&
+        p.query.head.comb == graft.selector.Combinator.ChildrenAll &&
+        !p.query.head.simples.exists(graft.query.Engine.isPositional)))
+      sel.process.iterator.map(_.query.head.simples.toArray).toArray
+    else null
+
   private def stripCompounds(recipe: Recipe): Array[Array[graft.selector.Simple]] =
     compiled(recipe.remove) match {
-      case Right(sel) if sel.process.forall(p =>
-        p.shouldIn.isEmpty && p.query.lengthCompare(1) == 0 &&
-          p.query.head.comb == graft.selector.Combinator.ChildrenAll &&
-          !p.query.head.simples.exists(graft.query.Engine.isPositional)) =>
-        sel.process.iterator.map(_.query.head.simples.toArray).toArray
+      case Right(sel) => simpleCompounds(sel)
       case _ => null
     }
+
+  /** cached fused-walk compounds per selector string (null entries mean
+    * "needs the general engine"); same cap discipline as the selector
+    * cache. */
+  private val compoundCache =
+    new ConcurrentHashMap[String, Array[Array[graft.selector.Simple]]]()
+  private val NoCompounds = new Array[Array[graft.selector.Simple]](0)
+
+  private def compiledCompounds(selStr: String): Array[Array[graft.selector.Simple]] = {
+    val hit = compoundCache.get(selStr)
+    if (hit != null) return if (hit.length == 0) null else hit
+    val computed = compiled(selStr) match {
+      case Right(sel) => simpleCompounds(sel)
+      case _ => null
+    }
+    if (compoundCache.size < SelectorCacheCap)
+      compoundCache.putIfAbsent(selStr, if (computed == null) NoCompounds else computed)
+    computed
+  }
+
+  @inline private def matchesAnyCompound(doc: VDoc, c: Int,
+      compounds: Array[Array[graft.selector.Simple]]): Boolean = {
+    var pi = 0
+    while (pi < compounds.length) {
+      val simples = compounds(pi)
+      var all = true
+      var si = 0
+      while (all && si < simples.length) {
+        all = graft.query.Engine.matchOne(doc, c, simples(si))
+        si += 1
+      }
+      if (all) return true
+      pi += 1
+    }
+    false
+  }
 
   /** pick the recipe's main-content element set after boilerplate removal;
     * selectors come from the per-JVM parse cache.
@@ -267,16 +309,34 @@ object Extractor extends Serializable {
     try {
       val doc = parseBytes(html)
       if (doc == null) return null
-      compiled(selector.toString) match {
-        case Left(_) => null
+      val selStr = selector.toString
+      val compounds = compiledCompounds(selStr)
+      val ub = utf8Out.get()
+      ub.reset()
+      if (compounds != null) {
+        // fused fast path: find()'s doc-order union-with-dedup over simple
+        // comma groups IS one doc-order walk testing each element once
+        // (nested matches included, exactly like the general engine)
+        val a = doc.arena
+        def rec(node: Int): Unit = {
+          var c = a.firstChild(node)
+          while (c >= 0) {
+            if (a.kind(c) == a.ELEM) {
+              if (matchesAnyCompound(doc, c, compounds)) a.textContentUtf8(c, ub)
+              rec(c)
+            }
+            c = a.nextSib(c)
+          }
+        }
+        rec(0)
+      } else compiled(selStr) match {
+        case Left(_) => return null
         case Right(sel) =>
           import scala.collection.mutable.ArrayBuffer
           val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
-          val ub = utf8Out.get()
-          ub.reset()
           found.foreach(e => doc.arena.textContentUtf8(e, ub))
-          org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
       }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
     } catch {
       case scala.util.control.NonFatal(_) => null
     }
@@ -348,7 +408,24 @@ object Extractor extends Serializable {
     try {
       val doc = parseBytes(html)
       if (doc == null) return null
-      compiled(sel.toString) match {
+      val selStr = sel.toString
+      val compounds = compiledCompounds(selStr)
+      if (compounds != null) {
+        val a = doc.arena
+        var count = 0L
+        def rec(node: Int): Unit = {
+          var c = a.firstChild(node)
+          while (c >= 0) {
+            if (a.kind(c) == a.ELEM) {
+              if (matchesAnyCompound(doc, c, compounds)) count += 1
+              rec(c)
+            }
+            c = a.nextSib(c)
+          }
+        }
+        rec(0)
+        java.lang.Long.valueOf(count)
+      } else compiled(selStr) match {
         case Left(_) => null
         case Right(s) =>
           import scala.collection.mutable.ArrayBuffer

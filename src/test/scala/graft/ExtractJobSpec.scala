@@ -234,6 +234,32 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getSeq[String](1).head).toSeq == Seq("/0", "/1", "/2"))
   }
 
+  test("fused extract_text/count fast path == general engine (differential)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.spark.Extractor
+    val pages = Seq(
+      "<main>m1<b>b</b></main><article>a2</article><p>body-less</p>",
+      "<ul><li>1</li><li class=\"a\">2<li>3</ul><div></div><div>x</div>",
+      "<p>has x here</p><p>none</p><a href=\"/q\">l</a><span>s</span>",
+      "<main>outer<main>nested</main></main>", // nested matches duplicate text
+      "<div class=\"a b\">ab</div><div class=\"b\">b</div>"
+    )
+    // qualifying selectors (single-segment comma groups, non-positional)
+    val fused = Seq("main,article,body", "li", ".a,.b", "div:empty",
+      "p:contains('x')", "a[href]", ":not(span)", "main")
+    // engine-only selectors (combinators / positional) must fall back
+    val general = Seq("div b", "ul > li", "li:first-child", "p + p")
+    for (html <- pages; sel <- fused ++ general) {
+      val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val viaBinary = Extractor.extractTextCodegenBinary(bytes, UTF8String.fromString(sel))
+      val viaEngine = Extractor.extractText(html, sel) // always the general engine
+      assert(viaBinary != null && viaBinary.toString == viaEngine, s"text: sel=$sel html=$html")
+      val cntBinary = Extractor.extractCountCodegenBinary(bytes, UTF8String.fromString(sel))
+      val cntEngine = Extractor.extractCount(html, sel)
+      assert(cntBinary == cntEngine, s"count: sel=$sel html=$html")
+    }
+  }
+
   test("BINARY input paths (byte-native) equal the STRING paths") {
     // multi-byte UTF-8 (2/3/4-byte sequences), entities, attrs, counts: the
     // byte-native parseBytes path must agree with the UTF-16 parse path
