@@ -384,7 +384,28 @@ object Extractor extends Serializable {
     try {
       val doc = parseBytes(html)
       if (doc == null) return null
-      attrsToArrayData(extractAttrsFrom(doc, sel.toString, attr.toString))
+      val selStr = sel.toString
+      val attrName = attr.toString
+      val compounds = compiledCompounds(selStr)
+      if (compounds != null) {
+        // fused walk (same contract as extract_text: doc order, each node
+        // tested once); only matched elements' attr values materialize
+        val a = doc.arena
+        val out = new scala.collection.mutable.ArrayBuffer[String](8)
+        def rec(node: Int): Unit = {
+          var c = a.firstChild(node)
+          while (c >= 0) {
+            if (a.kind(c) == a.ELEM) {
+              if (matchesAnyCompound(doc, c, compounds))
+                new graft.query.Elems(doc, Array(c)).attr(attrName).foreach(v => out += v.value)
+              rec(c)
+            }
+            c = a.nextSib(c)
+          }
+        }
+        rec(0)
+        attrsToArrayData(out.toArray)
+      } else attrsToArrayData(extractAttrsFrom(doc, selStr, attrName))
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

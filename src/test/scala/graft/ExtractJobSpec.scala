@@ -257,6 +257,14 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cntBinary = Extractor.extractCountCodegenBinary(bytes, UTF8String.fromString(sel))
       val cntEngine = Extractor.extractCount(html, sel)
       assert(cntBinary == cntEngine, s"count: sel=$sel html=$html")
+      val attrsBinary = Extractor.extractAttrsCodegenBinary(bytes,
+        UTF8String.fromString(sel), UTF8String.fromString("class"))
+      val attrsEngine = Extractor.extractAttrs(html, sel, "class")
+      val ab = if (attrsBinary == null) null
+        else attrsBinary.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      val ae = if (attrsEngine == null) null else attrsEngine.toSeq
+      assert(ab == ae, s"attrs: sel=$sel html=$html")
     }
   }
 
