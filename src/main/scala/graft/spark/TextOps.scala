@@ -696,8 +696,8 @@ object TextOps extends Serializable {
     val cents = kmeansCentroids(sample, nlist)
     val centsB = spark.sparkContext.broadcast(cents)
 
-    spark.createDataFrame(Seq((planes, LshTables, cents.length, n)))
-      .toDF("planes", "tables", "nlist", "n")
+    spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
+      .toDF("planes", "tables", "nlist", "n", "version")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
       .toDF("list_id", "centroid")
@@ -844,13 +844,22 @@ object TextOps extends Serializable {
       .orderBy("qid", "rank")
   }
 
+  /** bump on ANY change to signature / quantizer / layout semantics
+    * (hyperplaneSig, l2normalize, partitioning): a persisted index built by
+    * older code must never be probed by newer code. */
+  final val AnnIndexVersion = 2
+
   /** build-if-absent wrapper keyed by the sf dir (the correctness/bench
-    * harness entry — production callers own indexDir lifetimes). */
+    * harness entry — production callers own indexDir lifetimes). Rebuilds
+    * when the persisted index predates [[AnnIndexVersion]]. */
   def ensureAnnIndex(spark: SparkSession, sfDir: String): String = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v1-$name"
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v$AnnIndexVersion-$name"
     val done = new java.io.File(s"$indexDir/ivf/_SUCCESS")
-    if (!done.exists()) {
+    val versionOk = done.exists() && (try {
+      spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("version") == AnnIndexVersion
+    } catch { case scala.util.control.NonFatal(_) => false })
+    if (!versionOk) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       buildAnnIndex(spark, emb, indexDir)
     }
