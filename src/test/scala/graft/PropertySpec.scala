@@ -128,6 +128,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortAndUnique: shuffled/duplicated sets come back doc-ordered and unique (both sort paths)") {
+    // one wide+deep doc so node count comfortably exceeds the 64-element
+    // insertion-sort threshold — exercises the TimSort fallback
+    val html = "<div>" + (1 to 40).map(i =>
+      s"<section><p>a$i</p><p>b$i<span>s$i</span></p><p>c$i</p></section>").mkString + "</div>"
+    val root = Vis.loadOrThrow(html)
+    val doc = root.doc
+    val a = doc.arena
+    val all = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(n: Int): Unit = {
+      var c = a.firstChild(n)
+      while (c >= 0) { if (a.kind(c) == a.ELEM) { all += c; walk(c) }; c = a.nextSib(c) }
+    }
+    walk(0)
+    assert(all.length > 64)
+    val expected = all.toVector // the walk IS document order
+    for (trial <- 1 to 30) {
+      val n = 1 + rnd.nextInt(all.length)
+      val picked = rnd.shuffle(all.toVector).take(n)
+      val withDups = picked ++ picked.take(rnd.nextInt(n))
+      val shuffled = rnd.shuffle(withDups)
+      val out = Engine.sortAndUnique(a, scala.collection.mutable.ArrayBuffer(shuffled: _*))
+      val want = expected.filter(picked.contains)
+      assert(out.toVector == want, s"trial $trial n=$n")
+    }
+    // small-set insertion path too
+    for (_ <- 1 to 50) {
+      val picked = rnd.shuffle(all.toVector).take(1 + rnd.nextInt(10))
+      val out = Engine.sortAndUnique(a, scala.collection.mutable.ArrayBuffer(rnd.shuffle(picked): _*))
+      assert(out.toVector == expected.filter(picked.contains))
+    }
+  }
+
   test("textops invariants: jaccard bounds/symmetry, simhash order-invariance, band whitespace-invariance") {
     import graft.spark.TextOps
     val rnd = new scala.util.Random(42)
