@@ -35,7 +35,7 @@ object Plans {
     graft.spark.TextOps.dedupExact(docs).explain("formatted")
 
     println("=== minhash LSH candidates (band bucket join; bucket-size cap before self-join) ===")
-    graft.spark.TextOps.minhashPairs(spark, docs).explain("formatted")
+    graft.spark.TextOps.minhashPairs(spark, docs, materialize = false).explain("formatted")
 
     println("=== persisted ANN index probe (partition-pruned (tbl,sigp) read + pushed sig filter) ===")
     val sfDir = "/root/testdata/sf0.001"

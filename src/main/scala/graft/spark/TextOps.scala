@@ -240,7 +240,8 @@ object TextOps extends Serializable {
     * never go O(n^2)); the band table is persisted so the signature map runs
     * once, not on both sides of the self-join. */
   def minhashPairs(spark: SparkSession, docs: DataFrame, w: Int = 3, perms: Int = 16,
-      bands: Int = 4, bucketCap: Long = 10000L, minJaccard: Double = 0.9): DataFrame = {
+      bands: Int = 4, bucketCap: Long = 10000L, minJaccard: Double = 0.9,
+      materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     val bandRows = docs.select(col("doc_id").as[Long], col("text").as[String])
       .flatMap { case (id, text) =>
@@ -268,7 +269,9 @@ object TextOps extends Serializable {
       .flatMap { case (l, r, lt, rt) =>
         if (jaccard(lt, rt, w) >= minJaccard) Iterator.single((l, r)) else Iterator.empty
       }.toDF("left_id", "right_id")
-    finishUnpersist(verified, bandRows)
+    // materialize=false keeps the full lazy lineage (plan dumps / tests);
+    // the default eagerly checkpoints so the band table can be unpersisted
+    if (materialize) finishUnpersist(verified, bandRows) else verified
   }
 
   /** SimHash bands: 4 x 16-bit bands over the 64-bit hash; near-dup
