@@ -14,10 +14,10 @@ import scala.collection.mutable
   *
   * Measurement protocol (round 3, fixed — no result-conditioned control
   * flow anywhere): a FIXED, INTERLEAVED trial schedule. `TRIALS` visits per
-  * parallelism level, round-robin (2, 8, 32, 2, 8, 32, ...), one timed run
-  * per visit in a fresh session, full untimed warmup on the first visit of
-  * each level only (JIT + codegen caches are JVM-global; the OS page cache
-  * is warmed by the materialize step). Every per-trial time is emitted in
+  * parallelism level, round-robin (2, 8, 32, 2, 8, 32, ...); EVERY visit is
+  * a fresh session running one untimed warmup pass (a fresh session's first
+  * job pays codegen/broadcast/listing overhead that is not extraction
+  * work) and then exactly one timed run. Every per-trial time is emitted in
   * the JSON (`trials_local{2,8,32}`); headline numbers are the per-level
   * MEDIAN (robust to bursty hypervisor steal), with min also reported.
   * Efficiency = (median_t2 / median_t8) / 4 for the 2->8-core pair, which

@@ -55,13 +55,29 @@ object SkewBench {
       .select(call_function("extract_main", col("html")).as("text"))
       .where(col("text").isNotNull)
       .write.format("noop").mode("overwrite").save()
-    // the listener bus is async; give queued TaskEnd events time to drain
-    Thread.sleep(1500)
-    val candidates = new ArrayBuffer[(Int, Seq[Long])]()
-    listener.byStage.forEach { (stage, times) =>
-      if (times.size == buckets) candidates += ((stage, times.toSeq))
+    // the listener bus is async: poll until the extraction stage's tasks
+    // have all been delivered (bounded, never a crash on a loaded VM)
+    var waited = 0L
+    def findStage(): Option[Seq[Long]] = {
+      val candidates = new ArrayBuffer[(Int, Seq[Long])]()
+      listener.byStage.forEach { (stage, times) =>
+        if (times.size == buckets) candidates += ((stage, times.toSeq))
+      }
+      if (candidates.isEmpty) None else Some(candidates.maxBy(_._2.sum)._2)
     }
-    val times = candidates.maxBy(_._2.sum)._2
+    var found = findStage()
+    while (found.isEmpty && waited < 15000L) {
+      Thread.sleep(500); waited += 500
+      found = findStage()
+    }
+    val times = found.getOrElse {
+      // degraded fallback (task retries can leave no stage at exactly
+      // `buckets` successes): use the largest stage by total duration
+      val all = new ArrayBuffer[Seq[Long]]()
+      listener.byStage.forEach((_, t) => all += t.toSeq)
+      require(all.nonEmpty, "no task timings captured")
+      all.maxBy(_.sum)
+    }
     (times.max, median(times))
   }
 

@@ -234,8 +234,6 @@ object Entities {
       "InvisibleTimes" -> 0x2062, "it" -> 0x2062,
       "InvisibleComma" -> 0x2063, "ic" -> 0x2063,
       "NonBreakingSpace" -> 0xA0)
-    // WHATWG multi-codepoint sequence
-    m.put("ThickSpace", "\u205F\u200A")
 
     // ---- punctuation / typographic extras ----
     alias("hybull" -> 0x2043, "dash" -> 0x2010, "hyphen" -> 0x2010,
@@ -588,7 +586,7 @@ object Entities {
       "vsupne" -> "⊋︀", "varsupsetneq" -> "⊋︀",
       "vsupnE" -> "⫌︀", "varsupsetneqq" -> "⫌︀",
       // literal pairs
-      "fjlig" -> "fj", "ThickSpace" -> "  ")
+      "fjlig" -> "fj", "ThickSpace" -> "\u205F\u200A")
 
     // ---- WHATWG completeness patch ----
     // The remaining semicolon-form names of the HTML5 named character

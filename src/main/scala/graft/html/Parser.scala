@@ -201,16 +201,6 @@ object Parser {
       flushText(textStart, i)
     }
 
-    /** 0 = plain text '<', 1 = start tag, 2 = end tag, 3 = markup decl */
-    private def classify(at: Int): Int = {
-      if (at + 1 >= len) return 0
-      val c = buf(at + 1)
-      if (isNameStart(c)) 1
-      else if (c == '/' && at + 2 < len && isNameStart(buf(at + 2))) 2
-      else if (c == '!') 3
-      else 0
-    }
-
     private def flushText(from: Int, until: Int): Unit = {
       if (until <= from) return
       var allWs = true

@@ -83,25 +83,37 @@ object StreamingExtract {
       .start()
   }
 
-  /** streaming exact dedup with BOUNDED state: extract, key by the 8-byte
-    * xxhash64 of the extracted text (state never stores the text itself),
-    * keep the first occurrence per hash inside the `dedupWindow` event-time
-    * watermark. `dropDuplicatesWithinWatermark` expires state as the
-    * watermark advances, so at corpus scale state is bounded by
-    * (dedup window) x (ingest rate) — never corpus size. The streaming
-    * analog of [[TextOps.dedupExact]]. */
+  /** streaming content-hash dedup with BOUNDED state: extract, key by
+    * (xxhash64, byte length) of the extracted text — state never stores the
+    * text itself, so at corpus scale state is bounded by (dedup window) x
+    * (ingest rate), never corpus size; the residual is the standard
+    * content-hash tradeoff (a 64-bit+length collision inside one window,
+    * ~2^-64 — the batch [[TextOps.dedupExact]] verifies with the text and
+    * stays exact). Failed pages (null text) are NOT deduped: they pass
+    * through with a null hash so the failure channel never collapses to
+    * one row (xxhash64 of a null column would hash every failure to the
+    * same seed value). State expires as the `dedupWindow` event-time
+    * watermark advances. */
   def dedupStream(spark: SparkSession, pagesDir: String, outDir: String,
       dedupWindow: String = "1 hour"): StreamingQuery = {
     val pages = spark.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", "8")
       .parquet(pagesDir)
-    pages
+    val extracted = pages
       .select(col("url"), col("warc_ts"),
         call_function("extract_main", col("html")).as("text"))
+    val deduped = extracted
+      .where(col("text").isNotNull)
       .withColumn("text_hash", xxhash64(col("text")))
+      .withColumn("text_len", octet_length(col("text")))
       .withWatermark("warc_ts", dedupWindow)
-      .dropDuplicatesWithinWatermark("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash", "text_len")
+    val failures = extracted
+      .where(col("text").isNull)
+      .withColumn("text_hash", lit(null).cast("long"))
+      .withColumn("text_len", lit(null).cast("int"))
+    deduped.unionByName(failures)
       .writeStream
       .option("checkpointLocation", s"$outDir/checkpoint")
       .option("path", s"$outDir/deduped")

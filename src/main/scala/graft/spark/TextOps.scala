@@ -676,8 +676,11 @@ object TextOps extends Serializable {
   // probe locality beats the 1+L storage multiplier — embeddings are a
   // small fraction of corpus bytes.
 
+  // LOGICAL shift, matching the probes' `>>> shift` — an arithmetic shift
+  // would sign-extend and diverge if a signature ever had its top bit set
+  // (planes is capped at 24 below, so sigs stay positive; belt and braces)
   private def sigPrefix(planes: Int) = (sig: Column) =>
-    shiftright(sig, math.max(0, planes - 8)).as("sigp")
+    shiftrightunsigned(sig, math.max(0, planes - 8)).as("sigp")
 
   /** Build the persisted index. Idempotent per (embeddings, params): the
     * caller controls `indexDir` lifetime. One pass over the corpus computes
@@ -689,6 +692,8 @@ object TextOps extends Serializable {
       .persist()
     val n = vecs.count()
     val planes = if (planesOverride > 0) planesOverride else planesFor(n)
+    require(planes >= 1 && planes <= 24,
+      s"planes must be in [1, 24] (got $planes): signatures are Int bit masks")
     val nlist = if (nlistOverride > 0) nlistOverride
       else math.max(8L, math.min(1024L, n / 64L)).toInt
     // coarse quantizer from a strided (deterministic, bounded) sample,
