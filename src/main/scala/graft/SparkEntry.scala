@@ -486,6 +486,13 @@ object SparkEntry {
     "q_media_real" -> ((s, dir) =>
       graft.spark.MediaOps.realMediaFeatures(s, dir).orderBy("media_id")),
 
+    // ---- 19c. PDF text/layout extraction (north rule "PDF/layout parse"):
+    //      real synthesized PDFs (xref/trailer, Flate or raw streams),
+    //      pure-JVM extraction with layout ordering, escapes, TJ arrays;
+    //      the oracle recomputes the expected text closed-form ----
+    "q_pdf_extract" -> ((s, dir) =>
+      graft.spark.PdfOps.pdfTable(s, dir).orderBy("doc_id")),
+
     // ---- 20. SQL extract_main byte-identity over the synthesized pages:
     //      the whole-stage-codegen path must equal the oracle text column
     //      on every row ----
@@ -647,6 +654,19 @@ object SparkEntry {
       "(SELECT embedding FROM embeddings WHERE vec_id = 0) q) " +
       "ORDER BY rank LIMIT 5"
 
+  /** the PDF generator's planted text rebuilt in plain SQL: per page p,
+    * "d<id> p<p> top (x)\nd<id> p<p> bot", pages joined by newline. */
+  private val PdfOracle: String = {
+    def pg(p: Int): String =
+      s"('d' || CAST(doc_id AS VARCHAR) || ' p$p top (x)' || chr(10) || " +
+        s"'d' || CAST(doc_id AS VARCHAR) || ' p$p bot')"
+    "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
+      s"WHEN 0 THEN ${pg(0)} " +
+      s"WHEN 1 THEN ${pg(0)} || chr(10) || ${pg(1)} " +
+      s"ELSE ${pg(0)} || chr(10) || ${pg(1)} || chr(10) || ${pg(2)} END AS pdf_text, " +
+      "CAST(1 + doc_id % 3 AS BIGINT) AS n_pages FROM documents ORDER BY doc_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_extract_main" ->
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
@@ -769,6 +789,7 @@ object SparkEntry {
         "CAST(16 AS INT) AS n_feat, " +
         "CAST(CASE WHEN doc_id % 3 = 2 THEN LEAST(4, 1 + doc_id % 24) ELSE 1 END AS INT) AS sampled_frames " +
         "FROM documents ORDER BY media_id"),
+    "q_pdf_extract" -> PdfOracle,
     "q_media_real" ->
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, " +
