@@ -469,6 +469,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 18b. extract_html SQL surface: outerHtml snippets per match over
+    //      a BINARY column, quote style and attr order preserved in the
+    //      re-render — the oracle rebuilds the snippets closed-form ----
+    "q_sql_html" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val item = s"<li data-k='v${id % 5}'>x</li>"
+        val html = "<ul>" + item * ((id % 7).toInt + 1) + "</ul>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"),
+          concat_ws("|", call_function("extract_html", col("html"), lit("li"))).as("snippets"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 19. multimodal binary columns: stub decode -> typed metadata,
     //      real histogram features, deterministic frame sampling ----
     "q_media" -> ((s, dir) => {
@@ -790,6 +805,10 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 3 = 2 THEN LEAST(4, 1 + doc_id % 24) ELSE 1 END AS INT) AS sampled_frames " +
         "FROM documents ORDER BY media_id"),
     "q_pdf_extract" -> PdfOracle,
+    "q_sql_html" ->
+      ("SELECT doc_id, rtrim(repeat('<li data-k=''v' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'''>x</li>|', CAST(doc_id % 7 + 1 AS INT)), '|') AS snippets " +
+        "FROM documents ORDER BY doc_id"),
     "q_media_real" ->
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, " +

@@ -143,6 +143,50 @@ case class ExtractAttrs(first: Expression, second: Expression, third: Expression
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** `extract_html(html, selector)` — ARRAY<STRING> of outerHtml() per
+  * selector match in document order (the reference's find + outer_html
+  * flow): the SQL snippet-extraction surface. */
+case class ExtractHtml(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_html"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!(left.dataType == StringType || left.dataType == BinaryType ||
+        left.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_html: html must be STRING or BINARY, got ${left.dataType.sql}")
+    else if (!(right.dataType == StringType || right.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure("extract_html: selector must be STRING")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val htmlIsBinary: Boolean = left.dataType == BinaryType
+
+  override def nullSafeEval(html: Any, sel: Any): Any = {
+    if (htmlIsBinary)
+      Extractor.extractOuterHtmlCodegenBinary(html.asInstanceOf[Array[Byte]],
+        sel.asInstanceOf[UTF8String])
+    else
+      Extractor.extractOuterHtmlCodegen(html.asInstanceOf[UTF8String],
+        sel.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractOuterHtmlCodegenBinary" else "extractOuterHtmlCodegen"
+    nullSafeCodeGen(ctx, ev, (h, s) => {
+      s"""
+         |${ev.value} = graft.spark.Extractor.$fn($h, $s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `extract_count(html, selector)` — find(selector).length as BIGINT. */
 case class ExtractCount(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.types.LongType
@@ -208,5 +252,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("extract_count"),
       new ExpressionInfo(classOf[ExtractCount].getName, "extract_count"),
       (children: Seq[Expression]) => ExtractCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("extract_html"),
+      new ExpressionInfo(classOf[ExtractHtml].getName, "extract_html"),
+      (children: Seq[Expression]) => ExtractHtml(children(0), children(1))))
   }
 }

@@ -342,6 +342,49 @@ object Extractor extends Serializable {
     }
   }
 
+  /** outerHtml() of every selector match in document order (the reference
+    * flow find(sel) + outer_html, reference elements.rs render path). */
+  private def extractOuterHtmlFrom(doc: VDoc, selector: String): Array[String] =
+    compiled(selector) match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        val out = new Array[String](found.length)
+        var i = 0
+        while (i < found.length) {
+          out(i) = new graft.query.Elems(doc, Array(found(i))).outerHtml()
+          i += 1
+        }
+        out
+    }
+
+  def extractOuterHtmlCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      sel: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || sel == null) return null
+    try {
+      val doc = parse(html.toString)
+      if (doc == null) return null
+      attrsToArrayData(extractOuterHtmlFrom(doc, sel.toString))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** byte-native BINARY path (parseBytes; only the matched snippets
+    * materialize as Strings). */
+  def extractOuterHtmlCodegenBinary(html: Array[Byte],
+      sel: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || sel == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      attrsToArrayData(extractOuterHtmlFrom(doc, sel.toString))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** `attr(name)` of every selector match, in document order (the reference
     * flow `find(sel)` + per-element `attr`, reference elements.rs:3191);
     * null on parse/selector failure, null entries never emitted —

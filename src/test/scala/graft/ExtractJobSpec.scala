@@ -234,6 +234,23 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getSeq[String](1).head).toSeq == Seq("/0", "/1", "/2"))
   }
 
+  test("extract_html SQL function: outerHtml per match, both input types") {
+    assert(spark.sql(
+      """SELECT array_join(extract_html('<ul><li class="a">1</li><li>2<b>x</b></li></ul>', 'li'), '|')""")
+      .head().getString(0) == """<li class="a">1</li>|<li>2<b>x</b></li>""")
+    // BINARY path identical
+    assert(spark.sql(
+      """SELECT array_join(extract_html(encode('<p id=z>t</p>', 'utf-8'), '#z'), '|')""")
+      .head().getString(0) == "<p id=z>t</p>")
+    // invalid selector -> NULL; NULL html -> NULL; WSCG preserved
+    assert(spark.sql("SELECT extract_html('<p>x</p>', ':nope(')").head().isNullAt(0))
+    assert(spark.sql("SELECT extract_html(NULL, 'p')").head().isNullAt(0))
+    val df = spark.range(3).selectExpr(
+      "extract_html(concat('<i>', CAST(id AS STRING), '</i>'), 'i') AS h")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(df.collect().map(_.getSeq[String](0).head).toSeq == Seq("<i>0</i>", "<i>1</i>", "<i>2</i>"))
+  }
+
   test("fused extract_text/count fast path == general engine (differential)") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.spark.Extractor
