@@ -603,7 +603,11 @@ object SparkEntry {
       TextOps.annLshTopKEval(s, dir, m = 8, k = 5).orderBy("qid", "rank")),
 
     // IVF ANN eval (coarse-quantizer scale path), same cross-engine
-    // contract: top-k over the nprobe nearest inverted lists == brute force
+    // contract: top-k over the nprobe nearest inverted lists == brute force.
+    // nprobe=6 is the production default and is exact on the sf0.01
+    // verification corpus; at sf0.001 (8 lists over 500 near-orthogonal
+    // vectors — no cluster structure to quantize) recall@5 is 39/40, IVF's
+    // honest approximation (TextOpsSpec pins the sf0.001 behavior)
     "q_ann_ivf" -> ((s, dir) =>
       TextOps.annIvfTopKEval(s, dir, m = 8, k = 5, nprobe = 6).orderBy("qid", "rank")),
 
