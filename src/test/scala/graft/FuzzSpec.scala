@@ -86,6 +86,22 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF extractor never throws on random bytes / random %PDF-prefixed soup") {
+    for (_ <- 1 to 1000) {
+      val bytes = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(bytes)
+      graft.spark.PdfOps.extractPdfText(bytes) // null or text, never a throw
+      graft.spark.PdfOps.pageCount(bytes)
+      // force the tolerant parse path: a valid header + random guts,
+      // sometimes with stream/endstream markers spliced in
+      val soup = "%PDF-1.4\n".getBytes ++ bytes ++
+        (if (rnd.nextBoolean()) "stream\n".getBytes ++ bytes ++ "endstream".getBytes
+         else Array.empty[Byte])
+      assert(graft.spark.PdfOps.extractPdfText(soup) != null || true) // no throw
+      graft.spark.PdfOps.pageCount(soup)
+    }
+  }
+
   test("garbage selectors return Left, never throw") {
     val alphabet = ":()[]>+~,.#*=^$|!'\" abz-0"
     for (_ <- 1 to 3000) {
