@@ -59,16 +59,58 @@ object Engine {
           i += 1
         }
       } else {
-        // large sets: TimSort on boxed positions. parents()/closest()/
-        // siblings()/ParentAll concatenate many ascending per-node runs —
-        // near worst case for insertion sort (O(n^2)) but near-linear for
-        // TimSort, which detects and merges the runs.
-        val boxed = new Array[Integer](n)
-        i = 0
-        while (i < n) { boxed(i) = Integer.valueOf(pos(i)); i += 1 }
-        java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => cmp(paths(x.intValue), paths(y.intValue)))
-        i = 0
-        while (i < n) { pos(i) = boxed(i).intValue; i += 1 }
+        // large sets: primitive natural-run merge sort on int positions.
+        // parents()/closest()/siblings()/ParentAll concatenate many
+        // ascending per-node runs — near worst case for insertion sort
+        // (O(n^2)) but O(n log r) here with no Integer boxing: detect the
+        // ascending run boundaries once, then bottom-up merge adjacent runs.
+        var bounds = new Array[Int](16)
+        var nb = 0
+        @inline def addBound(v: Int): Unit = {
+          if (nb == bounds.length) bounds = java.util.Arrays.copyOf(bounds, nb * 2)
+          bounds(nb) = v; nb += 1
+        }
+        addBound(0)
+        i = 1
+        while (i < n) {
+          if (cmp(paths(pos(i - 1)), paths(pos(i))) > 0) addBound(i)
+          i += 1
+        }
+        addBound(n)
+        var src = pos
+        var dst = new Array[Int](n)
+        while (nb > 2) {
+          var outNb = 0
+          val newBounds = new Array[Int](nb)
+          var b = 0
+          while (b + 2 < nb) {
+            // merge src[bounds(b), bounds(b+1)) with src[bounds(b+1), bounds(b+2))
+            var l = bounds(b)
+            var r = bounds(b + 1)
+            val lEnd = bounds(b + 1)
+            val rEnd = bounds(b + 2)
+            var o = bounds(b)
+            while (l < lEnd && r < rEnd) {
+              if (cmp(paths(src(l)), paths(src(r))) <= 0) { dst(o) = src(l); l += 1 }
+              else { dst(o) = src(r); r += 1 }
+              o += 1
+            }
+            while (l < lEnd) { dst(o) = src(l); l += 1; o += 1 }
+            while (r < rEnd) { dst(o) = src(r); r += 1; o += 1 }
+            newBounds(outNb) = bounds(b); outNb += 1
+            b += 2
+          }
+          if (b + 2 == nb) { // odd run out: copy through
+            var k = bounds(b)
+            while (k < bounds(b + 1)) { dst(k) = src(k); k += 1 }
+            newBounds(outNb) = bounds(b); outNb += 1
+          }
+          newBounds(outNb) = n; outNb += 1
+          val t = src; src = dst; dst = t
+          System.arraycopy(newBounds, 0, bounds, 0, outNb)
+          nb = outNb
+        }
+        if (!(src eq pos)) System.arraycopy(src, 0, pos, 0, n)
       }
     }
     val out = new ArrayBuffer[Int](n)
