@@ -40,7 +40,7 @@ object Plans {
     println("=== persisted ANN index probe (partition-pruned (tbl,sigp) read + pushed sig filter) ===")
     val sfDir = "/root/testdata/sf0.001"
     val idx = graft.spark.TextOps.ensureAnnIndex(spark, sfDir)
-    graft.spark.TextOps.annLshIndexed(spark, sfDir, idx, 0L, 5, radius = 2)
+    graft.spark.TextOps.annLshProbeScan(spark, sfDir, idx, 0L, radius = 2)
       .explain("formatted")
     spark.stop()
   }

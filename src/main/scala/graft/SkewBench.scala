@@ -61,7 +61,10 @@ object SkewBench {
     def findStage(): Option[Seq[Long]] = {
       val candidates = new ArrayBuffer[(Int, Seq[Long])]()
       listener.byStage.forEach { (stage, times) =>
-        if (times.size == buckets) candidates += ((stage, times.toSeq))
+        // snapshot under the same monitor the appender holds: a concurrent
+        // append during size/toSeq could otherwise throw or drop a sample
+        val snap = times.synchronized(times.toSeq)
+        if (snap.size == buckets) candidates += ((stage, snap))
       }
       if (candidates.isEmpty) None else Some(candidates.maxBy(_._2.sum)._2)
     }
@@ -74,7 +77,7 @@ object SkewBench {
       // degraded fallback (task retries can leave no stage at exactly
       // `buckets` successes): use the largest stage by total duration
       val all = new ArrayBuffer[Seq[Long]]()
-      listener.byStage.forEach((_, t) => all += t.toSeq)
+      listener.byStage.forEach((_, t) => all += t.synchronized(t.toSeq))
       require(all.nonEmpty, "no task timings captured")
       all.maxBy(_.sum)
     }

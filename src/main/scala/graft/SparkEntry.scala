@@ -603,11 +603,12 @@ object SparkEntry {
       TextOps.annLshTopKEval(s, dir, m = 8, k = 5).orderBy("qid", "rank")),
 
     // IVF ANN eval (coarse-quantizer scale path), same cross-engine
-    // contract: top-k over the nprobe nearest inverted lists == brute force.
-    // nprobe=6 is the production default and is exact on the sf0.01
-    // verification corpus; at sf0.001 (8 lists over 500 near-orthogonal
-    // vectors — no cluster structure to quantize) recall@5 is 39/40, IVF's
-    // honest approximation (TextOpsSpec pins the sf0.001 behavior)
+    // contract: top-k == brute force. Exact at EVERY sf by construction:
+    // phase 1 scans the nprobe=6 nearest inverted lists, then the
+    // per-list radius certificate (TextOps.certifiedExpansion) either
+    // proves the top-k global or names the only lists that could still
+    // compete, which a phase-2 pass scans — clustered corpora certify
+    // immediately, clusterless ones honestly pay for more lists
     "q_ann_ivf" -> ((s, dir) =>
       TextOps.annIvfTopKEval(s, dir, m = 8, k = 5, nprobe = 6).orderBy("qid", "rank")),
 
