@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, plus the decode /
   * feature-extract / frame-sample plumbing a 100 TB media corpus needs.
   *
-  * The container has no media codecs, so `decodeStub` parses a
-  * DETERMINISTIC FAKE container format (16-byte header + payload) — a
-  * clearly-marked stand-in for a real decoder. Everything AROUND the stub
-  * is real and tested: the table schema (binary payload + struct metadata),
-  * the batch-shaped `mapPartitions` execution (one decoder instance per
-  * partition, not per row — the shape a JNI/FFI codec needs), the
-  * histogram feature extraction (real computation over the payload bytes),
-  * and deterministic frame sampling.
+  * All three media kinds now have REAL pure-JVM container parsers in the
+  * decode slot: BMP (image), WAV (audio), and AVI (video, with true
+  * per-frame chunk offsets from the movi walk). `decodeStub` remains as
+  * the documented FAKE-container fallback (16-byte header + payload) that
+  * pins the format-agnostic plumbing: the table schema (binary payload +
+  * struct metadata), the batch-shaped `mapPartitions` execution (one
+  * decoder instance per partition, not per row — the shape a JNI/FFI
+  * codec binding needs), the histogram feature extraction, and
+  * deterministic frame sampling. Compressed codecs (JPEG/H.264) stay out
+  * of scope — no codec libraries in the container — but every CONTAINER
+  * walk is real.
   */
 object MediaOps extends Serializable {
 
@@ -89,12 +92,18 @@ object MediaOps extends Serializable {
     else histogramFeatures(bytes, 16, bytes.length - 16, bins)
 
   // ---------- REAL container parsers (pure JVM, no codec libraries) ----------
-  // BMP (BITMAPINFOHEADER) and WAV (RIFF/WAVE fmt+data) fill the SAME decode
-  // slot as the stub — swap-in proof that the per-partition plumbing is
-  // format-agnostic. Both return the payload span so the histogram /
-  // frame-sample feature ops run over real pixel / PCM bytes.
+  // BMP (BITMAPINFOHEADER), WAV (RIFF/WAVE fmt+data) and AVI (RIFF/'AVI '
+  // hdrl+movi) fill the SAME decode slot as the stub — swap-in proof that
+  // the per-partition plumbing is format-agnostic. All return the payload
+  // span (AVI additionally the true per-frame offsets) so the histogram /
+  // frame-sample feature ops run over real pixel / PCM / frame bytes.
 
-  final case class Decoded(meta: MediaMeta, payloadOff: Int, payloadLen: Int)
+  /** `frameOffsets` is non-empty only for container formats with addressable
+    * frames (AVI): the TRUE (offset, length) of each frame's bytes inside
+    * the container — frame sampling seeks, it never decodes-all. A Seq (not
+    * Array) so case-class equality stays structural. */
+  final case class Decoded(meta: MediaMeta, payloadOff: Int, payloadLen: Int,
+      frameOffsets: Seq[(Int, Int)] = Nil)
 
   private def leU16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -147,10 +156,81 @@ object MediaOps extends Serializable {
       dataOff, dataLen)
   }
 
-  /** format dispatch on magic bytes: the single decode slot. */
+  /** AVI (RIFF 'AVI '): the video container walk that retires the last
+    * stub decoder. hdrl/avih yields width, height, fps
+    * (1e6 / dwMicroSecPerFrame) and total frames; the movi LIST is walked
+    * once to record the TRUE (offset, length) of every frame chunk
+    * ('##db'/'##dc') — frame sampling then SEEKS to a frame's bytes
+    * instead of slicing blindly through chunk headers. Null on any
+    * malformed input (bad magic, chunk overrun, zero dims, no frames),
+    * never an exception. */
+  def decodeAvi(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 24) return null
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ') return null
+    val riffSize = leI32(bytes, 4)
+    if (riffSize < 4 || 8 + riffSize > bytes.length) return null
+    val riffEnd = 8 + riffSize
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var width = 0
+    var height = 0
+    var fps = 0
+    var totalFrames = 0
+    var moviOff = -1
+    var moviLen = 0
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var at = 12
+    while (at + 8 <= riffEnd) {
+      val id = fourcc(at)
+      val size = leI32(bytes, at + 4)
+      if (size < 0 || at + 8 + size > riffEnd) return null
+      if (id == "LIST" && size >= 4) {
+        val listEnd = at + 8 + size
+        fourcc(at + 8) match {
+          case "hdrl" =>
+            var h = at + 12
+            while (h + 8 <= listEnd) {
+              val hsize = leI32(bytes, h + 4)
+              if (hsize < 0 || h + 8 + hsize > listEnd) return null
+              if (fourcc(h) == "avih" && hsize >= 40) {
+                val usec = leI32(bytes, h + 8) // dwMicroSecPerFrame
+                fps = if (usec > 0) 1000000 / usec else 0
+                totalFrames = leI32(bytes, h + 24) // dwTotalFrames
+                width = leI32(bytes, h + 40) // dwWidth
+                height = leI32(bytes, h + 44) // dwHeight
+              }
+              h += 8 + hsize + (hsize & 1)
+            }
+          case "movi" =>
+            moviOff = at + 12
+            moviLen = size - 4
+            var f = moviOff
+            while (f + 8 <= listEnd) {
+              val fid = fourcc(f)
+              val fsize = leI32(bytes, f + 4)
+              if (fsize < 0 || f + 8 + fsize > listEnd) return null
+              if (fid.endsWith("db") || fid.endsWith("dc"))
+                frameOffs += ((f + 8, fsize))
+              f += 8 + fsize + (fsize & 1)
+            }
+          case _ => ()
+        }
+      }
+      at += 8 + size + (size & 1)
+    }
+    if (width <= 0 || height <= 0 || moviOff < 0 || frameOffs.isEmpty) return null
+    Decoded(MediaMeta("video", width, height, fps,
+      if (totalFrames > 0) totalFrames else frameOffs.length),
+      moviOff, moviLen, frameOffs.toSeq)
+  }
+
+  /** format dispatch on magic bytes: the single decode slot. RIFF files
+    * split on the form type at offset 8 (WAVE vs 'AVI '). */
   def decodeReal(bytes: Array[Byte]): Decoded = {
-    if (bytes == null || bytes.length < 4) return null
+    if (bytes == null || bytes.length < 12) return null
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(8) == 'A') decodeAvi(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
     else {
       val m = decodeStub(bytes)
@@ -212,23 +292,111 @@ object MediaOps extends Serializable {
     out
   }
 
-  /** real-format media pipeline: synthesize true BMP (even ids) / WAV (odd
-    * ids) bytes, decode through the REAL parsers per partition, extract the
-    * histogram dominant bin over the actual pixel / PCM payload. Every
-    * output column is a closed-form function of the id for the DuckDB
-    * oracle. */
+  def fpsOf(id: Long): Int = Array(10, 20, 25, 50)((id % 4).toInt)
+  def videoFramesOf(id: Long): Int = 1 + (id % 24).toInt
+  private val AviFrameLen = 32 // even: no RIFF pad byte between frames
+
+  /** a true AVI file (RIFF 'AVI ', hdrl/avih + strl, movi with one '00db'
+    * chunk per frame) with deterministic dims/fps/frames and constant
+    * frame-payload bytes. */
+  def synthAvi(id: Long): Array[Byte] = {
+    val w = widthOf(id)
+    val h = heightOf(id)
+    val fps = fpsOf(id)
+    val frames = videoFramesOf(id)
+    val strlSize = 4 + 8 + 56 + 8 + 40 // 'strl' + strh chunk + strf chunk
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize // 'hdrl' + avih chunk + LIST strl
+    val moviSize = 4 + frames * (8 + AviFrameLen)
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val out = new Array[Byte](8 + riffSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    def cc(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    cc(0, "RIFF"); le32(4, riffSize); cc(8, "AVI ")
+    cc(12, "LIST"); le32(16, hdrlSize); cc(20, "hdrl")
+    cc(24, "avih"); le32(28, 56)
+    le32(32, 1000000 / fps) // dwMicroSecPerFrame
+    le32(48, frames) // dwTotalFrames
+    le32(56, 1) // dwStreams
+    le32(64, w); le32(68, h)
+    cc(88, "LIST"); le32(92, strlSize); cc(96, "strl")
+    cc(100, "strh"); le32(104, 56)
+    cc(108, "vids"); cc(112, "DIB ")
+    le32(128, 1); le32(132, fps) // dwScale=1, dwRate=fps
+    le32(140, frames) // dwLength
+    cc(164, "strf"); le32(168, 40)
+    le32(172, 40); le32(176, w); le32(180, h) // BITMAPINFOHEADER
+    le16(184, 1); le16(186, 24)
+    cc(212, "LIST"); le32(216, moviSize); cc(220, "movi")
+    var f = 0
+    var at = 224
+    while (f < frames) {
+      cc(at, "00db"); le32(at + 4, AviFrameLen)
+      java.util.Arrays.fill(out, at + 8, at + 8 + AviFrameLen, payloadByteOf(id).toByte)
+      at += 8 + AviFrameLen
+      f += 1
+    }
+    out
+  }
+
+  /** TRUE frame-offset sampling: up to `k` evenly spaced frames copied
+    * from their container chunk offsets ([[Decoded.frameOffsets]]) — a
+    * seek per sampled frame, not a scan of the whole movi span. */
+  def frameSampleOffsets(bytes: Array[Byte], offsets: Seq[(Int, Int)], k: Int): Array[Array[Byte]] = {
+    if (bytes == null || offsets == null || offsets.isEmpty || k <= 0) return Array.empty
+    val take = math.min(k, offsets.length)
+    Array.tabulate(take) { f =>
+      val (off, len) = offsets((f.toLong * offsets.length / take).toInt)
+      java.util.Arrays.copyOfRange(bytes, off, math.min(off + len, bytes.length))
+    }
+  }
+
+  /** dominant 16-bin histogram bucket over a set of byte spans. */
+  private def dominantBin(bytes: Array[Byte], spans: Seq[(Int, Int)]): Int = {
+    val counts = new Array[Long](16)
+    spans.foreach { case (off, len) =>
+      var i = off
+      val end = math.min(off + len, bytes.length)
+      while (i < end) { counts((bytes(i) & 0xFF) / 16) += 1; i += 1 }
+    }
+    var dom = 0
+    var b = 1
+    while (b < 16) { if (counts(b) > counts(dom)) dom = b; b += 1 }
+    dom
+  }
+
+  /** real-format media pipeline: synthesize true BMP / WAV / AVI bytes
+    * (id % 3 — the same kind convention as the stub container), decode
+    * through the REAL parsers per partition, extract the histogram
+    * dominant bin over the actual pixel / PCM / frame payload (for AVI
+    * the histogram runs over the TRUE frame spans from the movi walk, not
+    * the raw movi bytes — chunk headers never pollute the features).
+    * Every output column is a closed-form function of the id for the
+    * DuckDB oracle. */
   def realMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as[Long])
       .mapPartitions { it =>
         it.map { id =>
-          val bytes = if (id % 2 == 0) synthBmp(id) else synthWav(id)
+          val bytes = (id % 3) match {
+            case 0 => synthBmp(id)
+            case 1 => synthWav(id)
+            case _ => synthAvi(id)
+          }
           val d = decodeReal(bytes)
-          val feats = histogramFeatures(bytes, d.payloadOff, d.payloadLen, 16)
-          var dom = 0
-          var b = 1
-          while (b < feats.length) { if (feats(b) > feats(dom)) dom = b; b += 1 }
+          val spans =
+            if (d.frameOffsets.nonEmpty) d.frameOffsets
+            else Seq((d.payloadOff, d.payloadLen))
+          val dom = dominantBin(bytes, spans)
           (id, d.meta.kind, d.meta.width.toLong, d.meta.height.toLong,
             d.meta.sample_rate.toLong, d.meta.frames.toLong, dom.toLong)
         }

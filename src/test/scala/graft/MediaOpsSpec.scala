@@ -89,7 +89,55 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.decodeWav(new Array[Byte](44)) == null)
   }
 
-  test("realMediaFeatures: closed-form columns over true BMP/WAV bytes") {
+  test("REAL AVI parser: synth round-trips, true frame offsets from movi walk") {
+    (0L until 64L).foreach { id =>
+      val bytes = MediaOps.synthAvi(id)
+      val d = MediaOps.decodeAvi(bytes)
+      assert(d != null, s"id $id")
+      assert(d.meta == MediaOps.MediaMeta("video", MediaOps.widthOf(id),
+        MediaOps.heightOf(id), MediaOps.fpsOf(id), MediaOps.videoFramesOf(id)))
+      // one frame offset per '00db' chunk, each pointing at true payload
+      assert(d.frameOffsets.length == MediaOps.videoFramesOf(id))
+      d.frameOffsets.foreach { case (off, len) =>
+        assert(len == 32)
+        (off until off + len).foreach(i =>
+          assert((bytes(i) & 0xFF) == MediaOps.payloadByteOf(id)))
+        // the 4 bytes before the length word are the '00db' fourcc
+        assert(bytes(off - 8) == '0' && bytes(off - 6) == 'd' && bytes(off - 5) == 'b')
+      }
+      // frame spans tile the movi payload exactly (headers excluded)
+      assert(d.frameOffsets.map(_._2 + 8).sum == d.payloadLen)
+      assert(MediaOps.decodeReal(bytes) == d) // dispatch on RIFF form type
+    }
+    // malformed: truncation, zero dims, no frames
+    val good = MediaOps.synthAvi(5L)
+    assert(MediaOps.decodeAvi(java.util.Arrays.copyOf(good, good.length - 4)) == null)
+    assert(MediaOps.decodeAvi(null) == null)
+    assert(MediaOps.decodeAvi("RIFFxxxxAVI ".getBytes) == null)
+    val zeroW = good.clone(); zeroW(64) = 0; zeroW(65) = 0; zeroW(66) = 0; zeroW(67) = 0
+    assert(MediaOps.decodeAvi(zeroW) == null)
+    // WAV bytes must not decode as AVI (form-type dispatch)
+    assert(MediaOps.decodeAvi(MediaOps.synthWav(1L)) == null)
+  }
+
+  test("frameSampleOffsets: evenly spaced seeks into true frame spans") {
+    val id = 23L // 24 frames
+    val bytes = MediaOps.synthAvi(id)
+    val d = MediaOps.decodeAvi(bytes)
+    val s4 = MediaOps.frameSampleOffsets(bytes, d.frameOffsets, 4)
+    assert(s4.length == 4)
+    s4.foreach { f =>
+      assert(f.length == 32)
+      assert(f.forall(b => (b & 0xFF) == MediaOps.payloadByteOf(id)))
+    }
+    // k > frames clamps; k = frames returns all, in order
+    val all = MediaOps.frameSampleOffsets(bytes, d.frameOffsets, 1000)
+    assert(all.length == d.frameOffsets.length)
+    assert(MediaOps.frameSampleOffsets(bytes, Nil, 4).isEmpty)
+    assert(MediaOps.frameSampleOffsets(null, d.frameOffsets, 4).isEmpty)
+  }
+
+  test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI bytes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-media-real-test")
       .config("spark.sql.shuffle.partitions", "2")
@@ -99,14 +147,22 @@ class MediaOpsSpec extends AnyFunSuite {
     val df = MediaOps.realMediaFeatures(spark, "/root/testdata/sf0.001").orderBy("media_id")
     df.collect().foreach { r =>
       val id = r.getLong(0)
-      if (id % 2 == 0) {
-        assert(r.getString(1) == "image")
-        assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
-        assert(r.getLong(5) == 1L)
-      } else {
-        assert(r.getString(1) == "audio")
-        assert(r.getLong(4) == 8000L + (id % 4) * 8000)
-        assert(r.getLong(5) == 64L + (id % 17) * 16)
+      (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) == "image")
+          assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
+          assert(r.getLong(3) == MediaOps.heightOf(id).toLong)
+          assert(r.getLong(5) == 1L)
+        case 1 =>
+          assert(r.getString(1) == "audio")
+          assert(r.getLong(4) == 8000L + (id % 4) * 8000)
+          assert(r.getLong(5) == 64L + (id % 17) * 16)
+        case _ =>
+          assert(r.getString(1) == "video")
+          assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
+          assert(r.getLong(3) == MediaOps.heightOf(id).toLong)
+          assert(r.getLong(4) == MediaOps.fpsOf(id).toLong)
+          assert(r.getLong(5) == MediaOps.videoFramesOf(id).toLong)
       }
       assert(r.getLong(6) == (id % 251) / 16)
     }
