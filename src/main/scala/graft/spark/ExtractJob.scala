@@ -55,12 +55,21 @@ object ExtractJob {
     * computed for lineage/output partitioning; only the shuffle is skipped
     * (buckets land wherever the files are, which is exactly co-located for
     * bucket-aligned storage). */
+  /** `rowGroupBytes` caps the parquet row-group size of the extracted
+    * output (`parquet.block.size`). Scan-split planning on parquet can
+    * parallelize at row-group granularity, so a bucket file holding many
+    * row groups is readable by many tasks — downstream parallelism is then
+    * independent of the FILE count (one file per bucket here), which is
+    * what survives a 100× scale-up without re-tuning `buckets`. 32 MB ≈
+    * 4 row groups per default 128 MB scan split: enough split freedom,
+    * still large enough for dictionary/statistics efficiency. */
   final case class Config(
       buckets: Int = 64,
       salt: Int = 42,
       runId: String = "run-0",
       recipe: Extractor.Recipe = Extractor.Recipe.default,
-      preShuffled: Boolean = false)
+      preShuffled: Boolean = false,
+      rowGroupBytes: Long = 32L << 20)
 
   def bucketCol(salt: Int, buckets: Int) =
     pmod(hash(col("url"), lit(salt)), lit(buckets))
@@ -105,11 +114,14 @@ object ExtractJob {
         }
       }
 
-    // idempotent per-bucket overwrite => exactly-once on resume
+    // idempotent per-bucket overwrite => exactly-once on resume;
+    // parquet.block.size bounds row groups so each bucket file stays
+    // splittable (see Config.rowGroupBytes)
     extracted.toDF()
       .write
       .partitionBy("bucket")
       .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.block.size", cfg.rowGroupBytes)
       .mode(SaveMode.Overwrite)
       .parquet(extractedPath)
 

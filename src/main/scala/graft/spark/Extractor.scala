@@ -294,6 +294,31 @@ object Extractor extends Serializable {
     }
   }
 
+  /** zero-copy variant of [[extractMainCodegen]]: wraps the thread-local
+    * builder slab directly (`UTF8String.fromBytes(buf, 0, len)`) instead of
+    * copying it out. The result is valid ONLY until this thread's next
+    * extraction resets the slab — safe for consumers that materialize
+    * immediately (UnsafeRowWriter projections copy the bytes into the row
+    * buffer before the next expression evaluates), UNSAFE for
+    * reference-retaining consumers (TypedImperativeAggregate results like
+    * collect_list hold expression outputs across rows). Measurement entry
+    * for the output-copy lever (BASELINE.md) — the shipped expressions use
+    * the copying path unless the measured win justifies the hazard. */
+  def extractMainCodegenView(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val main = selectMain(doc, Recipe.default)
+      val ub = utf8Out.get()
+      ub.reset()
+      main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.buf, 0, ub.len)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null) return null
     val out = extractMain(html.toString, Recipe.default)

@@ -42,6 +42,39 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(1) == 0L)
   }
 
+  test("rowGroupBytes bounds parquet row groups: bucket files stay splittable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rg").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    // 2 buckets at sf0.001 => ~250 rows per bucket file; a 4 KB row-group
+    // cap must yield several row groups per file (the production default
+    // is 32 MB — same plumbing, scale-appropriate value)
+    ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(buckets = 2, runId = "rg", rowGroupBytes = 4096L))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bucketDirs = new java.io.File(s"$out/extracted").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.length == 2)
+    bucketDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val groups = reader.getFooter.getBlocks.size()
+          assert(groups > 1,
+            s"${d.getName}/${f.getName}: $groups row group(s) — not splittable")
+        } finally reader.close()
+      }
+    }
+    // the knob changes physical layout only: lineage is unchanged
+    val lineage = spark.read.parquet(s"$out/lineage")
+    assert(lineage.count() == 2)
+    assert(lineage.agg(sum("doc_count")).head().getLong(0) == pages.count())
+    assert(lineage.agg(sum("failure_count")).head().getLong(0) == 0L)
+  }
+
   test("resume skips completed buckets and stays exactly-once") {
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
     val pages = PagesGen.asDataFrame(spark, sfDir)
