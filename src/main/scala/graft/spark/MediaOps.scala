@@ -140,7 +140,7 @@ object MediaOps extends Serializable {
     while (at + 8 <= bytes.length) {
       val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = leI32(bytes, at + 4)
-      if (size < 0 || at + 8 + size > bytes.length) return null
+      if (size < 0 || at.toLong + 8L + size > bytes.length) return null
       if (id == "fmt ") {
         if (size < 16) return null
         sampleRate = leI32(bytes, at + 12)
@@ -169,7 +169,8 @@ object MediaOps extends Serializable {
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ') return null
     val riffSize = leI32(bytes, 4)
-    if (riffSize < 4 || 8 + riffSize > bytes.length) return null
+    // Long arithmetic everywhere a corrupt size field could wrap Int
+    if (riffSize < 4 || 8L + riffSize > bytes.length) return null
     val riffEnd = 8 + riffSize
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -184,7 +185,7 @@ object MediaOps extends Serializable {
     while (at + 8 <= riffEnd) {
       val id = fourcc(at)
       val size = leI32(bytes, at + 4)
-      if (size < 0 || at + 8 + size > riffEnd) return null
+      if (size < 0 || at.toLong + 8L + size > riffEnd) return null
       if (id == "LIST" && size >= 4) {
         val listEnd = at + 8 + size
         fourcc(at + 8) match {
@@ -192,7 +193,7 @@ object MediaOps extends Serializable {
             var h = at + 12
             while (h + 8 <= listEnd) {
               val hsize = leI32(bytes, h + 4)
-              if (hsize < 0 || h + 8 + hsize > listEnd) return null
+              if (hsize < 0 || h.toLong + 8L + hsize > listEnd) return null
               if (fourcc(h) == "avih" && hsize >= 40) {
                 val usec = leI32(bytes, h + 8) // dwMicroSecPerFrame
                 fps = if (usec > 0) 1000000 / usec else 0
@@ -209,7 +210,7 @@ object MediaOps extends Serializable {
             while (f + 8 <= listEnd) {
               val fid = fourcc(f)
               val fsize = leI32(bytes, f + 4)
-              if (fsize < 0 || f + 8 + fsize > listEnd) return null
+              if (fsize < 0 || f.toLong + 8L + fsize > listEnd) return null
               if (fid.endsWith("db") || fid.endsWith("dc"))
                 frameOffs += ((f + 8, fsize))
               f += 8 + fsize + (fsize & 1)

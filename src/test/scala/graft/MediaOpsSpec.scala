@@ -137,6 +137,48 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.frameSampleOffsets(null, d.frameOffsets, 4).isEmpty)
   }
 
+  test("decode fuzz: random bytes, truncations and mutations never throw") {
+    // deterministic fuzz stream (mix64 counter) — any outcome is legal
+    // except an exception; valid-prefix corruptions exercise the chunk
+    // walks' bounds checks specifically
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 200).foreach { i =>
+      val len = (mix(i).abs % 300).toInt
+      val junk = Array.tabulate(len)(j => mix(i * 1000L + j).toByte)
+      MediaOps.decodeReal(junk) // must not throw
+      MediaOps.decodeAvi(junk); MediaOps.decodeBmp(junk); MediaOps.decodeWav(junk)
+    }
+    Seq(MediaOps.synthAvi(7L), MediaOps.synthBmp(8L), MediaOps.synthWav(9L)).foreach { valid =>
+      // every truncation length
+      (0 until valid.length by 7).foreach { cut =>
+        MediaOps.decodeReal(java.util.Arrays.copyOf(valid, cut))
+      }
+      // single-byte mutations across the header region
+      (0 until math.min(valid.length, 96)).foreach { pos =>
+        val m = valid.clone()
+        m(pos) = (m(pos) ^ 0x5a).toByte
+        MediaOps.decodeReal(m)
+      }
+      // size-field corruption to huge/negative values
+      Seq(4, 16, 28).foreach { off =>
+        if (off + 4 <= valid.length) {
+          val m = valid.clone()
+          m(off) = 0xff.toByte; m(off + 1) = 0xff.toByte
+          m(off + 2) = 0xff.toByte; m(off + 3) = 0x7f.toByte
+          MediaOps.decodeReal(m)
+          val neg = valid.clone()
+          neg(off + 3) = 0xff.toByte
+          MediaOps.decodeReal(neg)
+        }
+      }
+    }
+  }
+
   test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI bytes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-media-real-test")

@@ -315,6 +315,53 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("crashed append (radii published, data not landed) stays exact; probes are window-free") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx-crash").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val half1 = emb.where(col("vec_id") % 2 === 0)
+      TextOps.buildAnnIndex(spark, half1, dir)
+      // simulate appendAnnIndex crashing AFTER the radii publish but BEFORE
+      // the batch data lands: inflate every persisted radius (a strict
+      // over-estimate of live membership, exactly the documented invariant)
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .select(col("list_id"), col("centroid"), (col("radius") * 3.0 + 0.5).as("radius"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      spark.createDataFrame(cents.toSeq).toDF("list_id", "centroid", "radius")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      // expected = brute force over what actually landed (half1 only)
+      val qv = emb.where(col("vec_id") === 0L)
+        .select(col("embedding")).as[Seq[Float]].head().toArray
+      def cos(v: Seq[Float]): Double = {
+        var dot = 0.0; var nq = 0.0; var nv = 0.0
+        var i = 0
+        while (i < qv.length && i < v.length) {
+          dot += qv(i) * v(i); nq += qv(i) * qv(i); nv += v(i) * v(i); i += 1
+        }
+        if (nq == 0.0 || nv == 0.0) 0.0 else dot / math.sqrt(nq * nv)
+      }
+      val expected = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+        .collect().map { case (id, v) => (id, cos(v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = TextOps.annIvfIndexed(spark, sfDir, dir, 0L, 5, nprobe = 6)
+      assert(got.collect().map(_.getLong(1)).toSeq == expected,
+        "over-estimated radii must only widen the scan, never change the result")
+      // the production probes rank on the driver: no WindowExec anywhere
+      Seq(
+        got.queryExecution.executedPlan.toString,
+        TextOps.annLshIndexed(spark, sfDir, dir, 0L, 5, radius = 2)
+          .queryExecution.executedPlan.toString,
+        TextOps.annTopK(spark, sfDir, 0L, 5)
+          .queryExecution.executedPlan.toString
+      ).foreach(p => assert(!p.contains("Window"), s"WindowExec in probe plan:\n$p"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendAnnIndex: batches land idempotently, probes see the union") {
     val s = spark
     import s.implicits._
