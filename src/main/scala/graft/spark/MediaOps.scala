@@ -204,6 +204,9 @@ object MediaOps extends Serializable {
               h += 8 + hsize + (hsize & 1)
             }
           case "movi" =>
+            // a second movi LIST would make frameOffsets span bytes outside
+            // the single advertised payload span — malformed, reject
+            if (moviOff >= 0) return null
             moviOff = at + 12
             moviLen = size - 4
             var f = moviOff

@@ -282,9 +282,12 @@ object TextOps extends Serializable {
       .flatMap { case (l, r, lt, rt) =>
         if (jaccard(lt, rt, w) >= minJaccard) Iterator.single((l, r)) else Iterator.empty
       }.toDF("left_id", "right_id")
-    // materialize=false keeps the full lazy lineage (plan dumps / tests);
-    // the default eagerly checkpoints so the band table can be unpersisted
-    if (materialize) finishUnpersist(verified, bandRows) else verified
+    // materialize=false returns the lazy plan (plan dumps / caller-owned
+    // pipelines); the internal band persist is released on BOTH paths —
+    // the lazy plan recomputes it on action (correctness-neutral), so
+    // neither path can leak executor memory
+    if (materialize) finishUnpersist(verified, bandRows)
+    else { bandRows.unpersist(false); verified }
   }
 
   /** SimHash bands: 4 x 16-bit bands over the 64-bit hash; near-dup
@@ -315,7 +318,8 @@ object TextOps extends Serializable {
       .where(col("hamming") <= maxHamming)
       .select(col("left_id"), col("right_id"))
       .distinct()
-    if (materialize) finishUnpersist(verified, sigs) else verified
+    if (materialize) finishUnpersist(verified, sigs)
+    else { sigs.unpersist(false); verified } // leak-free: lazy plan recomputes
   }
 
   /** whitespace token count + BPE-ish subword count (letter runs / digit
@@ -505,7 +509,8 @@ object TextOps extends Serializable {
       .flatMap { case (l, r, lv, rv) =>
         if (cosine(lv.toArray, rv) >= threshold) Iterator.single((l, r)) else Iterator.empty
       }.toDF("left_id", "right_id")
-    if (materialize) finishUnpersist(verified, vecs) else verified
+    if (materialize) finishUnpersist(verified, vecs)
+    else { vecs.unpersist(false); verified } // leak-free: lazy plan recomputes
   }
 
   /** L2-normalize a vector (zero vectors pass through). The IVF quantizer
@@ -655,18 +660,10 @@ object TextOps extends Serializable {
     best
   }
 
-  /** `nprobe` nearest centroid indexes for a query vector. */
-  def nearestCentroids(v: Seq[Float], cents: Array[Array[Float]], nprobe: Int): Set[Int] = {
-    val d2 = cents.indices.map { c =>
-      val cc = cents(c)
-      var s = 0.0
-      var d = 0
-      val lim = math.min(cc.length, v.length)
-      while (d < lim) { val diff = cc(d) - v(d); s += diff * diff; d += 1 }
-      (s, c)
-    }
-    d2.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSet
-  }
+  /** `nprobe` nearest centroid indexes for a query vector. Delegates to
+    * [[centroidDistances]] — one distance implementation, one ordering. */
+  def nearestCentroids(v: Seq[Float], cents: Array[Array[Float]], nprobe: Int): Set[Int] =
+    centroidDistances(v.toArray, cents).take(nprobe).map(_._2).toSet
 
   /** sorted (L2 distance, list_id) of a NORMALIZED query to every centroid. */
   def centroidDistances(nv: Array[Float], cents: Array[Array[Float]]): Array[(Double, Int)] =
@@ -686,10 +683,17 @@ object TextOps extends Serializable {
     * immediately; on clusterless (near-orthogonal) corpora the certificate
     * honestly expands instead of silently returning wrong neighbors.
     * The epsilon absorbs float noise and cosine ties (ties are broken by
-    * vec_id, so a tying list must be scanned, not skipped). */
+    * vec_id, so a tying list must be scanned, not skipped). Its size is
+    * set by the FLOAT pipeline upstream: l2normalize leaves ||v̂||² off
+    * unity by ~2e-7 (Float ulp accumulation), which shifts the
+    * cos = 1 − d²/2 identity by up to ~4e-7 — so eps must dominate 1e-6,
+    * not mere Double rounding. Near-duplicate corpora (cosine gaps below
+    * Float precision — exactly the dedup workload) would otherwise let a
+    * tying list be wrongly certified away. Cost of the wider margin: at
+    * most the occasional extra list scanned. */
   def certifiedExpansion(dists: Array[(Double, Int)], radii: Array[Double],
       scanned: Set[Int], kthCosine: Double): Set[Int] = {
-    val eps = 1e-9
+    val eps = 1e-5
     dists.iterator.filter { case (dj, j) =>
       !scanned.contains(j) && {
         val dmin = math.max(0.0, dj - radii(j))
@@ -711,14 +715,23 @@ object TextOps extends Serializable {
   // become PARTITION COLUMNS of a persisted parquet index, so a probe is a
   // partition-pruned read of O(probes) buckets, not a corpus pass.
   //
-  // Layout under `indexDir` (v3):
+  // Layout under `indexDir` (v4):
   //   meta/       1 row: planes, tables, nlist, n, version — the TRAINING-
   //               time facts (planes / quantizer are fixed for the index's
   //               lifetime; retraining = rebuild)
-  //   centroids/  nlist rows: list_id, centroid, radius. `radius` = max
-  //               ||v̂ - c|| over every member EVER ingested (merged
-  //               conservatively on append) — the exactness-certificate
-  //               input for [[annIvfIndexed]]
+  //   centroids/  nlist rows: list_id, centroid — IMMUTABLE after build
+  //               (only the radii grow; splitting them out means no writer
+  //               ever rewrites the quantizer, so no crash can destroy it)
+  //   radii/      (list_id, radius) partitioned by batch: each ingest
+  //               publishes ITS OWN batch's per-list max ||v̂ - c|| into
+  //               its own partition (dynamic overwrite — idempotent on
+  //               retry), and readers take max() per list over all
+  //               batches. The merge is commutative and append-only, so
+  //               concurrent appends cannot lose each other's maxima (the
+  //               v3 read-modify-write of a shared radius column could).
+  //               A batch's radii land BEFORE its data: a crash between
+  //               the two leaves an OVER-estimate — the certificate scans
+  //               extra lists, never misses one.
   //   batches/    one row per ingested batch (batch, n_rows), partitioned
   //               by batch with dynamic overwrite — the idempotent commit
   //               record, same discipline as ExtractJob's lineage
@@ -754,6 +767,33 @@ object TextOps extends Serializable {
     assigned.groupBy(col("list_id")).agg(max(col("cdist")).as("r"))
       .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
     radii
+  }
+
+  /** publish one batch's per-list radii into its own `batch=` partition
+    * (see the layout comment: append-only, max-merged by readers). */
+  private def writeRadiiBatch(spark: SparkSession, indexDir: String, batchId: String,
+      radii: Array[Double], overwriteAll: Boolean): Unit = {
+    val w = spark.createDataFrame(radii.indices.map(i => (i, radii(i))))
+      .toDF("list_id", "radius").withColumn("batch", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/radii")
+  }
+
+  /** the probe-side quantizer read: immutable centroids + per-list radii
+    * as max() over every published batch partition (commutative merge —
+    * see layout comment). Lists never populated keep radius 0. */
+  private def readQuantizer(spark: SparkSession, indexDir: String): (Array[Array[Float]], Array[Double]) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("list_id").as[Int], col("centroid").as[Seq[Float]])
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val radii = new Array[Double](cents.length)
+    spark.read.parquet(s"$indexDir/radii")
+      .groupBy(col("list_id")).agg(max(col("radius")).as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    (cents, radii)
   }
 
   /** the (lsh rows, ivf rows with cdist) signature/assignment frames for a
@@ -817,27 +857,44 @@ object TextOps extends Serializable {
     require(planes >= 1 && planes <= 24,
       s"planes must be in [1, 24] (got $planes): signatures are Int bit masks")
     val nlist = if (nlistOverride > 0) nlistOverride else nlistFor(n)
-    // coarse quantizer from a strided (deterministic, bounded) sample of
-    // >= 64 vectors per centroid, fit on the unit sphere (see l2normalize)
-    val sampleTarget = quantizerSampleSize(n, nlist)
-    val stride = math.max(1L, n / sampleTarget)
-    val sample = vecs.filter(_._1 % stride == 0L).collect().sortBy(_._1)
-      .map(x => l2normalize(x._2))
+    // coarse quantizer from a deterministic, bounded sample of >= 64
+    // vectors per centroid, fit on the unit sphere (see l2normalize)
+    val sample = sampleVectors(vecs, n, quantizerSampleSize(n, nlist))
     val cents = kmeansCentroids(sample, nlist)
 
     spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
       .toDF("planes", "tables", "nlist", "n", "version")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+    spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
 
     val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
     val ivfP = ivf.persist()
-    val radii = collectRadii(ivfP, cents.length)
-    spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq, radii(i))))
-      .toDF("list_id", "centroid", "radius")
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeRadiiBatch(spark, indexDir, "b0", collectRadii(ivfP, cents.length),
+      overwriteAll = true)
     writeIndexBatch(indexDir, "b0", lsh, ivfP, n, overwriteAll = true)
     ivfP.unpersist(false)
     vecs.unpersist(false)
+  }
+
+  /** deterministic quantizer training sample, robust to ARBITRARY vec_id
+    * spaces (sparse, offset, all-odd — subset builds are first-class now
+    * that [[appendAnnIndex]] exists): membership is decided by
+    * `mix64(vec_id)` falling in the stride's zero residue class, which
+    * hashes ANY id distribution to a uniform ~target-sized sample — the
+    * old `vec_id % stride == 0` filter returned an EMPTY sample whenever
+    * the id space avoided the stride multiples (empty sample = driver
+    * crash in seeding). Tiny-tail fallback: first `target` rows by id. */
+  private def sampleVectors(vecs: Dataset[(Long, Seq[Float])], n: Long,
+      target: Long): Array[Array[Float]] = {
+    import vecs.sparkSession.implicits._
+    val stride = math.max(1L, n / target)
+    val picked = vecs.filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+      .collect().sortBy(_._1).map(x => l2normalize(x._2))
+    if (picked.nonEmpty) picked
+    else vecs.orderBy(col("_1")).limit(math.min(target, Int.MaxValue.toLong).toInt)
+      .collect().sortBy(_._1).map(x => l2normalize(x._2))
   }
 
   /** Append a new vector batch to an existing index — the 100-TB growth
@@ -849,11 +906,14 @@ object TextOps extends Serializable {
     * exactly its own partitions, exactly-once like ExtractJob's bucket
     * resume).
     *
-    * Certificate safety on crash: the merged per-list radii (max of old
-    * and batch) are published BEFORE the batch data. A radius can
-    * therefore only ever be an over-estimate of the live membership —
-    * which makes [[annIvfIndexed]]'s expansion conservative (scans at
-    * most a few extra lists), never wrong. */
+    * Certificate safety on crash AND under concurrency: the batch's
+    * per-list radii are published into the batch's OWN `radii/batch=`
+    * partition BEFORE its data, and readers max-merge over all batches.
+    * A crash between the two writes leaves an over-estimate (extra lists
+    * scanned, none missed); two concurrent appends touch disjoint radii
+    * partitions, so neither can lose the other's maxima — there is no
+    * shared-state read-modify-write anywhere, and the centroids table is
+    * never rewritten after build. */
   def appendAnnIndex(spark: SparkSession, emb: DataFrame, indexDir: String,
       batchId: String): Unit = {
     import spark.implicits._
@@ -863,23 +923,16 @@ object TextOps extends Serializable {
     require(meta.getAs[Int]("version") == AnnIndexVersion,
       s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
     val planes = meta.getAs[Int]("planes")
-    val centRows = spark.read.parquet(s"$indexDir/centroids")
-      .select(col("list_id").as[Int], col("centroid").as[Seq[Float]], col("radius").as[Double])
-      .collect().sortBy(_._1)
-    val cents = centRows.map(_._2.toArray)
-    val oldRadii = centRows.map(_._3)
+    val (cents, _) = readQuantizer(spark, indexDir)
 
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
     val n = vecs.count()
     val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
     val ivfP = ivf.persist()
-    val batchRadii = collectRadii(ivfP, cents.length)
-    val merged = Array.tabulate(cents.length)(i => math.max(oldRadii(i), batchRadii(i)))
-    // radii first (conservative on crash — see scaladoc), then the data
-    spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq, merged(i))))
-      .toDF("list_id", "centroid", "radius")
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // this batch's radii first (conservative on crash — see scaladoc)
+    writeRadiiBatch(spark, indexDir, batchId, collectRadii(ivfP, cents.length),
+      overwriteAll = false)
     writeIndexBatch(indexDir, batchId, lsh, ivfP, n, overwriteAll = false)
     ivfP.unpersist(false)
     vecs.unpersist(false)
@@ -947,11 +1000,7 @@ object TextOps extends Serializable {
   def annIvfIndexed(spark: SparkSession, sfDir: String, indexDir: String,
       queryId: Long, k: Int, nprobe: Int = 6): DataFrame = {
     import spark.implicits._
-    val centRows = spark.read.parquet(s"$indexDir/centroids")
-      .select(col("list_id").as[Int], col("centroid").as[Seq[Float]], col("radius").as[Double])
-      .collect().sortBy(_._1)
-    val cents = centRows.map(_._2.toArray)
-    val radii = centRows.map(_._3)
+    val (cents, radii) = readQuantizer(spark, indexDir)
     val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("vec_id") === queryId)
       .select(col("embedding")).as[Seq[Float]].head().toArray
@@ -1034,8 +1083,11 @@ object TextOps extends Serializable {
     * (hyperplaneSig, l2normalize, partitioning): a persisted index built by
     * older code must never be probed by newer code.
     * v3: sqrt(n) nlist + kmeans++ quantizer, per-list radius column
-    * (exactness certificate), batch partition axis (append mode). */
-  final val AnnIndexVersion = 3
+    * (exactness certificate), batch partition axis (append mode).
+    * v4: radii split out of centroids into an append-only batch-partitioned
+    * table (crash-safe + concurrent-append-safe max-merge); hash-based
+    * quantizer sampling (arbitrary vec_id spaces). */
+  final val AnnIndexVersion = 4
 
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
@@ -1067,9 +1119,34 @@ object TextOps extends Serializable {
       catch {
         case scala.util.control.NonFatal(_) =>
           if (versionOk) deleteRecursively(tmp) // lost the race: keep the winner
-          else { // stale incomplete/old-version dir squatting on the name
-            deleteRecursively(indexDir)
-            java.nio.file.Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else {
+            // a stale/old-version dir squats on the name. Replacing it is
+            // delete-then-move — NOT atomic — so only ONE process may do
+            // it: an atomically-created lock file elects the replacer;
+            // everyone else WAITS for a valid index instead of deleting
+            // anything (a published complete index is therefore never
+            // deleted by a non-elected process — no delete-the-winner
+            // window between another JVM's versionOk check and its move).
+            val lock = new java.io.File(s"$indexDir.lock")
+            val elected = try lock.createNewFile()
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (elected) {
+              try {
+                if (!versionOk) { // re-check under the lock
+                  deleteRecursively(indexDir)
+                  java.nio.file.Files.move(src, dst,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                } else deleteRecursively(tmp)
+              } finally { lock.delete(); () }
+            } else {
+              // another process is replacing the squatter: wait it out
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (!versionOk && System.nanoTime() < deadline) Thread.sleep(200)
+              deleteRecursively(tmp)
+              require(versionOk,
+                s"ANN index recovery at $indexDir did not complete within 120 s " +
+                  "(a crashed recoverer may have left a stale .lock file)")
+            }
           }
       }
     }
@@ -1112,7 +1189,8 @@ object TextOps extends Serializable {
     val topk = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"))
-    if (materialize) finishUnpersist(topk, emb) else topk
+    if (materialize) finishUnpersist(topk, emb)
+    else { emb.unpersist(false); topk } // leak-free: lazy plan recomputes
   }
 
   /** multi-query IVF ANN eval, same cross-engine contract as
@@ -1131,10 +1209,7 @@ object TextOps extends Serializable {
       .persist()
     val n = emb.count()
     val nlist = nlistFor(n)
-    val sampleTarget = quantizerSampleSize(n, nlist)
-    val stride = math.max(1L, n / sampleTarget)
-    val sample = emb.filter(_._1 % stride == 0L).collect()
-      .sortBy(_._1).map(x => l2normalize(x._2))
+    val sample = sampleVectors(emb, n, quantizerSampleSize(n, nlist))
     val cents = kmeansCentroids(sample, nlist)
     val centsB = spark.sparkContext.broadcast(cents)
     // one assignment pass, reused by both phases; radii for the certificate
@@ -1197,10 +1272,15 @@ object TextOps extends Serializable {
         topK(scorePass(expB).union(p1Df))
           .select(col("qid"), col("rank"), col("vec_id"))
       }
+    // the internal emb/assigned persists are ALWAYS released here — they
+    // are implementation caches the caller cannot reach. With
+    // materialize = false the returned (phase-2) plan simply recomputes
+    // its scans on action: correctness-neutral, leak-free.
     if (materialize && !expansions.valuesIterator.forall(_.isEmpty)) {
       finishUnpersist(result, emb, assigned)
     } else {
-      if (materialize) { emb.unpersist(false); assigned.unpersist(false) }
+      emb.unpersist(false)
+      assigned.unpersist(false)
       result
     }
   }

@@ -323,14 +323,17 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val half1 = emb.where(col("vec_id") % 2 === 0)
       TextOps.buildAnnIndex(spark, half1, dir)
-      // simulate appendAnnIndex crashing AFTER the radii publish but BEFORE
-      // the batch data lands: inflate every persisted radius (a strict
-      // over-estimate of live membership, exactly the documented invariant)
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .select(col("list_id"), col("centroid"), (col("radius") * 3.0 + 0.5).as("radius"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
-      spark.createDataFrame(cents.toSeq).toDF("list_id", "centroid", "radius")
-        .write.mode("overwrite").parquet(s"$dir/centroids")
+      // simulate appendAnnIndex crashing AFTER its radii partition lands
+      // but BEFORE the batch data: publish a phantom batch whose radii
+      // strictly over-estimate live membership (the documented invariant —
+      // readers max-merge, so these dominate)
+      val phantom = spark.read.parquet(s"$dir/radii")
+        .select(col("list_id"), (col("radius") * 3.0 + 0.5).as("radius"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      spark.createDataFrame(phantom.toSeq).toDF("list_id", "radius")
+        .withColumn("batch", lit("crashed"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$dir/radii")
       // expected = brute force over what actually landed (half1 only)
       val qv = emb.where(col("vec_id") === 0L)
         .select(col("embedding")).as[Seq[Float]].head().toArray
@@ -360,6 +363,82 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("quantizer sample survives arbitrary vec_id spaces (all-odd shard build)") {
+    // an all-odd id shard big enough that the sampling stride is even:
+    // the retired `vec_id % stride == 0` filter returned an EMPTY sample
+    // here (driver crash in kmeans++ seeding); hash-based sampling is
+    // distribution-independent
+    val s = spark
+    import s.implicits._
+    val big = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx-odd").toString
+    try {
+      val odd = spark.read.parquet(s"$big/embeddings.parquet")
+        .where(col("vec_id") % 2 === 1)
+      val n = odd.count()
+      val target = TextOps.quantizerSampleSize(n, 7)
+      // premise: the stride is even, so no all-odd id is a stride multiple
+      assert((n / target) % 2 == 0 && n / target >= 2L,
+        s"test premise: even stride >= 2 (n=$n, target=$target)")
+      TextOps.buildAnnIndex(spark, odd, dir, nlistOverride = 7)
+      // probe correctness over the shard: exact top-k vs local brute force
+      val qv = odd.where(col("vec_id") === 1L).select(col("embedding"))
+        .as[Seq[Float]].head().toArray
+      def cos(v: Seq[Float]): Double = {
+        var dot = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+        while (i < qv.length && i < v.length) {
+          dot += qv(i) * v(i); nq += qv(i) * qv(i); nv += v(i) * v(i); i += 1
+        }
+        if (nq == 0.0 || nv == 0.0) 0.0 else dot / math.sqrt(nq * nv)
+      }
+      val expected = odd.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+        .collect().map { case (id, v) => (id, cos(v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      assert(TextOps.annIvfIndexed(spark, big, dir, 1L, 5, nprobe = 6)
+        .collect().map(_.getLong(1)).toSeq == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("materialize=false: identical results, no cached intermediates leak") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def assertSame(lazyDf: org.apache.spark.sql.DataFrame,
+        eagerDf: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit = {
+      val l = lazyDf.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      val e = eagerDf.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(l == e)
+    }
+    val docs = synthDocs(Seq(
+      (0L, TextFixtures.fpText(0L)), (1L, TextFixtures.fpText(0L)),
+      (2L, TextFixtures.fpText(10L)), (3L, TextFixtures.fpText(20L))))
+    assertSame(
+      TextOps.simhashPairs(spark, docs, materialize = false),
+      TextOps.simhashPairs(spark, docs),
+      Seq("left_id", "right_id"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assertSame(
+      TextOps.embedDupPairs(spark, emb, materialize = false),
+      TextOps.embedDupPairs(spark, emb),
+      Seq("left_id", "right_id"))
+    assertSame(
+      TextOps.annLshTopKEval(spark, sfDir, m = 4, k = 5, materialize = false),
+      TextOps.annLshTopKEval(spark, sfDir, m = 4, k = 5),
+      Seq("qid", "rank"))
+    assertSame(
+      TextOps.annIvfTopKEval(spark, sfDir, m = 4, k = 5, nprobe = 6, materialize = false),
+      TextOps.annIvfTopKEval(spark, sfDir, m = 4, k = 5, nprobe = 6),
+      Seq("qid", "rank"))
+    // every operator released its internal persists on BOTH paths. The
+    // eager paths' localCheckpoint RESULT blocks are excluded: their
+    // lifetime is caller-owned by design (ContextCleaner reclaims them
+    // when the returned frame is dropped — finishUnpersist scaladoc)
+    val leaked = spark.sparkContext.getPersistentRDDs.filter { case (id, rdd) =>
+      !before.contains(id) && !rdd.toString.contains("localCheckpoint")
+    }
+    assert(leaked.isEmpty, s"cached intermediates leaked: ${leaked.values}")
   }
 
   test("appendAnnIndex: batches land idempotently, probes see the union") {
