@@ -634,6 +634,32 @@ object SparkEntry {
       TextOps.annLshIndexedBatch(s, dir, idx, queryIds = 0L until 8L, k = 5, radius = 2)
     }),
 
+    // index MAINTENANCE paths under the same exact-top-k oracle: a grown
+    // index (build + append) and a compacted one (build + 2 appends +
+    // compaction) must both probe identically to DuckDB brute force over
+    // the FULL corpus. The probes are eager (driver-ranked local rows),
+    // so the throwaway index dir is deleted before returning.
+    "q_ann_append_idx" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ann-append").toString
+      try {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        TextOps.buildAnnIndex(s, emb.where(col("vec_id") % 2 === 0), idx)
+        TextOps.appendAnnIndex(s, emb.where(col("vec_id") % 2 === 1), idx, "b1")
+        TextOps.annIvfIndexed(s, dir, idx, queryId = 0L, k = 5, nprobe = 6)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }),
+    "q_ann_compact_idx" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ann-compact").toString
+      try {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        TextOps.buildAnnIndex(s, emb.where(col("vec_id") % 3 === 0), idx)
+        TextOps.appendAnnIndex(s, emb.where(col("vec_id") % 3 === 1), idx, "b1")
+        TextOps.appendAnnIndex(s, emb.where(col("vec_id") % 3 === 2), idx, "b2")
+        TextOps.compactAnnIndex(s, idx, epoch = "1")
+        TextOps.annLshIndexed(s, dir, idx, queryId = 0L, k = 5, radius = 2)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }),
+
     // lineage rollup derived from the extraction output itself (doc_id
     // recovered from the url, text bytes from the extracted text — the
     // oracle recomputes both from the documents table)
@@ -882,6 +908,8 @@ object SparkEntry {
     "q_ann_ivf" -> AnnMultiQueryOracle,
     "q_ann_lsh_idx" -> AnnQuery0Oracle,
     "q_ann_ivf_idx" -> AnnQuery0Oracle,
+    "q_ann_append_idx" -> AnnQuery0Oracle,
+    "q_ann_compact_idx" -> AnnQuery0Oracle,
     "q_ann_batch_idx" -> AnnMultiQueryOracle,
     "q_lineage" ->
       ("SELECT doc_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS doc_count, " +

@@ -938,6 +938,87 @@ object TextOps extends Serializable {
     vecs.unpersist(false)
   }
 
+  /** Compact every ingested batch into one `batch=compacted-<epoch>`
+    * partition set — the file-count hygiene pass after many appends (each
+    * append adds one small file per touched (tbl,sigp) / list_id
+    * directory; after ~10^3 batches small-file overhead dominates probe
+    * I/O). Probes are unaffected semantically (they prune on (tbl,sigp) /
+    * list_id, never batch).
+    *
+    * Crash-safety without a transaction log: every step is individually
+    * idempotent and every intermediate state is probe-correct —
+    *   1. merged radii land in the target batch partition first (max is
+    *      unchanged by extra over-estimating partitions),
+    *   2. lsh/ivf rows — deduped on (tbl, vec_id) / vec_id so a PREVIOUS
+    *      crashed compaction's leftovers collapse — land in the target
+    *      partitions via dynamic overwrite,
+    *   3. the commit record lands,
+    *   4. the superseded batch partitions are deleted.
+    * A crash between 2 and 4 leaves some vectors present in two batches:
+    * harmless, because every probe dedups on vec_id (LSH probe scan,
+    * IVF scanTopK, batch probe's (qid, vec_id)); re-running the
+    * compaction finishes the cleanup. An append running CONCURRENTLY with
+    * compaction is safe: its new batch is either folded in (read before
+    * the snapshot) or left untouched (after) — only batches seen at
+    * snapshot time are deleted. */
+  def compactAnnIndex(spark: SparkSession, indexDir: String, epoch: String = "0"): Unit = {
+    import spark.implicits._
+    require(epoch.nonEmpty && epoch.matches("[A-Za-z0-9._-]+"),
+      s"epoch must be a safe partition value (got '$epoch')")
+    val target = s"compacted-$epoch"
+    val old = spark.read.parquet(s"$indexDir/batches")
+      .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
+    if (old.isEmpty) return
+
+    // 1. merged radii into the target partition (max-safe at every point)
+    val (_, radii) = readQuantizer(spark, indexDir)
+    writeRadiiBatch(spark, indexDir, target, radii, overwriteAll = false)
+
+    // 2. deduped data into the target partitions. localCheckpoint breaks
+    // the read->overwrite-same-path cycle (Spark rejects a write whose
+    // plan still reads the output path). Materializing the index once is
+    // inherent to compaction; a 100-TB deployment would bound the
+    // in-flight slice by compacting one (tbl, sigp) range at a time —
+    // same algorithm, partial scope.
+    val lsh = spark.read.parquet(s"$indexDir/lsh")
+      .dropDuplicates("tbl", "vec_id").drop("batch")
+      .withColumn("batch", lit(target))
+      .repartition(col("tbl"), col("sigp"))
+      .sortWithinPartitions(col("tbl"), col("sigp"), col("sig"))
+      .localCheckpoint(true)
+    lsh.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbl", "sigp", "batch").parquet(s"$indexDir/lsh")
+    val ivf = spark.read.parquet(s"$indexDir/ivf")
+      .dropDuplicates("vec_id").drop("batch")
+      .withColumn("batch", lit(target))
+      .repartition(col("list_id"))
+      .localCheckpoint(true)
+    ivf.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id", "batch").parquet(s"$indexDir/ivf")
+    val n = ivf.count()
+    lsh.unpersist(false)
+    ivf.unpersist(false)
+
+    // 3. commit record
+    spark.createDataFrame(Seq((target, n))).toDF("batch", "n_rows")
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/batches")
+
+    // 4. drop the superseded batch partitions (Hadoop FS glob — works on
+    // local FS here and HDFS/object stores at scale)
+    val conf = spark.sparkContext.hadoopConfiguration
+    old.foreach { b =>
+      Seq(s"$indexDir/lsh/*/*/batch=$b", s"$indexDir/ivf/*/batch=$b",
+        s"$indexDir/radii/batch=$b", s"$indexDir/batches/batch=$b").foreach { pat =>
+        val p = new org.apache.hadoop.fs.Path(pat)
+        val fs = p.getFileSystem(conf)
+        val hits = fs.globStatus(p)
+        if (hits != null) hits.foreach(h => fs.delete(h.getPath, true))
+      }
+    }
+  }
+
   /** Hamming-<=radius multi-probe set for a signature. */
   def probeSetR(sig: Int, planes: Int, radius: Int): Set[Int] = {
     var cur = Set(sig)
@@ -1011,6 +1092,9 @@ object TextOps extends Serializable {
     def scanTopK(lists: Set[Int]): Array[(Long, Double)] =
       spark.read.parquet(s"$indexDir/ivf")
         .where(col("list_id").isin(lists.toSeq: _*))
+        // duplicate-tolerant like every probe (see compactAnnIndex: the
+        // compaction crash window may leave a vector in two batches)
+        .dropDuplicates("vec_id")
         .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
         .map { case (id, v) => (id, cosine(qb.value, v)) }
         .orderBy(col("_2").desc, col("_1")).limit(k)

@@ -315,6 +315,53 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compactAnnIndex: batches fold into one partition set, probes unchanged, idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx-cpt").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      TextOps.buildAnnIndex(spark, emb.where(col("vec_id") % 3 === 0), dir)
+      TextOps.appendAnnIndex(spark, emb.where(col("vec_id") % 3 === 1), dir, "b1")
+      TextOps.appendAnnIndex(spark, emb.where(col("vec_id") % 3 === 2), dir, "b2")
+      val expected = bruteIds(0L, 5)
+      def batches(): Seq[String] = spark.read.parquet(s"$dir/batches")
+        .select(col("batch").as[String]).collect().sorted.toSeq
+      assert(batches() == Seq("b0", "b1", "b2"))
+
+      TextOps.compactAnnIndex(spark, dir, epoch = "1")
+      assert(batches() == Seq("compacted-1"), "superseded batches must be gone")
+      // one batch dir per (tbl, sigp) leaf; old partitions physically deleted
+      val lshLeaf = new java.io.File(s"$dir/lsh").listFiles().filter(_.isDirectory).head
+        .listFiles().filter(_.isDirectory).head
+      val leafBatches = lshLeaf.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      assert(leafBatches == Seq("batch=compacted-1"), s"leaf still holds $leafBatches")
+      // row counts: exactly one row per vector (ivf), per (tbl, vector) (lsh)
+      assert(spark.read.parquet(s"$dir/ivf").count() == emb.count())
+      // probes identical after compaction
+      assert(TextOps.annLshIndexed(spark, sfDir, dir, 0L, 5, radius = 2)
+        .collect().map(_.getLong(1)).toSeq == expected)
+      assert(TextOps.annIvfIndexed(spark, sfDir, dir, 0L, 5, nprobe = 6)
+        .collect().map(_.getLong(1)).toSeq == expected)
+      // re-running the same compaction is a no-op; a later epoch folds the
+      // compacted batch again (the steady-state maintenance loop)
+      TextOps.compactAnnIndex(spark, dir, epoch = "1")
+      TextOps.appendAnnIndex(spark, emb.where(col("vec_id") % 3 === 2), dir, "b3")
+      // duplicate-tolerance: b3 re-ingests vectors already in compacted-1 —
+      // probes must dedup on vec_id (the compaction crash-window contract)
+      assert(TextOps.annIvfIndexed(spark, sfDir, dir, 0L, 5, nprobe = 6)
+        .collect().map(_.getLong(1)).toSeq == expected)
+      TextOps.compactAnnIndex(spark, dir, epoch = "2")
+      assert(batches() == Seq("compacted-2"))
+      assert(spark.read.parquet(s"$dir/ivf").count() == emb.count(),
+        "duplicate vectors must collapse on compaction")
+      assert(TextOps.annLshIndexed(spark, sfDir, dir, 0L, 5, radius = 2)
+        .collect().map(_.getLong(1)).toSeq == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("crashed append (radii published, data not landed) stays exact; probes are window-free") {
     val s = spark
     import s.implicits._
