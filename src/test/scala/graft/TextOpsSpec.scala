@@ -315,6 +315,50 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF certificate property: exact vs brute on random clustered corpora with near-dups") {
+    // the adversarial shape for the certificate: tight clusters whose
+    // members include exact duplicates and 1e-3-jitter near-duplicates —
+    // cosine gaps at/below Float precision, where a mis-sized epsilon
+    // would certify a tying list away. IVF must equal the brute-force
+    // path (annTopK, itself gate-validated against DuckDB) on every query.
+    val s = spark
+    import s.implicits._
+    def synthCorpus(seed: Long, allSame: Boolean): Seq[(Long, Seq[Float])] = {
+      val dim = 8
+      def jit(h: Long): Float = ((TextOps.mix64(h) % 1000L) / 1e6).toFloat
+      val base = Array.tabulate(dim)(d => 1f + (d % 3))
+      (0L until 288L).map { id =>
+        val c = if (allSame) 0 else (id % 24).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (allSame) base(d)
+            else (if (d == c % dim) 10f else 1f) + (c / dim).toFloat
+          // every 3rd vector is an EXACT duplicate of its cluster center;
+          // the rest get sub-Float-precision-scale jitter
+          if (id % 3 == 0) center else center + jit(seed * 7919 + id * dim + d) * 1e-3f
+        }
+        (id, v.toSeq)
+      }
+    }
+    for (allSame <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory("ann-prop").toString
+      try {
+        synthCorpus(if (allSame) 2L else 1L, allSame).toDF("vec_id", "embedding")
+          .write.parquet(s"$dir/embeddings.parquet")
+        val idx = s"$dir/index"
+        TextOps.buildAnnIndex(spark, spark.read.parquet(s"$dir/embeddings.parquet"), idx)
+        for (qid <- Seq(0L, 1L, 17L, 100L)) {
+          val expected = TextOps.annTopK(spark, dir, qid, 5)
+            .collect().map(_.getLong(1)).toSeq
+          val got = TextOps.annIvfIndexed(spark, dir, idx, qid, 5, nprobe = 2)
+            .collect().map(_.getLong(1)).toSeq
+          assert(got == expected, s"allSame=$allSame qid=$qid: $got != $expected")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
   test("compactAnnIndex: batches fold into one partition set, probes unchanged, idempotent") {
     val s = spark
     import s.implicits._
