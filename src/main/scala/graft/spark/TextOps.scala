@@ -893,7 +893,8 @@ object TextOps extends Serializable {
     val picked = vecs.filter(t => math.floorMod(mix64(t._1), stride) == 0L)
       .collect().sortBy(_._1).map(x => l2normalize(x._2))
     if (picked.nonEmpty) picked
-    else vecs.orderBy(col("_1")).limit(math.min(target, Int.MaxValue.toLong).toInt)
+    else vecs.orderBy(col(vecs.columns.head)) // id col: "vec_id" or "_1" by caller shape
+      .limit(math.min(target, Int.MaxValue.toLong).toInt)
       .collect().sortBy(_._1).map(x => l2normalize(x._2))
   }
 
@@ -919,6 +920,12 @@ object TextOps extends Serializable {
     import spark.implicits._
     require(batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+"),
       s"batchId must be a safe partition value (got '$batchId')")
+    // reserved names: overwriting the build batch or a compaction target
+    // would REPLACE (not merge) its radii/data partitions — losing
+    // vectors and shrinking published radii, which silently breaks the
+    // exactness certificate
+    require(batchId != "b0" && !batchId.startsWith("compacted-"),
+      s"batchId '$batchId' is reserved (b0 = initial build, compacted-* = compaction targets)")
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     require(meta.getAs[Int]("version") == AnnIndexVersion,
       s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
@@ -945,22 +952,37 @@ object TextOps extends Serializable {
     * I/O). Probes are unaffected semantically (they prune on (tbl,sigp) /
     * list_id, never batch).
     *
+    * Implementation = RE-INGEST the deduped union of all vectors as one
+    * batch through the exact build/append write path ([[indexRows]] +
+    * [[writeRadiiBatch]] + [[writeIndexBatch]]) — one layout definition,
+    * and the radii are recomputed TIGHT from the surviving rows (a
+    * crashed append's over-estimating phantom partition is corrected
+    * here, not preserved forever).
+    *
     * Crash-safety without a transaction log: every step is individually
     * idempotent and every intermediate state is probe-correct —
-    *   1. merged radii land in the target batch partition first (max is
-    *      unchanged by extra over-estimating partitions),
-    *   2. lsh/ivf rows — deduped on (tbl, vec_id) / vec_id so a PREVIOUS
-    *      crashed compaction's leftovers collapse — land in the target
-    *      partitions via dynamic overwrite,
+    *   1. the target batch's tight radii land first (old radii partitions
+    *      still present until step 4, and max-merge keeps their
+    *      over-estimates in force exactly as long as their data exists),
+    *   2. regenerated rows land in the target partitions via dynamic
+    *      overwrite (vectors deduped on vec_id, so a previous crashed
+    *      compaction's leftovers collapse),
     *   3. the commit record lands,
     *   4. the superseded batch partitions are deleted.
     * A crash between 2 and 4 leaves some vectors present in two batches:
-    * harmless, because every probe dedups on vec_id (LSH probe scan,
-    * IVF scanTopK, batch probe's (qid, vec_id)); re-running the
-    * compaction finishes the cleanup. An append running CONCURRENTLY with
-    * compaction is safe: its new batch is either folded in (read before
-    * the snapshot) or left untouched (after) — only batches seen at
-    * snapshot time are deleted. */
+    * harmless, because every probe dedups on vec_id (LSH probe scan, IVF
+    * scanTopK, batch probe's (qid, vec_id)) and reads with
+    * ignoreMissingFiles (a file deleted mid-scan by step 4 only ever
+    * removes rows that already exist in the target partitions);
+    * re-running the compaction finishes the cleanup. An append running
+    * CONCURRENTLY in the same Spark application is safe: its new batch is
+    * either folded in (read before the snapshot) or left untouched
+    * (after) — only batches seen at snapshot time are deleted. Appends/
+    * compactions from SEPARATE applications need external scheduling —
+    * Spark's output-committer staging for one root path is keyed at
+    * second granularity, so cross-application concurrent writes to the
+    * same table root can collide in staging (true of any parquet table,
+    * not specific to this layout). */
   def compactAnnIndex(spark: SparkSession, indexDir: String, epoch: String = "0"): Unit = {
     import spark.implicits._
     require(epoch.nonEmpty && epoch.matches("[A-Za-z0-9._-]+"),
@@ -969,41 +991,33 @@ object TextOps extends Serializable {
     val old = spark.read.parquet(s"$indexDir/batches")
       .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
     if (old.isEmpty) return
+    val planes = spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("planes")
+    val (cents, _) = readQuantizer(spark, indexDir)
 
-    // 1. merged radii into the target partition (max-safe at every point)
-    val (_, radii) = readQuantizer(spark, indexDir)
-    writeRadiiBatch(spark, indexDir, target, radii, overwriteAll = false)
-
-    // 2. deduped data into the target partitions. localCheckpoint breaks
-    // the read->overwrite-same-path cycle (Spark rejects a write whose
-    // plan still reads the output path). Materializing the index once is
-    // inherent to compaction; a 100-TB deployment would bound the
-    // in-flight slice by compacting one (tbl, sigp) range at a time —
+    // the deduped union of every live vector. localCheckpoint breaks the
+    // read->overwrite-same-path cycle (Spark rejects a write whose plan
+    // still reads the output path) and bounds the materialized slice to
+    // the VECTORS (not the L-times-larger lsh table). A 100-TB deployment
+    // would bound it further by compacting one list_id range at a time —
     // same algorithm, partial scope.
-    val lsh = spark.read.parquet(s"$indexDir/lsh")
-      .dropDuplicates("tbl", "vec_id").drop("batch")
-      .withColumn("batch", lit(target))
-      .repartition(col("tbl"), col("sigp"))
-      .sortWithinPartitions(col("tbl"), col("sigp"), col("sig"))
+    val vecs = spark.read.parquet(s"$indexDir/ivf")
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .as[(Long, Seq[Float])]
       .localCheckpoint(true)
-    lsh.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("tbl", "sigp", "batch").parquet(s"$indexDir/lsh")
-    val ivf = spark.read.parquet(s"$indexDir/ivf")
-      .dropDuplicates("vec_id").drop("batch")
-      .withColumn("batch", lit(target))
-      .repartition(col("list_id"))
-      .localCheckpoint(true)
-    ivf.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("list_id", "batch").parquet(s"$indexDir/ivf")
-    val n = ivf.count()
-    lsh.unpersist(false)
-    ivf.unpersist(false)
+    val n = vecs.count()
 
-    // 3. commit record
-    spark.createDataFrame(Seq((target, n))).toDF("batch", "n_rows")
-      .coalesce(1)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$indexDir/batches")
+    val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
+    val ivfP = ivf.persist()
+    // 1. tight radii first, 2.-3. data + commit record via the one shared
+    // write path (single layout definition with build/append)
+    writeRadiiBatch(spark, indexDir, target, collectRadii(ivfP, cents.length),
+      overwriteAll = false)
+    writeIndexBatch(indexDir, target, lsh, ivfP, n, overwriteAll = false)
+    ivfP.unpersist(false)
+    // the checkpointed vecs blocks are reclaimed by the ContextCleaner
+    // once this frame goes out of scope (Dataset.unpersist does not track
+    // localCheckpoint blocks)
 
     // 4. drop the superseded batch partitions (Hadoop FS glob — works on
     // local FS here and HDFS/object stores at scale)
@@ -1055,7 +1069,10 @@ object TextOps extends Serializable {
       val prefixes = probes.map(_ >>> shift).distinct
       col("tbl") === t && col("sigp").isin(prefixes: _*) && col("sig").isin(probes: _*)
     }
-    spark.read.parquet(s"$indexDir/lsh")
+    // ignoreMissingFiles: a concurrent compaction's cleanup step may
+    // delete an old batch file mid-scan; its rows already exist in the
+    // compacted partitions, so skipping the vanished file stays correct
+    spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/lsh")
       .where(perTable.reduce(_ || _))
       .dropDuplicates("vec_id") // a vector probed in several tables scores once
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
@@ -1090,7 +1107,7 @@ object TextOps extends Serializable {
     val first = dists.take(math.min(nprobe, dists.length)).map(_._2).toSet
 
     def scanTopK(lists: Set[Int]): Array[(Long, Double)] =
-      spark.read.parquet(s"$indexDir/ivf")
+      spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/ivf")
         .where(col("list_id").isin(lists.toSeq: _*))
         // duplicate-tolerant like every probe (see compactAnnIndex: the
         // compaction crash window may leave a vector in two batches)
@@ -1141,7 +1158,8 @@ object TextOps extends Serializable {
       val prefixes = probes.map(_ >>> shift).distinct
       col("tbl") === t && col("sigp").isin(prefixes: _*) && col("sig").isin(probes: _*)
     }
-    val scored = spark.read.parquet(s"$indexDir/lsh")
+    val scored = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(s"$indexDir/lsh")
       .where(perTable.reduce(_ || _))
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
         col("tbl").as[Int], col("sig").as[Int])
@@ -1212,14 +1230,28 @@ object TextOps extends Serializable {
             // deleted by a non-elected process — no delete-the-winner
             // window between another JVM's versionOk check and its move).
             val lock = new java.io.File(s"$indexDir.lock")
-            val elected = try lock.createNewFile()
+            def create(): Boolean = try lock.createNewFile()
               catch { case scala.util.control.NonFatal(_) => false }
-            if (elected) {
+            // a crashed holder must not wedge recovery forever: a lock
+            // older than 10 min is stolen (deleted + re-contended)
+            def elect(): Boolean = create() || {
+              val stale = lock.exists() &&
+                System.currentTimeMillis() - lock.lastModified() > 600000L
+              stale && lock.delete() && create()
+            }
+            if (elect()) {
               try {
                 if (!versionOk) { // re-check under the lock
                   deleteRecursively(indexDir)
-                  java.nio.file.Files.move(src, dst,
+                  // a fresh builder (not in this recovery branch) may land
+                  // its first move into the vacated name during our
+                  // window — its index is complete, so keep it
+                  try java.nio.file.Files.move(src, dst,
                     java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      if (versionOk) deleteRecursively(tmp) else throw e
+                  }
                 } else deleteRecursively(tmp)
               } finally { lock.delete(); () }
             } else {
@@ -1228,8 +1260,7 @@ object TextOps extends Serializable {
               while (!versionOk && System.nanoTime() < deadline) Thread.sleep(200)
               deleteRecursively(tmp)
               require(versionOk,
-                s"ANN index recovery at $indexDir did not complete within 120 s " +
-                  "(a crashed recoverer may have left a stale .lock file)")
+                s"ANN index recovery at $indexDir did not complete within 120 s")
             }
           }
       }

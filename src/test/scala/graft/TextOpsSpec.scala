@@ -557,6 +557,14 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val batches = spark.read.parquet(s"$dir/batches")
         .select(col("batch").as[String]).collect().sorted.toSeq
       assert(batches == Seq("b0", "b1"))
+      // reserved ids rejected: overwriting the build batch or a compaction
+      // target would replace (not merge) its partitions
+      intercept[IllegalArgumentException] {
+        TextOps.appendAnnIndex(spark, half2, dir, "b0")
+      }
+      intercept[IllegalArgumentException] {
+        TextOps.appendAnnIndex(spark, half2, dir, "compacted-1")
+      }
       // batch partition dirs exist under a (tbl, sigp) dir
       val lshLeaf = new java.io.File(s"$dir/lsh").listFiles().filter(_.isDirectory).head
         .listFiles().filter(_.isDirectory).head
