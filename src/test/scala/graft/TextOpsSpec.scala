@@ -315,6 +315,38 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ensureAnnIndex recovery: squatter replaced, stale lock stolen, fresh lock honored") {
+    // the shared-index name for this sfDir (mirrors ensureAnnIndex's key)
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val indexDir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-ann-v${TextOps.AnnIndexVersion}-$name")
+    val lock = new java.io.File(indexDir.getPath + ".lock")
+    def wreck(): Unit = { // a stale incomplete dir squatting on the name
+      org.apache.commons.io.FileUtils.deleteDirectory(indexDir)
+      new java.io.File(indexDir, "meta").mkdirs() // no ivf/_SUCCESS => !versionOk
+    }
+    def probeOk(): Unit =
+      assert(TextOps.annLshIndexed(spark, sfDir, indexDir.getPath, 0L, 5, radius = 2)
+        .collect().map(_.getLong(1)).toSeq == bruteIds(0L, 5))
+    try {
+      // 1. squatter, no lock: the builder elects itself, replaces, publishes
+      wreck()
+      assert(TextOps.ensureAnnIndex(spark, sfDir) == indexDir.getPath)
+      probeOk()
+      // 2. squatter + STALE lock (crashed holder): stolen, not wedged
+      wreck()
+      lock.createNewFile()
+      lock.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+      TextOps.ensureAnnIndex(spark, sfDir)
+      probeOk()
+      assert(!lock.exists(), "stolen lock must be released after recovery")
+    } finally {
+      lock.delete()
+      // leave a valid shared index behind for other suites/gate runs
+      org.apache.commons.io.FileUtils.deleteDirectory(indexDir)
+    }
+  }
+
   test("IVF certificate property: exact vs brute on random clustered corpora with near-dups") {
     // the adversarial shape for the certificate: tight clusters whose
     // members include exact duplicates and 1e-3-jitter near-duplicates —
