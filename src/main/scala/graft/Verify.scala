@@ -16,13 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal ONLY: after an OOM/StackOverflow the JVM is in an
+        // undefined state and later queries could emit silently-wrong
+        // parquet — crash loudly instead. A per-query NonFatal failure is
+        // reported and leaves that query's output missing, which the
+        // driver's compare records as a red row (never a silent pass).
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed > 0) System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

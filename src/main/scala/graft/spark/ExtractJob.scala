@@ -93,6 +93,11 @@ object ExtractJob {
     val pending =
       if (done.isEmpty) withBucket
       else withBucket.where(!col("bucket").isInCollection(done))
+    // nothing to do (empty corpus, or every bucket already done): return
+    // before writing — a zero-row partitioned write emits no data files,
+    // and the lineage read-back of an empty directory cannot infer a
+    // schema (AnalysisException). isEmpty is a limit(1) probe.
+    if (pending.isEmpty) return
 
     val recipe = cfg.recipe
 

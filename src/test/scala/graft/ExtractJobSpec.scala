@@ -99,6 +99,24 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.where(col("run_id") === "r2").count() == 4)
   }
 
+  test("empty input and fully-done resume: clean no-ops, never a crash") {
+    val out = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val none = PagesGen.asDataFrame(spark, sfDir).where(lit(false))
+    // zero-row first run: returns before writing (a zero-row partitioned
+    // write has no data files and the lineage read-back can't infer schema)
+    ExtractJob.run(spark, none, out, ExtractJob.Config(buckets = 2, runId = "empty"))
+    assert(!new java.io.File(s"$out/lineage").exists())
+    // full run, then a resume where every bucket is already done
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 2, runId = "full"))
+    val n = spark.read.parquet(s"$out/extracted").count()
+    assert(n == pages.count())
+    ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 2, runId = "again"))
+    assert(spark.read.parquet(s"$out/extracted").count() == n)
+    assert(spark.read.parquet(s"$out/lineage")
+      .where(col("run_id") === "again").count() == 0)
+  }
+
   test("preShuffled skips the exchange: map-only plan, identical output") {
     val out = java.nio.file.Files.createTempDirectory("graft-ps").toString
     val pages = PagesGen.asDataFrame(spark, sfDir)
