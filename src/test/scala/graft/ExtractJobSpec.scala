@@ -208,10 +208,14 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected $distinctTexts distinct texts, got ${deduped.count()}")
     // state is keyed by hash, not text: output carries the 8-byte key
     assert(deduped.columns.contains("text_hash"))
-    // restart on the same checkpoint: nothing re-emitted
+    // the two-stage composition: stage 1 wrote every extracted row once
+    // (the ONLY pass that parses HTML); stage 2 deduped from it
+    assert(spark.read.parquet(s"$out/extracted").count() == dup.count())
+    // restart on the same checkpoint: nothing re-emitted by either stage
     val q2 = graft.spark.StreamingExtract.dedupStream(spark, in, out)
     q2.awaitTermination(120000L)
     assert(spark.read.parquet(s"$out/deduped").count() == distinctTexts)
+    assert(spark.read.parquet(s"$out/extracted").count() == dup.count())
   }
 
   test("pathological rows never fail the task: null html / null warc_ts") {
