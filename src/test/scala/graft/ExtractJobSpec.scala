@@ -218,6 +218,24 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/extracted").count() == dup.count())
   }
 
+  test("metricsStream: per-minute windowed ingest metrics cover every doc and byte") {
+    val in = java.nio.file.Files.createTempDirectory("graft-metrics-in").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    pages.write.mode("overwrite").parquet(in)
+    val q = graft.spark.StreamingExtract.metricsStream(spark, in)
+      .writeStream.format("memory").queryName("mstats")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val agg = spark.sql(
+      "SELECT CAST(sum(doc_count) AS BIGINT), CAST(sum(byte_count) AS BIGINT), count(*) FROM mstats")
+      .head()
+    assert(agg.getLong(0) == pages.count())
+    assert(agg.getLong(1) == pages.agg(sum(octet_length(col("html")))).head().getLong(0))
+    assert(agg.getLong(2) > 1, "the sf corpus spans several 1-minute windows")
+  }
+
   test("pathological rows never fail the task: null html / null warc_ts") {
     val s = spark
     import s.implicits._
