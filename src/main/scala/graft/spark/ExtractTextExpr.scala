@@ -117,16 +117,17 @@ case class ExtractAttrs(first: Expression, second: Expression, third: Expression
 
   private val htmlIsBinary: Boolean = first.dataType == BinaryType
 
+  // the interpreted path MUST route through the same static entries as
+  // doGenCode: a String round-trip here would replace invalid UTF-8 with
+  // U+FFFD (diverging from the byte-native codegen result) and lacked the
+  // defensive NonFatal->null contract
   override def nullSafeEval(html: Any, sel: Any, attr: Any): Any = {
-    val h =
-      if (htmlIsBinary)
-        new String(html.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
-      else html.asInstanceOf[UTF8String].toString
-    val out = Extractor.extractAttrs(h, sel.asInstanceOf[UTF8String].toString,
-      attr.asInstanceOf[UTF8String].toString)
-    if (out == null) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.map(v => UTF8String.fromString(v).asInstanceOf[Any]))
+    if (htmlIsBinary)
+      Extractor.extractAttrsCodegenBinary(html.asInstanceOf[Array[Byte]],
+        sel.asInstanceOf[UTF8String], attr.asInstanceOf[UTF8String])
+    else
+      Extractor.extractAttrsCodegen(html.asInstanceOf[UTF8String],
+        sel.asInstanceOf[UTF8String], attr.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -206,12 +207,15 @@ case class ExtractCount(left: Expression, right: Expression) extends BinaryExpre
 
   private val htmlIsBinary: Boolean = left.dataType == BinaryType
 
+  // interpreted path == codegen path (see ExtractAttrs note)
   override def nullSafeEval(html: Any, sel: Any): Any = {
-    val h =
+    val out =
       if (htmlIsBinary)
-        new String(html.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
-      else html.asInstanceOf[UTF8String].toString
-    val out = Extractor.extractCount(h, sel.asInstanceOf[UTF8String].toString)
+        Extractor.extractCountCodegenBinary(html.asInstanceOf[Array[Byte]],
+          sel.asInstanceOf[UTF8String])
+      else
+        Extractor.extractCountCodegen(html.asInstanceOf[UTF8String],
+          sel.asInstanceOf[UTF8String])
     if (out == null) null else out.longValue()
   }
 
@@ -235,26 +239,48 @@ case class ExtractCount(left: Expression, right: Expression) extends BinaryExpre
   * `spark.sql.extensions=graft.spark.GraftSparkExtensions` and the functions
   * become available to `spark.sql` / `call_function`. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  // a clean arity error at analysis instead of IndexOutOfBounds from
+  // children(i) when the call has the wrong argument count
+  private def arity(name: String, n: Int, sig: String)(children: Seq[Expression]): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments: $name$sig, got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("extract_text"),
       new ExpressionInfo(classOf[ExtractText].getName, "extract_text"),
-      (children: Seq[Expression]) => ExtractText(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("extract_text", 2, "(html, selector)")(children)
+        ExtractText(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("extract_main"),
       new ExpressionInfo(classOf[ExtractMain].getName, "extract_main"),
-      (children: Seq[Expression]) => ExtractMain(children.head)))
+      (children: Seq[Expression]) => {
+        arity("extract_main", 1, "(html)")(children)
+        ExtractMain(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("extract_attrs"),
       new ExpressionInfo(classOf[ExtractAttrs].getName, "extract_attrs"),
-      (children: Seq[Expression]) => ExtractAttrs(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        arity("extract_attrs", 3, "(html, selector, attr)")(children)
+        ExtractAttrs(children(0), children(1), children(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("extract_count"),
       new ExpressionInfo(classOf[ExtractCount].getName, "extract_count"),
-      (children: Seq[Expression]) => ExtractCount(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("extract_count", 2, "(html, selector)")(children)
+        ExtractCount(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("extract_html"),
       new ExpressionInfo(classOf[ExtractHtml].getName, "extract_html"),
-      (children: Seq[Expression]) => ExtractHtml(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("extract_html", 2, "(html, selector)")(children)
+        ExtractHtml(children(0), children(1))
+      }))
   }
 }

@@ -46,9 +46,15 @@ object Extractor extends Serializable {
     parsed
   }
 
-  /** parse into the thread-local arena; null on parse failure. */
+  /** parse into the thread-local arena; null on parse failure. Same
+    * giant-page shrink guard as [[parseBytes]] — STRING-column workloads
+    * must not pin a rare huge page's buffers either. */
   def parse(html: String): VDoc = {
-    val arena = arenas.get()
+    var arena = arenas.get()
+    if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
+      arena = new graft.dom.Arena(1024)
+      arenas.set(arena)
+    }
     Parser.parseInto(arena, html, ParseOptions.compat) match {
       case Some(_) => null
       case None => new VDoc(arena)
@@ -122,10 +128,22 @@ object Extractor extends Serializable {
     else null
 
   private def stripCompounds(recipe: Recipe): Array[Array[graft.selector.Simple]] =
-    compiled(recipe.remove) match {
-      case Right(sel) => simpleCompounds(sel)
-      case _ => null
-    }
+    compiledCompounds(recipe.remove) // per-JVM cached (hot path: per row)
+
+  /** per-Recipe cache of (strip, candidate) fused-walk compounds:
+    * selectMain runs per ROW, and re-deriving the compound arrays there
+    * allocated per-row garbage for a value that is constant per recipe.
+    * The sentinel pairs a null slot for "needs the general engine". */
+  private val recipeCache =
+    new ConcurrentHashMap[Recipe, (Array[Array[graft.selector.Simple]], Array[Array[graft.selector.Simple]])]()
+
+  private def recipeCompounds(recipe: Recipe): (Array[Array[graft.selector.Simple]], Array[Array[graft.selector.Simple]]) = {
+    val hit = recipeCache.get(recipe)
+    if (hit != null) return hit
+    val computed = (stripCompounds(recipe), candidateCompounds(recipe))
+    if (recipeCache.size < SelectorCacheCap) recipeCache.putIfAbsent(recipe, computed)
+    computed
+  }
 
   /** cached fused-walk compounds per selector string (null entries mean
     * "needs the general engine"); same cap discipline as the selector
@@ -176,8 +194,7 @@ object Extractor extends Serializable {
     * remove-then-find. Falls back to the general engine otherwise. */
   private def selectMain(doc: VDoc, recipe: Recipe): Elems = {
     val root = doc.rootElems
-    val strip = stripCompounds(recipe)
-    val cands = candidateCompounds(recipe)
+    val (strip, cands) = recipeCompounds(recipe)
     if (strip != null && cands != null) {
       val a = doc.arena
       val firstMatch = Array.fill(cands.length)(-1)
@@ -264,16 +281,35 @@ object Extractor extends Serializable {
     }
   }
 
-  /** static entry used from generated code (ExtractText.doGenCode). */
+  /** static entry used from generated code (ExtractText.doGenCode).
+    * Defensive like every BINARY entry: ANY per-row failure yields null —
+    * the same bytes must have the same fate whether the column is STRING
+    * or BINARY. */
   def extractTextCodegen(html: org.apache.spark.unsafe.types.UTF8String,
       selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null || selector == null) return null
-    val out = extractText(html.toString, selector.toString)
-    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    try {
+      val out = extractText(html.toString, selector.toString)
+      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   private val utf8Out = new ThreadLocal[graft.dom.Utf8Builder] {
     override def initialValue(): graft.dom.Utf8Builder = new graft.dom.Utf8Builder()
+  }
+
+  /** the output slab gets the same pin-guard as the arena: one rare giant
+    * extracted text must not hold executor memory for the thread's
+    * lifetime. */
+  private def outBuilder(): graft.dom.Utf8Builder = {
+    val b = utf8Out.get()
+    if (b.buf.length > ArenaShrinkChars) {
+      val fresh = new graft.dom.Utf8Builder()
+      utf8Out.set(fresh)
+      fresh
+    } else b
   }
 
   /** hot path: bytes in, UTF-8 bytes out — no UTF-16 String round trip.
@@ -285,7 +321,7 @@ object Extractor extends Serializable {
       val doc = parseBytes(html)
       if (doc == null) return null
       val main = selectMain(doc, Recipe.default)
-      val ub = utf8Out.get()
+      val ub = outBuilder()
       ub.reset()
       main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
@@ -310,7 +346,7 @@ object Extractor extends Serializable {
       val doc = parseBytes(html)
       if (doc == null) return null
       val main = selectMain(doc, Recipe.default)
-      val ub = utf8Out.get()
+      val ub = outBuilder()
       ub.reset()
       main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.buf, 0, ub.len)
@@ -321,8 +357,12 @@ object Extractor extends Serializable {
 
   def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (html == null) return null
-    val out = extractMain(html.toString, Recipe.default)
-    if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    try {
+      val out = extractMain(html.toString, Recipe.default)
+      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   /** byte-native hot path for BINARY input: UTF-8 in (parseBytes), UTF-8 out
@@ -336,7 +376,7 @@ object Extractor extends Serializable {
       if (doc == null) return null
       val selStr = selector.toString
       val compounds = compiledCompounds(selStr)
-      val ub = utf8Out.get()
+      val ub = outBuilder()
       ub.reset()
       if (compounds != null) {
         // fused fast path: find()'s doc-order union-with-dedup over simple
@@ -439,7 +479,8 @@ object Extractor extends Serializable {
       sel: org.apache.spark.unsafe.types.UTF8String,
       attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (html == null || sel == null || attr == null) return null
-    attrsToArrayData(extractAttrs(html.toString, sel.toString, attr.toString))
+    try attrsToArrayData(extractAttrs(html.toString, sel.toString, attr.toString))
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** byte-native BINARY path: the page parses straight from UTF-8 (no
@@ -487,7 +528,8 @@ object Extractor extends Serializable {
   def extractCountCodegen(html: org.apache.spark.unsafe.types.UTF8String,
       sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
     if (html == null || sel == null) return null
-    extractCount(html.toString, sel.toString)
+    try extractCount(html.toString, sel.toString)
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** byte-native BINARY path: parseBytes, never a page-sized String. */

@@ -122,10 +122,14 @@ object PagesGen extends Serializable {
     fromDocuments(spark, sfDir).toDF()
 
   /** deterministically amplified corpus for throughput benchmarking:
-    * `reps` page copies per document (distinct urls) and `textRep`-fold
-    * payload repetition, so the html volume is bench-scale while extraction
-    * stays byte-verifiable (extracted == the amplified text column). */
-  def amplified(spark: SparkSession, sfDir: String, reps: Int, textRep: Int): Dataset[PageRow] = {
+    * `reps` page copies per document (distinct urls — ids never collide
+    * while doc_id < 1000000007, far above any sf corpus) and `boilerplate`
+    * copies of the strip-side nav/table markup around each page's payload
+    * (htmlOfDense's k). The PAYLOAD appears once per page, so extraction
+    * stays byte-verifiable (extracted == the UNamplified text column);
+    * the knob scales bytes-parsed-and-stripped per page, not extracted
+    * output volume. */
+  def amplified(spark: SparkSession, sfDir: String, reps: Int, boilerplate: Int): Dataset[PageRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
@@ -136,7 +140,7 @@ object PagesGen extends Serializable {
         (0 until reps).iterator.map { r =>
           val ampId = id + r.toLong * 1000000007L
           PageRow(urlOf(ampId), tsOf(ampId),
-            htmlOfDense(ampId, text, lang, textRep)
+            htmlOfDense(ampId, text, lang, boilerplate)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8),
             text, lang)
         }

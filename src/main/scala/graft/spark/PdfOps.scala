@@ -167,7 +167,11 @@ object PdfOps extends Serializable {
                 i += 1
                 while (k < 3 && i < content.length &&
                   content(i) >= '0' && content(i) <= '7') { v = v * 8 + (content(i) - '0'); i += 1; k += 1 }
-                sb.append(v.toChar)
+                sb.append((v & 0xFF).toChar) // PDF 32000 7.3.4.2: high overflow bits ignored
+              case '\n' => i += 2 // backslash-EOL = line continuation: no character
+              case '\r' =>
+                i += 2
+                if (i < content.length && content(i) == '\n') i += 1
               case other => sb.append(other); i += 2
             }
           } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
@@ -219,9 +223,21 @@ object PdfOps extends Serializable {
         val s = indexOf(bytes, "stream", at)
         if (s < 0) more = false
         else {
-          // dict for this stream: scan back to the nearest "<<"
+          // dict for this stream: scan back to the MATCHING "<<" — a
+          // nested dict between the filter entry and "stream" (e.g.
+          // /DecodeParms << ... >>) must not truncate the capture, or the
+          // /FlateDecode marker would be silently missed
           var dictStart = s
-          while (dictStart > 1 && !(bytes(dictStart - 1) == '<' && bytes(dictStart) == '<')) dictStart -= 1
+          var depth = 0
+          var scanning = true
+          while (scanning && dictStart > 1) {
+            if (bytes(dictStart - 1) == '>' && bytes(dictStart) == '>') {
+              depth += 1; dictStart -= 2
+            } else if (bytes(dictStart - 1) == '<' && bytes(dictStart) == '<') {
+              if (depth == 0) scanning = false
+              else { depth -= 1; dictStart -= 2 }
+            } else dictStart -= 1
+          }
           val dict = new String(bytes, math.max(0, dictStart - 1), s - dictStart + 1, ISO_8859_1)
           var body = s + "stream".length
           if (body < bytes.length && bytes(body) == '\r') body += 1
@@ -256,14 +272,28 @@ object PdfOps extends Serializable {
   }
 
   /** page count via the page-tree /Count when present, else /Type /Page
-    * object occurrences. */
+    * object occurrences. Hardened: the /Count is taken from a dict that
+    * also names /Type /Pages (an outline dict carries /Count too — PDF
+    * 32000 12.3.3 — and must not win), digits are length-capped so a
+    * hostile '/Count 99999999999' can never throw NumberFormatException,
+    * and any residual parse failure yields 0, never a task failure. */
   def pageCount(bytes: Array[Byte]): Int = {
     if (bytes == null) return 0
-    val s = new String(bytes, ISO_8859_1)
-    val m = java.util.regex.Pattern.compile("/Count\\s+(\\d+)").matcher(s)
-    if (m.find()) m.group(1).toInt
-    else java.util.regex.Pattern.compile("/Type\\s*/Page(?!s)").matcher(s)
-      .results().count().toInt
+    try {
+      val s = new String(bytes, ISO_8859_1)
+      val pagesDict = java.util.regex.Pattern
+        .compile("/Type\\s*/Pages[^>]{0,200}?/Count\\s+(\\d{1,9})(?!\\d)|/Count\\s+(\\d{1,9})(?!\\d)[^>]{0,200}?/Type\\s*/Pages")
+        .matcher(s)
+      if (pagesDict.find()) {
+        val g = if (pagesDict.group(1) != null) pagesDict.group(1) else pagesDict.group(2)
+        g.toInt
+      } else {
+        val any = java.util.regex.Pattern.compile("/Count\\s+(\\d{1,9})(?!\\d)").matcher(s)
+        if (any.find()) any.group(1).toInt
+        else java.util.regex.Pattern.compile("/Type\\s*/Page(?!s)").matcher(s)
+          .results().count().toInt
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0 }
   }
 
   /** deterministic PDF pipeline over the documents table: synthesize a real

@@ -358,6 +358,41 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interpreted eval == codegen entries (incl. invalid UTF-8 BINARY); wrong arity is a clean error") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.spark.{ExtractAttrs, ExtractCount, Extractor}
+    // invalid UTF-8 in the middle: a String round-trip would substitute
+    // U+FFFD and diverge from the byte-native parse
+    val bad = "<a href=\"/x\">1</a><a href=\"/".getBytes("UTF-8") ++
+      Array[Byte](0xC3.toByte, 0x28.toByte) ++ "\">2</a>".getBytes("UTF-8")
+    def lit(v: Any, t: org.apache.spark.sql.types.DataType) = Literal.create(v, t)
+    val sel = UTF8String.fromString("a")
+    val attr = UTF8String.fromString("href")
+    val interpAttrs = ExtractAttrs(lit(bad, BinaryType),
+      lit(sel, StringType), lit(attr, StringType)).eval(null)
+    val codegenAttrs = Extractor.extractAttrsCodegenBinary(bad, sel, attr)
+    assert(interpAttrs.toString == codegenAttrs.toString,
+      "interpreted BINARY extract_attrs diverged from the byte-native entry")
+    val interpCount = ExtractCount(lit(bad, BinaryType), lit(sel, StringType)).eval(null)
+    assert(interpCount == Extractor.extractCountCodegenBinary(bad, sel).longValue())
+    // interpreted path inherits the NonFatal->null contract (bad selector)
+    assert(ExtractCount(lit(bad, BinaryType),
+      lit(UTF8String.fromString(":nope("), StringType)).eval(null) == null)
+    // wrong argument count: a named error, not IndexOutOfBoundsException
+    Seq("extract_text('x')", "extract_main()", "extract_attrs('x','a')",
+      "extract_count('x')", "extract_html('x')").foreach { call =>
+      // Spark wraps the builder's AnalysisException; the named arity
+      // message must survive in the cause chain (never IndexOutOfBounds)
+      val e = intercept[Exception] { spark.sql(s"SELECT $call").collect() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "|" + chain(t.getCause)
+      assert(chain(e).contains("expects"), s"$call: ${chain(e).take(200)}")
+      assert(!chain(e).contains("IndexOutOfBounds"), s"$call leaked IOOBE")
+    }
+  }
+
   test("BINARY input paths (byte-native) equal the STRING paths") {
     // multi-byte UTF-8 (2/3/4-byte sequences), entities, attrs, counts: the
     // byte-native parseBytes path must agree with the UTF-16 parse path
