@@ -91,9 +91,12 @@ final class Arena(initialNodes: Int = 256) {
   def resetFromUtf8(src: Array[Byte]): Unit = {
     clearState()
     if (buf.length < src.length) {
-      // compute in Long: highestOneBit*2 overflows negative for >=1GiB inputs
+      // compute in Long: highestOneBit*2 overflows negative for >=1GiB
+      // inputs; the rounded-up size must never undercut src.length itself
+      // (inputs within 8 bytes of Int.MaxValue)
       val want = java.lang.Long.highestOneBit(math.max(1L, src.length.toLong)) * 2L
-      buf = new Array[Byte](math.min(want, (Int.MaxValue - 8).toLong).toInt)
+      buf = new Array[Byte](
+        math.max(src.length.toLong, math.min(want, (Int.MaxValue - 8).toLong)).toInt)
     }
     System.arraycopy(src, 0, buf, 0, src.length)
     bufLen = src.length
@@ -183,11 +186,15 @@ final class Arena(initialNodes: Int = 256) {
 
   // ---- byte store helpers ----
   private def ensureBuf(extra: Int): Unit = {
-    val need = bufLen + extra
+    // Long arithmetic: for >=1 GiB buffers `cap * 2` wraps negative (and
+    // sticks at 0 — an infinite loop), and `bufLen + extra` can itself
+    // wrap past Int.MaxValue and skip growth entirely
+    val need = bufLen.toLong + extra
     if (need > buf.length) {
-      var cap = buf.length * 2
+      var cap = buf.length.toLong * 2
       while (cap < need) cap *= 2
-      buf = java.util.Arrays.copyOf(buf, cap)
+      buf = java.util.Arrays.copyOf(buf,
+        math.min(cap, (Int.MaxValue - 8).toLong).toInt)
     }
   }
 
@@ -606,7 +613,7 @@ final class Arena(initialNodes: Int = 256) {
         out.append('>')
       } else {
         out.append('>')
-        if (isContentTag(id)) appendSpanTo(textOff(id), textLen(id), out)
+        if (isContentTag(id)) renderContentTagInner(id, out)
         else renderInner(id, out, encodeContent)
         if ((flags(id) & F_END_TAG) != 0) {
           out.append('<').append('/')
@@ -619,11 +626,27 @@ final class Arena(initialNodes: Int = 256) {
 
   def renderInner(id: Int, out: java.lang.StringBuilder, encodeContent: Boolean): Unit = {
     if (kind(id) == ELEM && isContentTag(id)) {
-      appendSpanTo(textOff(id), textLen(id), out)
+      renderContentTagInner(id, out)
       return
     }
     var c = firstChild(id)
     while (c >= 0) { renderNode(c, out, encodeContent); c = nextSib(c) }
+  }
+
+  /** a content tag renders its raw text span PLUS any text children a
+    * mutation appended (reference tests/insertion.rs:124-131 lets append
+    * add text nodes to content tags and text() includes them — render
+    * must agree with text(), or the appended text would vanish from
+    * html()/sourceCode while surviving in text()). Raw, never encoded:
+    * content-tag bodies are literal character data. */
+  private def renderContentTagInner(id: Int, out: java.lang.StringBuilder): Unit = {
+    appendSpanTo(textOff(id), textLen(id), out)
+    var c = firstChild(id)
+    while (c >= 0) {
+      if (kind(c) == TEXT || kind(c) == SPACES)
+        appendSpanTo(textOff(c), textLen(c), out)
+      c = nextSib(c)
+    }
   }
 
   /** encode raw `<`/`>` that entered text content via lenient parsing or raw

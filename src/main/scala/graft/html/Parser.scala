@@ -52,14 +52,6 @@ object Parser {
 
   val contentTags: Set[String] = Set("script", "style", "title", "textarea")
 
-  /** tags a node may NOT be inserted into (rphtml `allow_insert`): void tags
-    * accept nothing; content tags accept only text (reference
-    * `tests/insertion.rs:110-143`). */
-  def allowInsert(lowerTag: String, childKind: Byte, a: Arena): Boolean = {
-    if (voidTags.contains(lowerTag)) false
-    else true
-  }
-
   def parseInto(arena: Arena, html: String, opts: ParseOptions): Option[ParseError] = {
     arena.reset(html)
     val p = new Parser(arena, opts)
@@ -75,9 +67,6 @@ object Parser {
 
   // byte-level classifiers: UTF-8 continuation bytes are negative and fall
   // out of every ASCII class naturally
-  private def isNameStart(c: Int): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-
   // byte-class table: one load replaces 4-7 comparisons in the hot scan
   // loops (indexed by widened-byte & 0xFF; >=0x80 classifies as nothing,
   // which is correct for raw UTF-8 continuation/lead bytes)

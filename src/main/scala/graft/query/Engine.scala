@@ -270,7 +270,12 @@ object Engine {
           v != null && classListContains(v, c)
         }
       case Simple.Id(v) =>
-        a.kind(e) == a.ELEM && v == a.attrValue(e, "id")
+        // reference parity (id.rs:8-52): #id means THE document's
+        // get_element_by_id element (first in doc order) in every context
+        // — find, filter, comma groups, fused walks. An element with a
+        // DUPLICATE id must not match, so the identity check goes through
+        // the id cache, not the attribute.
+        a.kind(e) == a.ELEM && a.getElementById(v) == e
       case Simple.Attr(k, op, v) => matchAttr(a, e, k, op, v)
       case Simple.Contains(search) =>
         search.isEmpty || a.text(e).contains(search)
@@ -431,11 +436,18 @@ object Engine {
               val allow = allowedIndexes(hasN, n, idx, total)
               if (allow.nonEmpty) {
                 if (!ofType) {
+                  // candidates share doc order with childs, so one forward
+                  // pointer finds every position — the per-candidate
+                  // indexOf was O(children^2) on wide sibling lists
                   var k = i
+                  var pos = 0
                   while (k < j) {
-                    val pos = childs.indexOf(ids(k))
-                    val rank = if (last) total - 1 - pos else pos
-                    if (java.util.Arrays.binarySearch(allow, rank) >= 0) out += ids(k)
+                    while (pos < total && childs(pos) != ids(k)) pos += 1
+                    if (pos < total) {
+                      val rank = if (last) total - 1 - pos else pos
+                      if (java.util.Arrays.binarySearch(allow, rank) >= 0) out += ids(k)
+                      pos += 1
+                    }
                     k += 1
                   }
                 } else {
@@ -833,12 +845,15 @@ object Engine {
         val lastSeg = query.last
         filtered = selectSegment(doc, ids, lastSeg, Some(Combinator.Chain))
         if (filtered.nonEmpty && query.length > 1) {
-          // root of the tree the first filtered element belongs to
-          var root = filtered(0)
-          while (a.parent(root) >= 0) root = a.parent(root)
-          val rootSet = ArrayBuffer(root)
           val lookup = query.dropRight(1)
-          filtered = filtered.filter(e => hasEle(doc, rootSet, e, lastSeg.comb, lookup))
+          // verify from each element's OWN tree root: a set may span the
+          // document and detached fragments (deepClone results), and a
+          // single shared root would wrongly fail every other tree
+          filtered = filtered.filter { e =>
+            var root = e
+            while (a.parent(root) >= 0) root = a.parent(root)
+            hasEle(doc, ArrayBuffer(root), e, lastSeg.comb, lookup)
+          }
         }
       }
       if (filtered.nonEmpty) {

@@ -390,4 +390,36 @@ class MethodSpec extends AnyFunSuite {
     assert(childs.eq(0).containsEle(childs.ids(2), Combinator.NextAll))
     assert(!childs.eq(0).containsEle(childs.ids(2), Combinator.Next))
   }
+
+  test("duplicate ids: #id is the document's first element in EVERY context") {
+    // reference id.rs:8-52: #id always resolves through get_element_by_id
+    // (first in doc order) — find, comma groups, filter/is, fused walks
+    val root = load("""<div id="x" class="a">first</div><span id="x" class="b">second</span><nav>n</nav>""")
+    assert(root.find("#x").length == 1)
+    assert(root.find("#x").attr("class").map(_.toString) == Some("a"))
+    // comma group (the fused multi-group walk must agree)
+    val grouped = root.find("#x, nav")
+    assert(grouped.length == 2, s"got ${grouped.length}")
+    assert(grouped.eq(0).attr("class").map(_.toString) == Some("a"))
+    // filter/is semantics: only the document-first #x element IS #x
+    val both = root.find("div, span")
+    assert(both.filter("#x").length == 1)
+    assert(both.filter("#x").attr("class").map(_.toString) == Some("a"))
+    assert(root.find("span.b").is("#x") == false)
+    assert(root.find("div.a").is("#x"))
+  }
+
+  test("content tag: appended text children survive render, not just text()") {
+    // reference tests/insertion.rs:124-131 pins text() == "abcd" after
+    // appending text nodes into a content tag; render must AGREE with
+    // text() or the appended content silently vanishes from
+    // html()/outerHtml()/sourceCode on re-render
+    val root = load("<title>ab</title>")
+    val title = root.find("title")
+    val content = load("<span>x</span>cd") // only the text node may enter
+    content.appendTo(title)
+    assert(title.text() == "abcd", s"text: ${title.text()}")
+    assert(title.outerHtml() == "<title>abcd</title>", s"render: ${title.outerHtml()}")
+    assert(title.html() == "abcd", s"inner: ${title.html()}")
+  }
 }
