@@ -63,16 +63,19 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   def next(selector: String): Elems = selectWithComb("next", selector, Combinator.Next)
   def nextAll(selector: String): Elems = selectWithComb("next_all", selector, Combinator.NextAll)
 
-  /** *_until family (reference select_with_comb_until, elements.rs:515-583). */
-  private def selectUntil(method: String, selector: String, filter: String,
-      contains: Boolean, comb: Combinator.Value): Elems = {
+  /** *_until family (reference select_with_comb_until, elements.rs:515-583).
+    * `starts` is the caller's deduped start set (the reference dedups with
+    * unique_sibling_first/last BEFORE walking: sibling runs share their
+    * whole walk, so un-deduped starts would emit duplicates). */
+  private def selectUntil(method: String, starts: Array[Int], selector: String,
+      filter: String, contains: Boolean, comb: Combinator.Value): Elems = {
     val untilSel = parsed(method, selector, useLookup = false).getOrElse(return emptySet)
     val filterSel: Option[Selector] =
       if (filter.isEmpty) None
       else Some(parsed(method, filter, useLookup = false).getOrElse(return emptySet))
     val next = Selector.allWith(comb)
     val result = new ArrayBuffer[Int]()
-    ids.foreach { start =>
+    starts.foreach { start =>
       var cur = ArrayBuffer(start)
       var go = true
       while (go) {
@@ -94,15 +97,24 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   }
 
   def prevUntil(selector: String, filter: String, contains: Boolean): Elems = {
-    val r = selectUntil("prev_until", selector, filter, contains, Combinator.Prev)
-    // re-reverse to document order (reference elements.rs:1367-1377)
+    // reference elements.rs:1367-1377: unique_sibling_LAST starts, then
+    // re-reverse to document order
+    val starts = Engine.uniqueSibling(a, ArrayBuffer.from(ids), first = false)
+    val r = selectUntil("prev_until", starts.toArray, selector, filter, contains, Combinator.Prev)
     new Elems(doc, r.ids.reverse)
   }
-  def nextUntil(selector: String, filter: String, contains: Boolean): Elems =
-    selectUntil("next_until", selector, filter, contains, Combinator.Next)
+  def nextUntil(selector: String, filter: String, contains: Boolean): Elems = {
+    // reference elements.rs:1479-1482: unique_sibling_first starts
+    val starts = Engine.uniqueSibling(a, ArrayBuffer.from(ids), first = true)
+    selectUntil("next_until", starts.toArray, selector, filter, contains, Combinator.Next)
+  }
   def parentsUntil(selector: String, filter: String, contains: Boolean): Elems = {
-    val r = selectUntil("parents_until", selector, filter, contains, Combinator.Parent)
-    new Elems(doc, r.ids.reverse)
+    // reference elements.rs:1673-1687: unique_sibling_first starts and a
+    // SORT-AND-UNIQUE result (shared ancestors of a multi-element set
+    // would otherwise duplicate; plain reversal only fixes one chain)
+    val starts = Engine.uniqueSibling(a, ArrayBuffer.from(ids), first = true)
+    val r = selectUntil("parents_until", starts.toArray, selector, filter, contains, Combinator.Parent)
+    new Elems(doc, Engine.sortAndUnique(a, ArrayBuffer.from(r.ids)).toArray)
   }
 
   /** nearest self-or-ancestor match; empty selector yields empty
@@ -438,38 +450,66 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   }
 
   def hasClass(name: String): Boolean = {
+    // reference has_class (elements.rs:3328-3331): a trimmed-empty name is
+    // false, never vacuously true
     val wanted = name.split("\\s+").filter(_.nonEmpty)
-    ids.exists { e =>
+    wanted.nonEmpty && ids.exists { e =>
       val v = if (a.kind(e) == a.ELEM) a.attrValue(e, "class") else null
       v != null && wanted.forall(w => Engine.classListContains(v, w))
     }
   }
 
-  private def classMutate(name: String)(f: (ArrayBuffer[String], Seq[String]) => Unit): Elems = {
-    val args = name.split("\\s+").filter(_.nonEmpty).toSeq
+  /** class mutations follow the reference's write conditions exactly
+    * (elements.rs:3381-3523): an empty/whitespace name is a no-op;
+    * add/toggle on an element WITHOUT a class attr create it with the
+    * trimmed input name; remove never creates the attr and only writes
+    * when something was actually removed; toggle writes only on change —
+    * so `removeClass` can never materialize `class=""` and an unchanged
+    * element's attr value is never whitespace-normalized as a side
+    * effect. */
+  private def classMutate(name: String,
+      createWhenMissing: Boolean)(f: (ArrayBuffer[String], Seq[String]) => Boolean): Elems = {
+    val trimmed = name.trim
+    val args = trimmed.split("\\s+").filter(_.nonEmpty).toSeq
+    if (args.isEmpty) return this
     ids.foreach { e =>
       if (a.kind(e) == a.ELEM) {
         val cur = a.attrValue(e, "class")
-        val list = new ArrayBuffer[String]()
-        if (cur != null) cur.split("\\s+").filter(_.nonEmpty).foreach(list += _)
-        f(list, args)
-        Mutation.setAttribute(doc, e, "class", Some(list.mkString(" ")))
+        if (cur == null) {
+          if (createWhenMissing)
+            Mutation.setAttribute(doc, e, "class", Some(trimmed))
+        } else {
+          val list = new ArrayBuffer[String]()
+          cur.split("\\s+").filter(_.nonEmpty).foreach(list += _)
+          if (f(list, args))
+            Mutation.setAttribute(doc, e, "class", Some(list.mkString(" ")))
+        }
       }
     }
     this
   }
 
   def addClass(name: String): Elems =
-    classMutate(name)((list, args) => args.foreach(c => if (!list.contains(c)) list += c))
+    classMutate(name, createWhenMissing = true) { (list, args) =>
+      args.foreach(c => if (!list.contains(c)) list += c)
+      true // reference add_class writes unconditionally when the attr exists
+    }
 
   def removeClass(name: String): Elems =
-    classMutate(name)((list, args) => args.foreach(c => list.subtractOne(c)))
+    classMutate(name, createWhenMissing = false) { (list, args) =>
+      val before = list.length
+      args.foreach(c => list.subtractOne(c))
+      list.length != before
+    }
 
   def toggleClass(name: String): Elems =
-    classMutate(name) { (list, args) =>
+    classMutate(name, createWhenMissing = true) { (list, args) =>
+      var changed = false
       args.foreach { c =>
         if (list.contains(c)) list.subtractOne(c) else list += c
+        changed = true
       }
+      changed
     }
 
   // ================= mutation =================

@@ -50,23 +50,34 @@ object Mutation {
     else true
   }
 
-  /** insert `nodes` into each element of `targets` at `pos`; multi-target
-    * iterates dest reversed so the first target ends up owning the moved
-    * nodes (reference elements.rs:3663-3735). Rebinds `nodes` handles to the
-    * destination document. */
+  /** insert `nodes` into each element of `targets` at `pos`, exactly like
+    * the reference (elements.rs insert: `for ele in self` FORWARD over
+    * targets, `dest.iter().rev()` over the TOP-LEVEL dest list) — so with
+    * several targets the moved nodes end up owned by the LAST target, and
+    * a multi-element (non-fragment) dest set lands in the order the
+    * per-node insert_adjacent chain produces. A loaded fragment is ONE
+    * dest entry whose children splice in document order as a group
+    * (src/lib.rs:816-823). Rebinds `nodes` handles to the destination
+    * document. */
   def insert(targets: Elems, nodes: Elems, pos: Pos): Unit = {
     if (targets.isEmpty) return
     val tdoc = targets.doc
-    var curDoc = nodes.doc
-    var curIds: Array[Int] = expandFragmentRoots(curDoc, nodes.ids)
-    var t = targets.ids.length - 1
-    while (t >= 0) {
+    // per top-level dest entry: (doc, group ids) — groups move as units
+    var groups: Array[(VDoc, Array[Int])] =
+      nodes.ids.map(e => (nodes.doc, expandFragmentRoots(nodes.doc, Array(e))))
+    var t = 0
+    while (t < targets.ids.length) {
       val target = targets.ids(t)
-      val moved = insertInto(tdoc, target, curDoc, curIds, pos)
-      if (moved != null) { curDoc = tdoc; curIds = moved }
-      t -= 1
+      groups = groups.reverse.map { case (gdoc, gids) =>
+        val moved = insertInto(tdoc, target, gdoc, gids, pos)
+        if (moved != null) (tdoc, moved) else (gdoc, gids)
+      }.reverse
+      t += 1
     }
-    if (curDoc eq tdoc) { nodes.doc = tdoc; nodes.ids = curIds }
+    if (groups.forall(_._1 eq tdoc)) {
+      nodes.doc = tdoc
+      nodes.ids = groups.flatMap(_._2)
+    }
   }
 
   /** a loaded fragment's abstract root stands for its children; a DOCUMENT
@@ -104,6 +115,8 @@ object Mutation {
       if (curDoc eq tdoc) { tdoc.arena.detach(n); n }
       else { curDoc.arena.detach(n); deepCopy(curDoc, n, tdoc) }
     }
+    // one insert_adjacent call's group lands in document order at every
+    // position (the reference splices the nodes vec in order)
     pos match {
       case BeforeEnd => local.foreach(n => a.appendChild(target, n))
       case AfterBegin =>
@@ -128,30 +141,45 @@ object Mutation {
     case AfterEnd => "insert_after"
   }
 
-  /** replace each element of `self` with `nodes`; rebinds self to the
-    * replacement (reference replace_with, src/lib.rs:926-992). */
+  /** replace each element of `self` with `nodes`, exactly like the
+    * reference's `replace` + `replace_with` chain (elements.rs `for ele in
+    * self { for inserted in dest.rev() { ele.replace_with(inserted) } }`,
+    * src/lib.rs:926-992): the handle REBINDS to each single-node
+    * replacement, so a multi-element dest set chains — the target is
+    * replaced by the last dest entry, which is then replaced by the one
+    * before it, leaving only the FIRST dest entry in the tree. A fragment
+    * with several children splices them all and DOESN'T rebind (the
+    * detached handle makes further chain steps no-ops), matching
+    * `replace_ele` being set only for single-child fragments. */
   def replaceWith(self: Elems, nodes: Elems): Unit = {
     if (self.isEmpty) return
     val tdoc = self.doc
-    var curDoc = nodes.doc
-    var curIds = expandFragmentRoots(curDoc, nodes.ids)
+    var groups: Array[(VDoc, Array[Int])] =
+      nodes.ids.map(e => (nodes.doc, expandFragmentRoots(nodes.doc, Array(e))))
     val newIds = new ArrayBuffer[Int]()
     self.ids.foreach { e =>
       val a = tdoc.arena
-      if (a.parent(e) >= 0 && curIds.nonEmpty) {
-        val local: Array[Int] = curIds.map { n =>
-          if (curDoc eq tdoc) { tdoc.arena.detach(n); n }
-          else { curDoc.arena.detach(n); deepCopy(curDoc, n, tdoc) }
-        }
-        local.foreach(n => a.insertBefore(e, n))
-        a.detach(e)
-        curDoc = tdoc; curIds = local
-        if (local.length == 1) newIds += local(0)
-        tdoc.arena.idMapDirty = true
-      }
+      var cur = e // the rebinding handle
+      groups = groups.reverse.map { case (gdoc, gids) =>
+        if (a.parent(cur) >= 0 && gids.nonEmpty) {
+          val local: Array[Int] = gids.map { n =>
+            if (gdoc eq tdoc) { tdoc.arena.detach(n); n }
+            else { gdoc.arena.detach(n); deepCopy(gdoc, n, tdoc) }
+          }
+          local.foreach(n => a.insertBefore(cur, n))
+          a.detach(cur)
+          if (local.length == 1) cur = local(0) // rebind (reference replace_ele)
+          tdoc.arena.idMapDirty = true
+          (tdoc, local)
+        } else (gdoc, gids)
+      }.reverse
+      if (cur != e) newIds += cur
     }
     if (newIds.nonEmpty) { self.ids = newIds.toArray }
-    if (curDoc eq tdoc) { nodes.doc = tdoc; nodes.ids = curIds }
+    if (groups.forall(_._1 eq tdoc)) {
+      nodes.doc = tdoc
+      nodes.ids = groups.flatMap(_._2)
+    }
   }
 
   /** set_html (reference src/lib.rs:298-393): content tags store raw;

@@ -323,7 +323,13 @@ private final class SelectorParser(s: String, useLookup: Boolean) {
     if (peek == '+' || peek == '-') { if (peek == '-') sign = -1; i += 1 }
     var digits = 0L
     var hasDigits = false
-    while (i < n && Character.isDigit(s.charAt(i))) { digits = digits * 10 + (s.charAt(i) - '0'); i += 1; hasDigits = true }
+    // overflow = invalid selector (the reference's Rust str::parse errors
+    // out); silent Long wrap would turn a nonsense index into nth(1)
+    while (i < n && Character.isDigit(s.charAt(i))) {
+      digits = digits * 10 + (s.charAt(i) - '0')
+      if (digits < 0 || digits > Int.MaxValue) fail("nth argument out of range")
+      i += 1; hasDigits = true
+    }
     if (i < n && (s.charAt(i) == 'n' || s.charAt(i) == 'N')) {
       i += 1
       val nCoef = sign * (if (hasDigits) digits else 1L)
@@ -335,7 +341,11 @@ private final class SelectorParser(s: String, useLookup: Boolean) {
         ws()
         var d = 0L
         var hd = false
-        while (i < n && Character.isDigit(s.charAt(i))) { d = d * 10 + (s.charAt(i) - '0'); i += 1; hd = true }
+        while (i < n && Character.isDigit(s.charAt(i))) {
+          d = d * 10 + (s.charAt(i) - '0')
+          if (d < 0 || d > Int.MaxValue) fail("nth index out of range")
+          i += 1; hd = true
+        }
         if (!hd) fail("bad nth index")
         idx = isign * d
       }

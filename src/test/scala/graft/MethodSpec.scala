@@ -422,4 +422,66 @@ class MethodSpec extends AnyFunSuite {
     assert(title.outerHtml() == "<title>abcd</title>", s"render: ${title.outerHtml()}")
     assert(title.html() == "abcd", s"inner: ${title.html()}")
   }
+
+  test("until family: sibling-run start dedup and parentsUntil sort (reference elements.rs:1367,1479,1673)") {
+    val root = load("<dl><dt>t</dt><dd>1</dd><dd>2</dd><dd>3</dd></dl>")
+    // prev_until dedups starts to the LAST of each sibling run
+    val prevs = root.find("dd").prevUntil("dt", "", false)
+    assert(prevs.length == 2, s"prevUntil length ${prevs.length}")
+    // next_until dedups starts to the FIRST of each sibling run
+    val nexts = root.find("dd").nextUntil("xx", "", false)
+    assert(nexts.length == 2, s"nextUntil length ${nexts.length}")
+    // parents_until of a multi-element set: shared ancestors appear ONCE,
+    // in document order
+    val r2 = load("<body><div><p>a</p><p>b</p></div></body>")
+    val ps = r2.find("p").parentsUntil("body", "", false)
+    assert(ps.length == 1, s"parentsUntil length ${ps.length}")
+    assert(ps.eq(0).text() == "ab")
+  }
+
+  test("class methods: reference write conditions (elements.rs:3328-3523)") {
+    val root = load("""<div><span>x</span><b class="a  b">y</b></div>""")
+    val span = root.find("span")
+    // removeClass never creates the attr; unchanged values are untouched
+    span.removeClass("foo")
+    assert(span.outerHtml() == "<span>x</span>", span.outerHtml())
+    val b = root.find("b")
+    b.removeClass("zz") // nothing removed -> no write, whitespace kept
+    assert(b.outerHtml() == """<b class="a  b">y</b>""", b.outerHtml())
+    b.removeClass("a")
+    assert(b.attr("class").map(_.toString) == Some("b"))
+    // add/toggle DO create the attr, with the trimmed input name
+    span.addClass("  c d ")
+    assert(span.attr("class").map(_.toString) == Some("c d"))
+    // hasClass with an empty name is false, never vacuously true
+    assert(!b.hasClass(""))
+    assert(!b.hasClass("   "))
+    assert(b.hasClass("b"))
+  }
+
+  test("multi-target insert: LAST target owns the moved nodes (reference insert: targets forward)") {
+    val root = load("""<div id="d1"></div><div id="d2"></div><p>m</p>""")
+    root.find("p").appendTo(root.find("div"))
+    assert(root.find("#d1 p").length == 0, root.find("#d1").html())
+    assert(root.find("#d2 p").length == 1, root.find("#d2").html())
+    assert(root.find("#d2").text() == "m")
+  }
+
+  test("replaceWith multi-element set: the rebind chain keeps only the first dest (reference replace_with)") {
+    val root = load("""<ul><li id="x">x</li></ul><em>1</em><strong>2</strong>""")
+    val dest = root.find("em, strong")
+    root.find("#x").replaceWith(dest)
+    // x replaced by strong (dest reversed), strong then replaced by em:
+    // only em survives inside the ul
+    assert(root.find("ul").html() == "<em>1</em>", root.find("ul").html())
+    assert(root.find("strong").length == 0) // detached by the chain
+  }
+
+  test("nth argument overflow is an invalid selector, not a silent wrap") {
+    val root = load("<ul><li>1</li><li>2</li></ul>")
+    // 2^64+1 would wrap a Long accumulator to 1
+    assert(root.find("li:nth-child(18446744073709551617)").length == 0)
+    assert(root.find("li:nth-child(99999999999n+3)").length == 0)
+    assert(root.find("li:nth-child(1)").length == 1) // sane args still work
+  }
 }
