@@ -150,23 +150,28 @@ object Bench {
     // comparable across rounds while the lifecycle cost stays visible
     val lifecycle = Set("q_ann_append_idx", "q_ann_compact_idx")
     val lifecycleSec = queries.filter(q => lifecycle(q._1) && q._2 >= 0).values.sum
-    val json =
+    // shared headline fields (stdout contract line AND file copy)
+    val core =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,""" +
         f""""lifecycle_rows":${lifecycle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}%s,""" +
         f""""lifecycle_sec":$lifecycleSec%.3f,"queries_sec_excl_lifecycle":${total - lifecycleSec}%.3f,""" +
         f""""sf":"$sfDir%s",""" +
         f""""extract_docs":$docs%d,"extract_gb":$gb%.4f,""" +
-        f""""trials_local2":${arr(2)}%s,"trials_local8":${arr(8)}%s,"trials_local32":${arr(32)}%s,""" +
         f""""t_local2_sec":${med(2)}%.3f,"t_local8_sec":${med(8)}%.3f,"t_local32_sec":${med(32)}%.3f,""" +
         f""""t_local2_min":${min(2)}%.3f,"t_local8_min":${min(8)}%.3f,"t_local32_min":${min(32)}%.3f,""" +
         f""""docs_per_sec_8":${docs / med(8)}%.0f,"docs_per_sec_32":${docs / med(32)}%.0f,""" +
         f""""gb_per_sec_2":${gb / med(2)}%.4f,"gb_per_sec_8":${gb / med(8)}%.4f,"gb_per_sec_32":${gb / med(32)}%.4f,""" +
         f""""scaling_efficiency":$eff28%.3f,""" +
-        f""""scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,""" +
-        f""""scaling_note":"fixed interleaved schedule, $nTrials%d trials/level, one untimed warmup per session, headline=median, no result-conditioned retries; N-to-4N cores: local[2]-to-local[8] (tight trials). The 32-core level on this VM is contention-dominated: hypervisor throttling of all-32-vCPU bursts is strictly additive and bimodal (see trials_local32), so t_local32_min is the steady-state estimate there; 8-to-32 is also memory-bandwidth-capped (STREAM read scales only 1.6x from 8 to 32 threads)"}"""
-    // machine-readable copies: bare line on stdout (sbt outputStrategy
-    // passes it through unprefixed) + a file for humans/automation
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/bench.json"), json + "\n")
-    println(json)
+        f""""scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f"""
+    // full record (per-trial arrays + protocol note) goes to the FILE; the
+    // stdout line stays compact so a bounded tail capture of the run log
+    // still holds the complete line (round-4 artifact lost its head to
+    // exactly this: the verbose line outran the driver's tail buffer)
+    val jsonFull = core +
+      f""","trials_local2":${arr(2)}%s,"trials_local8":${arr(8)}%s,"trials_local32":${arr(32)}%s,""" +
+      f""""scaling_note":"fixed interleaved schedule, $nTrials%d trials/level, one untimed warmup per session, headline=median, no result-conditioned retries; N-to-4N cores: local[2]-to-local[8] (tight trials). The 32-core level on this VM is contention-dominated: hypervisor throttling of all-32-vCPU bursts is strictly additive and bimodal (see trials_local32), so t_local32_min is the steady-state estimate there; 8-to-32 is also memory-bandwidth-capped (STREAM read scales only 1.6x from 8 to 32 threads)"}"""
+    val jsonCompact = core + "}"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/bench.json"), jsonFull + "\n")
+    println(jsonCompact)
   }
 }

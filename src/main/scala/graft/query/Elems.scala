@@ -460,15 +460,17 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   }
 
   /** class mutations follow the reference's write conditions exactly
-    * (elements.rs:3381-3523): an empty/whitespace name is a no-op;
-    * add/toggle on an element WITHOUT a class attr create it with the
-    * trimmed input name; remove never creates the attr and only writes
+    * (elements.rs:3381-3523): an empty/whitespace name is a no-op; add on
+    * an element WITHOUT a class attr creates it with the RAW untrimmed
+    * input (add_class passes `class_name` through, elements.rs:3399) while
+    * toggle creates it with the trimmed name (toggle_class trims first,
+    * elements.rs:3487); remove never creates the attr and only writes
     * when something was actually removed; toggle writes only on change —
     * so `removeClass` can never materialize `class=""` and an unchanged
     * element's attr value is never whitespace-normalized as a side
     * effect. */
-  private def classMutate(name: String,
-      createWhenMissing: Boolean)(f: (ArrayBuffer[String], Seq[String]) => Boolean): Elems = {
+  private def classMutate(name: String, createWhenMissing: Boolean,
+      missingWritesRaw: Boolean = false)(f: (ArrayBuffer[String], Seq[String]) => Boolean): Elems = {
     val trimmed = name.trim
     val args = trimmed.split("\\s+").filter(_.nonEmpty).toSeq
     if (args.isEmpty) return this
@@ -477,7 +479,8 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
         val cur = a.attrValue(e, "class")
         if (cur == null) {
           if (createWhenMissing)
-            Mutation.setAttribute(doc, e, "class", Some(trimmed))
+            Mutation.setAttribute(doc, e, "class",
+              Some(if (missingWritesRaw) name else trimmed))
         } else {
           val list = new ArrayBuffer[String]()
           cur.split("\\s+").filter(_.nonEmpty).foreach(list += _)
@@ -490,7 +493,7 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
   }
 
   def addClass(name: String): Elems =
-    classMutate(name, createWhenMissing = true) { (list, args) =>
+    classMutate(name, createWhenMissing = true, missingWritesRaw = true) { (list, args) =>
       args.foreach(c => if (!list.contains(c)) list += c)
       true // reference add_class writes unconditionally when the attr exists
     }

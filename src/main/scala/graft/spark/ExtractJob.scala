@@ -174,7 +174,10 @@ object ExtractJob {
         if (fsExists(spark, s"$in/documents.parquet")) PagesGen.asDataFrame(spark, in)
         else spark.read.parquet(in)
       run(spark, pages, outDir, Config(buckets, salt, runId, preShuffled = preShuffled))
-      spark.read.parquet(s"$outDir/lineage").orderBy("partition_id").show(20, truncate = false)
+      // run() no-ops on an empty corpus without creating the lineage table.
+      if (fsExists(spark, s"$outDir/lineage"))
+        spark.read.parquet(s"$outDir/lineage").orderBy("partition_id").show(20, truncate = false)
+      else println(s"graft-extract: no work (empty corpus), no lineage written to $outDir")
     } finally spark.stop()
   }
 

@@ -194,7 +194,10 @@ object MediaOps extends Serializable {
             while (h + 8 <= listEnd) {
               val hsize = leI32(bytes, h + 4)
               if (hsize < 0 || h.toLong + 8L + hsize > listEnd) return null
-              if (fourcc(h) == "avih" && hsize >= 40) {
+              // a standard avih is 56 bytes; require the full header so a
+              // truncated one is skipped as a unit instead of yielding a
+              // partially-populated (and later zero-dim-rejected) record
+              if (fourcc(h) == "avih" && hsize >= 56) {
                 val usec = leI32(bytes, h + 8) // dwMicroSecPerFrame
                 fps = if (usec > 0) 1000000 / usec else 0
                 totalFrames = leI32(bytes, h + 24) // dwTotalFrames

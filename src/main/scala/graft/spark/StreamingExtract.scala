@@ -75,6 +75,10 @@ object StreamingExtract {
       .option("checkpointLocation", s"$outDir/checkpoint-lineage")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // A zero-row micro-batch writes no data files, so the schema-inferring
+        // lineage read-back below would throw AnalysisException; skip it.
+        if (batch.isEmpty) ()
+        else {
         batch.withColumn("batch_id", lit(batchId))
           .write.partitionBy("batch_id", "bucket")
           .option("partitionOverwriteMode", "dynamic")
@@ -93,6 +97,7 @@ object StreamingExtract {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(s"$outDir/lineage")
+        }
         ()
       }
       .start()

@@ -1233,13 +1233,24 @@ object TextOps extends Serializable {
             def create(): Boolean = try lock.createNewFile()
               catch { case scala.util.control.NonFatal(_) => false }
             // a crashed holder must not wedge recovery forever: a lock
-            // older than 10 min is stolen (deleted + re-contended)
+            // older than 10 min is stolen (deleted + re-contended). A LIVE
+            // holder heartbeats the lock mtime every 60 s below, so only a
+            // genuinely dead holder ever looks stale — a legitimate long
+            // delete (huge index dir) keeps its lock.
             def elect(): Boolean = create() || {
               val stale = lock.exists() &&
                 System.currentTimeMillis() - lock.lastModified() > 600000L
               stale && lock.delete() && create()
             }
             if (elect()) {
+              val heartbeat = new Thread(() => {
+                try while (!Thread.interrupted()) {
+                  Thread.sleep(60000L)
+                  lock.setLastModified(System.currentTimeMillis()); ()
+                } catch { case _: InterruptedException => () }
+              }, s"ann-lock-heartbeat-${lock.getName}")
+              heartbeat.setDaemon(true)
+              heartbeat.start()
               try {
                 if (!versionOk) { // re-check under the lock
                   deleteRecursively(indexDir)
@@ -1253,7 +1264,7 @@ object TextOps extends Serializable {
                       if (versionOk) deleteRecursively(tmp) else throw e
                   }
                 } else deleteRecursively(tmp)
-              } finally { lock.delete(); () }
+              } finally { heartbeat.interrupt(); lock.delete(); () }
             } else {
               // another process is replacing the squatter: wait it out
               val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000

@@ -450,9 +450,14 @@ class MethodSpec extends AnyFunSuite {
     assert(b.outerHtml() == """<b class="a  b">y</b>""", b.outerHtml())
     b.removeClass("a")
     assert(b.attr("class").map(_.toString) == Some("b"))
-    // add/toggle DO create the attr, with the trimmed input name
+    // add DOES create the attr — with the RAW untrimmed input (reference
+    // add_class passes class_name through, elements.rs:3399); toggle
+    // creates it with the trimmed name (toggle_class trims first)
     span.addClass("  c d ")
-    assert(span.attr("class").map(_.toString) == Some("c d"))
+    assert(span.attr("class").map(_.toString) == Some("  c d "))
+    val span2 = load("""<i>z</i>""").find("i")
+    span2.toggleClass("  c d ")
+    assert(span2.attr("class").map(_.toString) == Some("c d"))
     // hasClass with an empty name is false, never vacuously true
     assert(!b.hasClass(""))
     assert(!b.hasClass("   "))
