@@ -31,6 +31,13 @@ object PdfOps extends Serializable {
 
   def pagesOf(id: Long): Int = 1 + (id % 3).toInt
 
+  /** structural variant: 0 = classic xref + Flate content, 1 = classic
+    * xref + raw content, 2 = xref STREAM (/W [1 2 1], Predictor 12) +
+    * ObjStm + `'` show operator, 3 = xref stream (/W [1 3 1]) + ObjStm +
+    * hex strings + `"` show operator. The EXTRACTED TEXT is identical
+    * across variants — the oracle stays closed-form in the id. */
+  def variantOf(id: Long): Int = (id % 4).toInt
+
   /** the planted per-page text, in LAYOUT order (top then bottom). */
   def expectedPageText(id: Long, p: Int): String =
     s"d$id p$p top (x)\nd$id p$p bot"
@@ -48,6 +55,23 @@ object PdfOps extends Serializable {
     ops.getBytes(ISO_8859_1)
   }
 
+  /** variant-2 page content: the bottom line is drawn FIRST via the `'`
+    * (next-line-show) operator — `'` must apply the 40pt /TL leading
+    * (720 → 680) or the layout sort emits the lines in the wrong order. */
+  private def pageContentQuote(id: Long, p: Int): Array[Byte] =
+    (s"BT /F1 12 Tf 72 720 Td 40 TL (d$id p$p bot) ' ET\n" +
+      s"BT /F1 12 Tf 72 720 Td (d$id p$p top \\(x\\)) Tj ET\n").getBytes(ISO_8859_1)
+
+  /** variant-3 page content: bottom first via `"` (spacing + next-line
+    * show), top as a HEX string — both PDF 32000 7.3.4.3 / 9.4.3 forms a
+    * real crawl PDF uses. */
+  private def pageContentHex(id: Long, p: Int): Array[Byte] = {
+    val hex = s"d$id p$p top (x)".getBytes(ISO_8859_1)
+      .map(b => f"${b & 0xFF}%02x").mkString
+    (s"""BT /F1 12 Tf 72 720 Td 40 TL 0 0 (d$id p$p bot) " ET\n""" +
+      s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET\n").getBytes(ISO_8859_1)
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(raw); d.finish()
@@ -58,9 +82,18 @@ object PdfOps extends Serializable {
     out.toByteArray
   }
 
-  /** a complete PDF: catalog, page tree, one content stream per page
-    * (FlateDecode for even ids, raw for odd), font, xref, trailer. */
-  def synthPdf(id: Long): Array[Byte] = {
+  /** a complete PDF in the structural variant of [[variantOf]]: classic
+    * xref table (v0 Flate / v1 raw content) or post-2005 structure — xref
+    * stream + object stream (v2/v3). */
+  def synthPdf(id: Long): Array[Byte] = variantOf(id) match {
+    case 2 => synthModernPdf(id, hexVariant = false)
+    case 3 => synthModernPdf(id, hexVariant = true)
+    case _ => synthClassicPdf(id)
+  }
+
+  /** classic: catalog, page tree, one content stream per page (FlateDecode
+    * for v0, raw for v1), font, `xref` table, trailer. */
+  def synthClassicPdf(id: Long): Array[Byte] = {
     val np = pagesOf(id)
     // objects in document order: dict source + optional stream body
     val objs = ArrayBuffer.empty[(String, Option[Array[Byte]])]
@@ -73,7 +106,7 @@ object PdfOps extends Serializable {
         s"/Contents $contentObj 0 R /Resources << /Font << /F1 ${3 + 2 * np} 0 R >> >> >>", None))
       val raw = pageContent(id, p)
       val (body, filter) =
-        if (id % 2 == 0) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+        if (variantOf(id) == 0) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       objs += ((s"<< /Length ${body.length}$filter >>", Some(body)))
     }
     objs += (("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
@@ -98,6 +131,112 @@ object PdfOps extends Serializable {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PNG Up-filter predictor (tag 2) encode, for the v2 xref stream:
+    * each row = 0x02 then (raw - priorRow) bytes. */
+  private def pngUpEncode(rows: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var prior = new Array[Byte](if (rows.isEmpty) 0 else rows.head.length)
+    rows.foreach { r =>
+      out.write(2)
+      var i = 0
+      while (i < r.length) { out.write((r(i) - prior(i)) & 0xFF); i += 1 }
+      prior = r
+    }
+    out.toByteArray
+  }
+
+  /** post-2005 structure: every DICT object (catalog, page tree, pages,
+    * font) lives inside a Flate'd /ObjStm; content streams are top-level
+    * Flate streams; the cross-reference is a /Type /XRef STREAM with
+    * type-2 entries pointing into the ObjStm — `/W [1 2 1]` behind a PNG
+    * Predictor 12 for the `'`-operator variant, plain `/W [1 3 1]` for the
+    * hex-string/`"` variant. No classic trailer: the xref stream dict IS
+    * the trailer (PDF 32000 7.5.8). */
+  def synthModernPdf(id: Long, hexVariant: Boolean): Array[Byte] = {
+    val np = pagesOf(id)
+    val fontObj = 3 + 2 * np
+    val stmObj = 4 + 2 * np  // the ObjStm
+    val xrefObj = 5 + 2 * np // the XRef stream
+
+    // --- objects packed into the ObjStm: catalog, pages, page dicts, font
+    val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+        (0 until np).map { p =>
+          (3 + 2 * p) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Contents ${4 + 2 * p} 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+        } ++ Seq(fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = packed.map(_._2.getBytes(ISO_8859_1))
+    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init // +1 = separator space
+    val header = packed.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val first = header.getBytes(ISO_8859_1).length
+    val objStmRaw = header.getBytes(ISO_8859_1) ++
+      bodies.flatMap(b => b :+ ' '.toByte)
+    val objStmBody = deflate(objStmRaw)
+
+    val out = new ByteArrayOutputStream(1024)
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+
+    // --- top-level content streams (Flate), offsets recorded for the xref
+    val contentOff = new Array[Int](np)
+    for (p <- 0 until np) {
+      val raw = if (hexVariant) pageContentHex(id, p) else pageContentQuote(id, p)
+      val body = deflate(raw)
+      contentOff(p) = out.size()
+      w(s"${4 + 2 * p} 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+
+    // --- the ObjStm
+    val objStmOff = out.size()
+    w(s"$stmObj 0 obj\n<< /Type /ObjStm /N ${packed.length} /First $first " +
+      s"/Length ${objStmBody.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmBody)
+    w("\nendstream\nendobj\n")
+
+    // --- the XRef stream (entries for objects 0..xrefObj)
+    val xrefOff = out.size()
+    val w123: (Int, Int, Int) = if (hexVariant) (1, 3, 1) else (1, 2, 1)
+    def row(f1: Int, f2: Long, f3: Int): Array[Byte] = {
+      val (w1, w2, w3) = w123
+      val b = new Array[Byte](w1 + w2 + w3)
+      var i = 0
+      var k = w1 - 1
+      while (k >= 0) { b(i) = ((f1 >> (8 * k)) & 0xFF).toByte; i += 1; k -= 1 }
+      k = w2 - 1
+      while (k >= 0) { b(i) = ((f2 >> (8 * k)) & 0xFF).toByte; i += 1; k -= 1 }
+      k = w3 - 1
+      while (k >= 0) { b(i) = ((f3 >> (8 * k)) & 0xFF).toByte; i += 1; k -= 1 }
+      b
+    }
+    val rows: Seq[Array[Byte]] =
+      Seq(row(0, 0, 0), // obj 0: free
+        row(2, stmObj, 0), // catalog  -> ObjStm idx 0
+        row(2, stmObj, 1)) ++ // pages -> idx 1
+        (0 until np).flatMap { p =>
+          Seq(row(2, stmObj, 2 + p), // page dict
+            row(1, contentOff(p), 0)) // content stream
+        } ++
+        Seq(row(2, stmObj, 2 + np), // font
+          row(1, objStmOff, 0), // the ObjStm itself
+          row(1, xrefOff, 0)) // this XRef stream
+    val (xrefData, parms) =
+      if (hexVariant) (rows.flatten.toArray, "")
+      else (pngUpEncode(rows),
+        s" /DecodeParms << /Predictor 12 /Columns ${w123._1 + w123._2 + w123._3} >>")
+    val xrefBody = deflate(xrefData)
+    val (w1, w2, w3) = w123
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /W [$w1 $w2 $w3] " +
+      s"/Root 1 0 R /Length ${xrefBody.length} /Filter /FlateDecode$parms >>\nstream\n")
+    out.write(xrefBody)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 
@@ -136,11 +275,15 @@ object PdfOps extends Serializable {
 
   private final case class Seg(stream: Int, y: Double, x: Double, text: String)
 
-  /** interpret one decoded content stream's text operators. */
+  /** interpret one decoded content stream's text operators: `Td`/`TD`/`Tm`
+    * position state, `TL` leading + `T*` next-line, `(..) Tj` / `<hex> Tj`
+    * / `[..] TJ` shows, and the `'` and `"` next-line-show operators
+    * (PDF 32000 9.4.3). */
   private def readOps(content: Array[Byte], streamNo: Int, segs: ArrayBuffer[Seg]): Unit = {
     var i = 0
     var x = 0.0
     var y = 0.0
+    var leading = 0.0
     val nums = new ArrayBuffer[Double](6)
     val parts = new ArrayBuffer[String](4)
     def flushText(): Unit = {
@@ -189,15 +332,69 @@ object PdfOps extends Serializable {
       } else if (c == 'T' && i + 1 < content.length) {
         val op = content(i + 1).toChar
         op match {
-          case 'd' | 'D' => // x y Td
+          case 'd' => // x y Td
             if (nums.length >= 2) { x += nums(nums.length - 2); y += nums(nums.length - 1) }
             nums.clear(); i += 2
+          case 'D' => // x y TD: Td + set leading to -ty (PDF 32000 9.4.2)
+            if (nums.length >= 2) {
+              x += nums(nums.length - 2); y += nums(nums.length - 1)
+              leading = -nums(nums.length - 1)
+            }
+            nums.clear(); i += 2
+          case 'L' => // n TL: set text leading
+            if (nums.nonEmpty) leading = nums.last
+            nums.clear(); i += 2
+          case '*' => // T*: next line (0 -TL Td)
+            y -= leading; nums.clear(); i += 2
           case 'm' => // a b c d e f Tm: take the translation
             if (nums.length >= 6) { x = nums(nums.length - 2); y = nums(nums.length - 1) }
             nums.clear(); i += 2
           case 'j' => flushText(); nums.clear(); i += 2 // Tj
           case 'J' => flushText(); nums.clear(); i += 2 // TJ (array parts already gathered)
           case _ => nums.clear(); i += 2
+        }
+      } else if (c == '\'' || c == '"') {
+        // next-line-show: T* first, then show the gathered string; `"` also
+        // carries aw/ac spacing operands (irrelevant to extracted text)
+        y -= leading; flushText(); nums.clear(); i += 1
+      } else if (c == '<') {
+        if (i + 1 < content.length && content(i + 1) == '<') {
+          // inline dict (BDC/DP property lists): skip to the MATCHING '>>'
+          // so dict strings like /Alt (alternate text) never leak into the
+          // extracted text, string escapes honored
+          var depth = 1
+          i += 2
+          while (i < content.length && depth > 0) {
+            val ch = content(i)
+            if (ch == '<' && i + 1 < content.length && content(i + 1) == '<') { depth += 1; i += 2 }
+            else if (ch == '>' && i + 1 < content.length && content(i + 1) == '>') { depth -= 1; i += 2 }
+            else if (ch == '(') {
+              var pd = 1
+              i += 1
+              while (i < content.length && pd > 0) {
+                if (content(i) == '\\') i += 2
+                else {
+                  if (content(i) == '(') pd += 1
+                  else if (content(i) == ')') pd -= 1
+                  i += 1
+                }
+              }
+            } else i += 1
+          }
+        } else {
+          // hex string <48656c6c6f>: pairs of hex digits, whitespace
+          // allowed, odd final digit takes a 0 low nibble
+          val sb = new java.lang.StringBuilder()
+          i += 1
+          var hi = -1
+          while (i < content.length && content(i) != '>') {
+            val d = Character.digit(content(i), 16)
+            if (d >= 0) { if (hi < 0) hi = d else { sb.append(((hi << 4) | d).toChar); hi = -1 } }
+            i += 1
+          }
+          if (hi >= 0) sb.append((hi << 4).toChar)
+          if (i < content.length) i += 1 // consume '>'
+          parts += sb.toString
         }
       } else if (c == 'B' && i + 1 < content.length && content(i + 1) == 'T') {
         x = 0.0; y = 0.0; nums.clear(); parts.clear(); i += 2 // BT resets the text matrix
@@ -208,12 +405,54 @@ object PdfOps extends Serializable {
     flushText()
   }
 
-  /** extracted text of a PDF in layout order (streams in document order;
-    * within a stream/page: y desc, then x asc), pages/blocks joined with
-    * newlines. Null on anything unparseable. */
+  private def renderSegs(segs: ArrayBuffer[Seg]): String = {
+    if (segs.isEmpty) ""
+    else segs.groupBy(_.stream).toSeq.sortBy(_._1)
+      .map { case (_, ss) =>
+        ss.sortBy(s => (-s.y, s.x)).map(_.text).mkString("\n")
+      }.mkString("\n")
+  }
+
+  /** structured extraction: resolve the cross-reference (classic table OR
+    * xref stream, ObjStm-aware), walk the page tree in order, interpret
+    * each page's content streams. None when the structure is unusable —
+    * the caller falls back to the tolerant scan. */
+  private def structuredText(bytes: Array[Byte]): Option[String] = {
+    try {
+      val doc = new PdfModel.Doc(bytes)
+      val pages = doc.pages()
+      if (pages.isEmpty) None
+      else {
+        val segs = ArrayBuffer.empty[Seg]
+        pages.zipWithIndex.foreach { case (pg, pi) =>
+          doc.pageContents(pg).foreach { content =>
+            // per-stream tolerance, same contract as the scan path
+            try readOps(content, pi, segs)
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        }
+        Some(renderSegs(segs))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** extracted text of a PDF in layout order, pages/blocks joined with
+    * newlines. Structured path first (real xref resolution → page-tree
+    * page ORDER, not byte order); tolerant whole-file stream scan when the
+    * structure is broken (crawl reality). Null on anything unparseable. */
   def extractPdfText(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 8) return null
     if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F')) return null
+    structuredText(bytes) match {
+      case Some(t) => t
+      case None => scanText(bytes)
+    }
+  }
+
+  /** the tolerant path: interpret every located stream span as content,
+    * skipping xref/object streams (binary tables / packed dicts, not text
+    * operators). */
+  private def scanText(bytes: Array[Byte]): String = {
     try {
       val segs = ArrayBuffer.empty[Seg]
       var at = 0
@@ -253,19 +492,17 @@ object PdfOps extends Serializable {
             // per-stream tolerance: one corrupt stream (bad Flate data,
             // garbage operators) skips, it never nulls the whole document
             try {
-              val content = if (dict.contains("/FlateDecode")) inflate(raw) else raw
-              readOps(content, streamNo, segs)
+              if (!dict.contains("/ObjStm") && !dict.contains("/XRef")) {
+                val content = if (dict.contains("/FlateDecode")) inflate(raw) else raw
+                readOps(content, streamNo, segs)
+              }
             } catch { case scala.util.control.NonFatal(_) => }
             streamNo += 1
             at = e + "endstream".length
           }
         }
       }
-      if (segs.isEmpty) return ""
-      segs.groupBy(_.stream).toSeq.sortBy(_._1)
-        .map { case (_, ss) =>
-          ss.sortBy(s => (-s.y, s.x)).map(_.text).mkString("\n")
-        }.mkString("\n")
+      renderSegs(segs)
     } catch {
       case scala.util.control.NonFatal(_) => null
     }
@@ -279,8 +516,14 @@ object PdfOps extends Serializable {
     * and any residual parse failure yields 0, never a task failure. */
   def pageCount(bytes: Array[Byte]): Int = {
     if (bytes == null) return 0
+    val structured =
+      try new PdfModel.Doc(bytes).pages().length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (structured > 0) return structured
     try {
-      val s = new String(bytes, ISO_8859_1)
+      // regex fallback over the raw bytes PLUS every inflated /ObjStm body
+      // (a modern PDF's /Type /Pages /Count lives inside one)
+      val s = new String(bytes, ISO_8859_1) + objStmTexts(bytes)
       val pagesDict = java.util.regex.Pattern
         .compile("/Type\\s*/Pages[^>]{0,200}?/Count\\s+(\\d{1,9})(?!\\d)|/Count\\s+(\\d{1,9})(?!\\d)[^>]{0,200}?/Type\\s*/Pages")
         .matcher(s)
@@ -296,9 +539,58 @@ object PdfOps extends Serializable {
     } catch { case scala.util.control.NonFatal(_) => 0 }
   }
 
+  /** concatenated inflated bodies of every /ObjStm stream span, for the
+    * tolerant pageCount fallback. Best-effort: any failure contributes
+    * nothing. */
+  private def objStmTexts(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder()
+    try {
+      var at = 0
+      var more = true
+      while (more) {
+        val s = indexOf(bytes, "stream", at)
+        if (s < 0) more = false
+        else {
+          var dictStart = s
+          var depth = 0
+          var scanning = true
+          while (scanning && dictStart > 1) {
+            if (bytes(dictStart - 1) == '>' && bytes(dictStart) == '>') {
+              depth += 1; dictStart -= 2
+            } else if (bytes(dictStart - 1) == '<' && bytes(dictStart) == '<') {
+              if (depth == 0) scanning = false
+              else { depth -= 1; dictStart -= 2 }
+            } else dictStart -= 1
+          }
+          val dict = new String(bytes, math.max(0, dictStart - 1), s - dictStart + 1, ISO_8859_1)
+          var body = s + "stream".length
+          if (body < bytes.length && bytes(body) == '\r') body += 1
+          if (body < bytes.length && bytes(body) == '\n') body += 1
+          val e = indexOf(bytes, "endstream", body)
+          if (e < 0) more = false
+          else {
+            if (dict.contains("/ObjStm")) {
+              var end = e
+              if (end > body && bytes(end - 1) == '\n') end -= 1
+              if (end > body && bytes(end - 1) == '\r') end -= 1
+              try {
+                val raw = java.util.Arrays.copyOfRange(bytes, body, end)
+                val content = if (dict.contains("/FlateDecode")) inflate(raw) else raw
+                sb.append('\n').append(new String(content, ISO_8859_1))
+              } catch { case scala.util.control.NonFatal(_) => }
+            }
+            at = e + "endstream".length
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    sb.toString
+  }
+
   /** deterministic PDF pipeline over the documents table: synthesize a real
-    * PDF per row (Flate-compressed for even ids), extract text + page count
-    * per partition — every column closed-form for the DuckDB oracle. */
+    * PDF per row (structural variant by id%4: classic/xref-stream/ObjStm),
+    * extract text + page count per partition — every column closed-form
+    * for the DuckDB oracle. */
   def pdfTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -102,6 +102,32 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF structured tier never throws on corrupted modern PDFs (xref stream / ObjStm)") {
+    // take real xref-stream/ObjStm PDFs and flip bits / truncate: the
+    // structured path must degrade to fallback or null, never throw
+    for (trial <- 1 to 400) {
+      val id = 2L + 4 * rnd.nextInt(20) + (if (rnd.nextBoolean()) 1 else 0) // v2 or v3
+      val pdf = graft.spark.PdfOps.synthPdf(id)
+      val mutated = pdf.clone()
+      rnd.nextInt(3) match {
+        case 0 => // bit flips anywhere (xref widths, ObjStm header, predictor rows)
+          for (_ <- 0 to rnd.nextInt(8))
+            mutated(rnd.nextInt(mutated.length)) = (rnd.nextInt(256) - 128).toByte
+        case 1 => // truncate (half-written crawl fetch)
+          val cut = 8 + rnd.nextInt(mutated.length - 8)
+          val t = java.util.Arrays.copyOf(mutated, cut)
+          graft.spark.PdfOps.extractPdfText(t)
+          graft.spark.PdfOps.pageCount(t)
+        case _ => // splice garbage into the startxref offset digits
+          val sx = new String(mutated, "ISO-8859-1").lastIndexOf("startxref")
+          if (sx >= 0 && sx + 12 < mutated.length)
+            mutated(sx + 10 + rnd.nextInt(2)) = ('0' + rnd.nextInt(10)).toByte
+      }
+      graft.spark.PdfOps.extractPdfText(mutated) // never a throw
+      graft.spark.PdfOps.pageCount(mutated)
+    }
+  }
+
   test("garbage selectors return Left, never throw") {
     val alphabet = ":()[]>+~,.#*=^$|!'\" abz-0"
     for (_ <- 1 to 3000) {

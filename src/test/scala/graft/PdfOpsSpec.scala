@@ -12,20 +12,85 @@ class PdfOpsSpec extends AnyFunSuite {
     (0L until 120L).foreach { id =>
       val bytes = PdfOps.synthPdf(id)
       // a real PDF shell
-      assert(new String(bytes.take(8), "ISO-8859-1").startsWith("%PDF-1.4"))
+      assert(new String(bytes.take(8), "ISO-8859-1").startsWith("%PDF-1."))
       assert(new String(bytes, "ISO-8859-1").contains("startxref"))
       assert(PdfOps.extractPdfText(bytes) == PdfOps.expectedText(id), s"id=$id")
       assert(PdfOps.pageCount(bytes) == PdfOps.pagesOf(id), s"id=$id")
     }
   }
 
-  test("both stream encodings decode: Flate (even ids) and raw (odd ids)") {
-    val flate = PdfOps.synthPdf(2L)
-    val raw = PdfOps.synthPdf(3L)
+  test("both classic stream encodings decode: Flate (v0) and raw (v1)") {
+    val flate = PdfOps.synthPdf(4L) // id%4==0 -> classic + Flate
+    val raw = PdfOps.synthPdf(5L)   // id%4==1 -> classic + raw
     assert(new String(flate, "ISO-8859-1").contains("/FlateDecode"))
     assert(!new String(raw, "ISO-8859-1").contains("/FlateDecode"))
-    assert(PdfOps.extractPdfText(flate) == PdfOps.expectedText(2L))
-    assert(PdfOps.extractPdfText(raw) == PdfOps.expectedText(3L))
+    assert(PdfOps.extractPdfText(flate) == PdfOps.expectedText(4L))
+    assert(PdfOps.extractPdfText(raw) == PdfOps.expectedText(5L))
+  }
+
+  test("modern variants are REAL post-2005 structure: xref stream + ObjStm, no classic table") {
+    for (id <- Seq(2L, 3L, 6L, 7L, 10L, 11L)) {
+      val s = new String(PdfOps.synthPdf(id), "ISO-8859-1")
+      assert(s.contains("/Type /XRef"), s"id=$id")
+      assert(s.contains("/Type /ObjStm"), s"id=$id")
+      assert(s.contains("/W ["), s"id=$id")
+      assert(!s.contains("trailer"), s"id=$id: xref-stream PDFs have no classic trailer")
+      assert(!s.contains("xref\n0 "), s"id=$id: no classic xref table")
+    }
+    // v2 exercises the PNG Up predictor; v3 plain [1 3 1] widths
+    assert(new String(PdfOps.synthPdf(2L), "ISO-8859-1").contains("/Predictor 12"))
+    assert(new String(PdfOps.synthPdf(3L), "ISO-8859-1").contains("/W [1 3 1]"))
+    // the catalog/pages/page dicts are INSIDE the ObjStm: invisible to a
+    // naive raw-byte scan, so page counting must go through the model
+    assert(!new String(PdfOps.synthPdf(2L), "ISO-8859-1").contains("/Type /Catalog"))
+  }
+
+  test("v2: the ' operator's leading advance is load-bearing for layout order") {
+    // the bottom line is drawn FIRST via (str) ' after 40 TL — if ' failed
+    // to move down, layout sort could not put the top line first
+    for (id <- Seq(2L, 6L, 10L)) {
+      val t = PdfOps.extractPdfText(PdfOps.synthPdf(id))
+      assert(t == PdfOps.expectedText(id), s"id=$id got '$t'")
+      assert(t.split("\n")(0).endsWith("top (x)"), s"id=$id")
+    }
+  }
+
+  test("v3: hex strings <..> Tj and the \" operator decode") {
+    for (id <- Seq(3L, 7L, 11L)) {
+      val s = new String(PdfOps.synthPdf(id), "ISO-8859-1")
+      val t = PdfOps.extractPdfText(PdfOps.synthPdf(id))
+      assert(t == PdfOps.expectedText(id), s"id=$id got '$t'")
+    }
+  }
+
+  test("classic PDFs also resolve through the structured path (page-tree pageCount)") {
+    // pageCount prefers the page-tree walk; for classic files the /Count
+    // regex fallback must agree with it
+    (0L until 40L).foreach { id =>
+      assert(PdfOps.pageCount(PdfOps.synthPdf(id)) == PdfOps.pagesOf(id), s"id=$id")
+    }
+  }
+
+  test("broken xref on a modern PDF falls back to the tolerant scan") {
+    val pdf = PdfOps.synthPdf(2L)
+    val s = new String(pdf, "ISO-8859-1")
+    // corrupt the startxref offset -> structured path unusable
+    val sx = s.lastIndexOf("startxref")
+    val broken = pdf.clone()
+    broken(sx + 10) = '9'; broken(sx + 11) = '9'
+    val t = PdfOps.extractPdfText(broken)
+    // content streams are still top-level Flate streams the scan finds;
+    // the ObjStm/XRef streams must be SKIPPED as text sources, so the
+    // result is exactly the page text again
+    assert(t == PdfOps.expectedText(2L), s"got '$t'")
+  }
+
+  test("inline BDC property-list dict strings never leak into extracted text") {
+    val content = "BT 72 700 Td /Span << /Alt (SECRET) >> BDC (ok) Tj EMC ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length + " >>\nstream\n" + content +
+      "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val t = PdfOps.extractPdfText(pdf)
+    assert(t == "ok", s"got '$t'")
   }
 
   test("layout ordering fixes stream draw order; escapes and TJ handled") {
