@@ -496,10 +496,10 @@ object SparkEntry {
     }),
 
     // ---- 19b. REAL container formats through the same decode slot: true
-    //      BMP / WAV / AVI bytes parsed by pure-JVM container parsers
-    //      (AVI frames located by the movi chunk walk — true per-frame
-    //      offsets), histogram over the actual pixel / PCM / frame
-    //      payload ----
+    //      BMP / WAV / AVI / PNG / JPEG bytes parsed by pure-JVM container
+    //      parsers (AVI frames located by the movi chunk walk — true
+    //      per-frame offsets; PNG IHDR + IDAT span; JPEG SOF dims + scan
+    //      span), histogram over the actual payload bytes ----
     "q_media_real" -> ((s, dir) =>
       graft.spark.MediaOps.realMediaFeatures(s, dir).orderBy("media_id")),
 
@@ -844,13 +844,14 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_media_real" ->
       ("SELECT doc_id AS media_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (doc_id % 7) * 16 END AS BIGINT) AS width, " +
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (doc_id % 5) * 16 END AS BIGINT) AS height, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 8000 " +
-        "ELSE CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END END AS BIGINT) AS sample_rate, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 64 + (doc_id % 17) * 16 " +
-        "ELSE 1 + (doc_id % 24) END AS BIGINT) AS frames, " +
+        "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'image' END AS kind, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 16 + (doc_id % 7) * 16 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 16 + (doc_id % 5) * 16 END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 4) * 8000 WHEN doc_id % 5 = 2 THEN " +
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END " +
+        "ELSE 0 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 64 + (doc_id % 17) * 16 " +
+        "WHEN doc_id % 5 = 2 THEN 1 + (doc_id % 24) ELSE 1 END AS BIGINT) AS frames, " +
         "CAST((doc_id % 251) // 16 AS BIGINT) AS dom_bin " +
         "FROM documents ORDER BY media_id"),
     "q_rollup_lang" ->

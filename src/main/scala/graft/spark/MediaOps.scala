@@ -232,11 +232,100 @@ object MediaOps extends Serializable {
       moviOff, moviLen, frameOffs.toSeq)
   }
 
+  private def beI32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+  private def beU16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** PNG: 8-byte signature then length-prefixed chunks; IHDR carries
+    * width/height (big-endian), the first IDAT's data span is the payload.
+    * CRCs are walked over, not verified (crawl tolerance — a bad CRC
+    * should not cost the dims). Null on malformed input. */
+  def decodePng(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 33) return null
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    var k = 0
+    while (k < 8) { if ((bytes(k) & 0xFF) != sig(k)) return null; k += 1 }
+    var width = 0
+    var height = 0
+    var idatOff = -1
+    var idatLen = 0
+    var at = 8
+    while (at + 8 <= bytes.length) {
+      val len = beI32(bytes, at)
+      if (len < 0 || at.toLong + 12L + len > bytes.length) return null
+      val typ = new String(bytes, at + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return null
+          width = beI32(bytes, at + 8)
+          height = beI32(bytes, at + 12)
+        case "IDAT" if idatOff < 0 =>
+          idatOff = at + 8
+          idatLen = len
+        case "IEND" => at = bytes.length // stop walking
+        case _ => ()
+      }
+      at += 12 + len // len + type + data + crc
+    }
+    if (width <= 0 || height <= 0 || idatOff < 0) return null
+    Decoded(MediaMeta("image", width, height, 0, 1), idatOff, idatLen)
+  }
+
+  /** JPEG: marker-segment walk — SOFn (C0/C2/... baseline + progressive)
+    * carries height/width (big-endian), SOS opens the entropy-coded scan
+    * whose span (honoring FF00 byte stuffing and FFD0-D7 restart markers)
+    * is the payload, terminated by EOI. Null on malformed input. */
+  def decodeJpeg(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 4) return null
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return null
+    var width = 0
+    var height = 0
+    var at = 2
+    while (at + 4 <= bytes.length) {
+      if ((bytes(at) & 0xFF) != 0xFF) return null
+      val marker = bytes(at + 1) & 0xFF
+      if (marker == 0xD9) return null // EOI before any scan
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) at += 2 // standalone
+      else {
+        val len = beU16(bytes, at + 2)
+        if (len < 2 || at.toLong + 2L + len > bytes.length) return null
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return null
+          height = beU16(bytes, at + 5)
+          width = beU16(bytes, at + 7)
+        } else if (marker == 0xDA) { // SOS: scan data follows the header
+          val scanOff = at + 2 + len
+          var i = scanOff
+          while (i + 1 < bytes.length) {
+            if ((bytes(i) & 0xFF) == 0xFF) {
+              val m2 = bytes(i + 1) & 0xFF
+              if (m2 == 0x00 || (m2 >= 0xD0 && m2 <= 0xD7)) i += 2 // stuffing / restart
+              else if (m2 == 0xD9) { // EOI
+                if (width <= 0 || height <= 0) return null
+                return Decoded(MediaMeta("image", width, height, 0, 1),
+                  scanOff, i - scanOff)
+              } else i += 2
+            } else i += 1
+          }
+          return null // no EOI
+        }
+        at += 2 + len
+      }
+    }
+    null
+  }
+
   /** format dispatch on magic bytes: the single decode slot. RIFF files
     * split on the form type at offset 8 (WAVE vs 'AVI '). */
   def decodeReal(bytes: Array[Byte]): Decoded = {
     if (bytes == null || bytes.length < 12) return null
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(8) == 'A') decodeAvi(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
     else {
@@ -297,6 +386,85 @@ object MediaOps extends Serializable {
     le32(40, dataLen)
     java.util.Arrays.fill(out, 44, out.length, payloadByteOf(id).toByte)
     out
+  }
+
+  /** a true PNG (real signature, CRC'd chunks, zlib IDAT): 8-bit RGB,
+    * deterministic dims, constant pixels. The IDAT zlib stream uses a
+    * STORED deflate block so the payload span stays dominated by the
+    * constant pixel byte — dom_bin remains closed-form for the oracle. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = widthOf(id)
+    val h = heightOf(id)
+    // raw scanlines: per row one 0x00 filter byte + w*3 constant bytes
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var r = 0
+    while (r < h) {
+      java.util.Arrays.fill(raw, r * (1 + w * 3) + 1, (r + 1) * (1 + w * 3),
+        payloadByteOf(id).toByte)
+      r += 1
+    }
+    // zlib wrapper with one final STORED block: 78 01 | 01 LEN NLEN | raw | adler
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val a = adler.getValue
+    val idat = new java.io.ByteArrayOutputStream(raw.length + 16)
+    idat.write(0x78); idat.write(0x01); idat.write(0x01)
+    idat.write(raw.length & 0xFF); idat.write((raw.length >> 8) & 0xFF)
+    idat.write(~raw.length & 0xFF); idat.write((~raw.length >> 8) & 0xFF)
+    idat.write(raw)
+    idat.write(((a >> 24) & 0xFF).toInt); idat.write(((a >> 16) & 0xFF).toInt)
+    idat.write(((a >> 8) & 0xFF).toInt); idat.write((a & 0xFF).toInt)
+    val idatData = idat.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream(idatData.length + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idatData)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** a true baseline JPEG shell (SOI, JFIF APP0, SOF0 dims, SOS) whose
+    * entropy-coded scan span is constant payload bytes (id%251 is never
+    * 0xFF, so no fake markers), terminated by EOI. The scan is not valid
+    * Huffman data — compressed CODECS are out of scope — but every marker
+    * segment is real and the dims/payload walk is the one a crawl needs. */
+  def synthJpeg(id: Long): Array[Byte] = {
+    val w = widthOf(id)
+    val h = heightOf(id)
+    val scanLen = 64 + ((id % 17).toInt * 16)
+    val out = new java.io.ByteArrayOutputStream(scanLen + 64)
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xE0, 0x00, 0x10) // APP0, len 16
+    b('J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xFF, 0xC0, 0x00, 0x11, 0x08) // SOF0, len 17, precision 8
+    b((h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF)
+    b(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01) // 3 components
+    b(0xFF, 0xDA, 0x00, 0x0C, 0x03) // SOS, len 12, 3 components
+    b(0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0x00, 0x3F, 0x00)
+    var i = 0
+    while (i < scanLen) { out.write(payloadByteOf(id)); i += 1 }
+    b(0xFF, 0xD9) // EOI
+    out.toByteArray
   }
 
   def fpsOf(id: Long): Int = Array(10, 20, 25, 50)((id % 4).toInt)
@@ -380,24 +548,26 @@ object MediaOps extends Serializable {
     dom
   }
 
-  /** real-format media pipeline: synthesize true BMP / WAV / AVI bytes
-    * (id % 3 — the same kind convention as the stub container), decode
-    * through the REAL parsers per partition, extract the histogram
-    * dominant bin over the actual pixel / PCM / frame payload (for AVI
-    * the histogram runs over the TRUE frame spans from the movi walk, not
-    * the raw movi bytes — chunk headers never pollute the features).
-    * Every output column is a closed-form function of the id for the
-    * DuckDB oracle. */
+  /** real-format media pipeline: synthesize true BMP / WAV / AVI / PNG /
+    * JPEG bytes (id % 5 — the formats a real crawl media column actually
+    * contains), decode through the REAL container parsers per partition,
+    * extract the histogram dominant bin over the actual pixel / PCM /
+    * frame / IDAT / scan payload (for AVI the histogram runs over the
+    * TRUE frame spans from the movi walk, not the raw movi bytes — chunk
+    * headers never pollute the features). Every output column is a
+    * closed-form function of the id for the DuckDB oracle. */
   def realMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as[Long])
       .mapPartitions { it =>
         it.map { id =>
-          val bytes = (id % 3) match {
+          val bytes = (id % 5) match {
             case 0 => synthBmp(id)
             case 1 => synthWav(id)
-            case _ => synthAvi(id)
+            case 2 => synthAvi(id)
+            case 3 => synthPng(id)
+            case _ => synthJpeg(id)
           }
           val d = decodeReal(bytes)
           val spans =

@@ -153,7 +153,13 @@ class MediaOpsSpec extends AnyFunSuite {
       MediaOps.decodeReal(junk) // must not throw
       MediaOps.decodeAvi(junk); MediaOps.decodeBmp(junk); MediaOps.decodeWav(junk)
     }
-    Seq(MediaOps.synthAvi(7L), MediaOps.synthBmp(8L), MediaOps.synthWav(9L)).foreach { valid =>
+    (0 until 200).foreach { i =>
+      val len = (mix(i + 7777).abs % 300).toInt
+      val junk = Array.tabulate(len)(j => mix(i * 2000L + j).toByte)
+      MediaOps.decodePng(junk); MediaOps.decodeJpeg(junk) // must not throw
+    }
+    Seq(MediaOps.synthAvi(7L), MediaOps.synthBmp(8L), MediaOps.synthWav(9L),
+      MediaOps.synthPng(10L), MediaOps.synthJpeg(11L)).foreach { valid =>
       // every truncation length
       (0 until valid.length by 7).foreach { cut =>
         MediaOps.decodeReal(java.util.Arrays.copyOf(valid, cut))
@@ -179,7 +185,62 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI bytes") {
+  test("REAL PNG parser: synth round-trips, IDAT payload dominated by the pixel byte") {
+    (0L until 40L).foreach { id =>
+      val bytes = MediaOps.synthPng(id)
+      // true PNG signature + CRC'd chunks (javax.imageio-free check: the
+      // IHDR CRC recomputes)
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+      val d = MediaOps.decodePng(bytes)
+      assert(d != null, s"id=$id")
+      assert(d.meta == MediaOps.MediaMeta("image", MediaOps.widthOf(id), MediaOps.heightOf(id), 0, 1))
+      // the IDAT span opens with the zlib header and holds the stored rows
+      assert((bytes(d.payloadOff) & 0xFF) == 0x78)
+      // zlib stored block round-trips through a real Inflater to the raw
+      // scanlines (proof the synthesized PNG is a decodable image stream)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes, d.payloadOff, d.payloadLen)
+      val raw = new Array[Byte](MediaOps.heightOf(id) * (1 + MediaOps.widthOf(id) * 3) + 16)
+      val n = inf.inflate(raw)
+      inf.end()
+      assert(n == MediaOps.heightOf(id) * (1 + MediaOps.widthOf(id) * 3), s"id=$id inflated $n")
+      assert(raw(1) == MediaOps.payloadByteOf(id).toByte)
+    }
+  }
+
+  test("REAL JPEG parser: SOF dims + entropy scan span, stuffing/restart aware") {
+    (0L until 40L).foreach { id =>
+      val bytes = MediaOps.synthJpeg(id)
+      val d = MediaOps.decodeJpeg(bytes)
+      assert(d != null, s"id=$id")
+      assert(d.meta == MediaOps.MediaMeta("image", MediaOps.widthOf(id), MediaOps.heightOf(id), 0, 1))
+      assert(d.payloadLen == 64 + (id % 17).toInt * 16, s"id=$id")
+      assert(bytes(d.payloadOff) == MediaOps.payloadByteOf(id).toByte)
+    }
+    // byte stuffing: FF 00 inside the scan is data, not a marker
+    val j = MediaOps.synthJpeg(3L)
+    val d0 = MediaOps.decodeJpeg(j)
+    val stuffed = j.take(d0.payloadOff + 4) ++ Array(0xFF.toByte, 0x00.toByte) ++
+      j.drop(d0.payloadOff + 4)
+    val d1 = MediaOps.decodeJpeg(stuffed)
+    assert(d1 != null && d1.payloadLen == d0.payloadLen + 2)
+    // restart marker FFD5 inside the scan is walked over
+    val rst = j.take(d0.payloadOff + 4) ++ Array(0xFF.toByte, 0xD5.toByte) ++
+      j.drop(d0.payloadOff + 4)
+    val d2 = MediaOps.decodeJpeg(rst)
+    assert(d2 != null && d2.payloadLen == d0.payloadLen + 2)
+    // progressive SOF2 also yields dims
+    val prog = j.clone()
+    val sofAt = {
+      var i = 2
+      while (!((prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0)) i += 1
+      i
+    }
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(MediaOps.decodeJpeg(prog) != null)
+  }
+
+  test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI/PNG/JPEG bytes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-media-real-test")
       .config("spark.sql.shuffle.partitions", "2")
@@ -189,11 +250,12 @@ class MediaOpsSpec extends AnyFunSuite {
     val df = MediaOps.realMediaFeatures(spark, "/root/testdata/sf0.001").orderBy("media_id")
     df.collect().foreach { r =>
       val id = r.getLong(0)
-      (id % 3) match {
-        case 0 =>
+      (id % 5) match {
+        case 0 | 3 | 4 => // BMP / PNG / JPEG
           assert(r.getString(1) == "image")
           assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
           assert(r.getLong(3) == MediaOps.heightOf(id).toLong)
+          assert(r.getLong(4) == 0L)
           assert(r.getLong(5) == 1L)
         case 1 =>
           assert(r.getString(1) == "audio")
