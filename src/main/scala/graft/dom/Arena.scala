@@ -38,6 +38,7 @@ final class Arena(initialNodes: Int = 256) {
   final val F_END_TAG: Int = 4 // an explicit end tag was present / should render
   final val F_CONTENT_TAG: Int = 8 // script|style|title|textarea
   final val F_VOID: Int = 16 // HTML void element
+  final val F_IMPLIED: Int = 32 // html5Tree-synthesized html/head/body: renders transparently
 
   var n: Int = 0
   var kind: Array[Byte] = new Array[Byte](initialNodes)
@@ -591,6 +592,11 @@ final class Arena(initialNodes: Int = 256) {
       out.append("<![CDATA["); appendSpanTo(textOff(id), textLen(id), out); out.append("]]>")
     case DOCTYPE => appendSpanTo(textOff(id), textLen(id), out) // raw incl. <! >
     case ROOT => renderInner(id, out, encodeContent)
+    case ELEM if (flags(id) & F_IMPLIED) != 0 =>
+      // an implied (parser-synthesized) element has no source bytes of its
+      // own: render children only, so html5Tree-mode re-render stays
+      // byte-identical to the input
+      renderInner(id, out, encodeContent)
     case ELEM =>
       out.append('<'); appendSpanTo(nameOff(id), nameLen(id), out)
       var a = attrHead(id)

@@ -12,7 +12,15 @@ final case class ParseOptions(
     autoFixUnexpectedEndtag: Boolean = false,
     autoFixUnescapedLt: Boolean = false,
     allowSelfClosing: Boolean = false,
-    allowAttrKeyStartsWithEqualSign: Boolean = false)
+    allowAttrKeyStartsWithEqualSign: Boolean = false,
+    /** OPT-IN HTML5 implicit tree construction for real crawl pages:
+      * implied html/head/body elements (synthesized, marked F_IMPLIED —
+      * they render transparently so re-render stays byte-identical) and
+      * the common auto-close rules (`<li>` closes `<li>`, `<p>` closed by
+      * block starts, dt/dd, table rows/cells, option/optgroup). OFF by
+      * default: the default tree is exact reference parity (naive
+      * nesting, no implicit elements — reference tests/selector.rs:66-89). */
+    html5Tree: Boolean = false)
 
 object ParseOptions {
   /** visdom `Vis::options()` */
@@ -23,6 +31,10 @@ object ParseOptions {
     allowSelfClosing = true,
     allowAttrKeyStartsWithEqualSign = true)
   val strict: ParseOptions = ParseOptions()
+  /** the crawl profile: every compat fix plus HTML5 implicit-tree mode —
+    * what a real Common-Crawl extraction job wants (`body > *` selectors
+    * work on pages that never wrote `<body>`). */
+  val crawl: ParseOptions = compat.copy(html5Tree = true)
 }
 
 final case class ParseError(message: String, position: Int) extends RuntimeException(message)
@@ -54,16 +66,24 @@ object Parser {
 
   def parseInto(arena: Arena, html: String, opts: ParseOptions): Option[ParseError] = {
     arena.reset(html)
-    val p = new Parser(arena, opts)
+    val p = new Parser(arena, opts, prepImplied(arena, opts))
     p.run()
   }
 
   /** executor hot path: UTF-8 bytes decoded straight into the arena. */
   def parseIntoUtf8(arena: Arena, html: Array[Byte], opts: ParseOptions): Option[ParseError] = {
     arena.resetFromUtf8(html)
-    val p = new Parser(arena, opts)
+    val p = new Parser(arena, opts, prepImplied(arena, opts))
     p.run()
   }
+
+  /** html5Tree mode: append the implied-element names ("htmlheadbody")
+    * past the source span BEFORE the Parser captures buf/len — the append
+    * may grow (realloc) the arena buffer, and the tokenizer must neither
+    * scan the appended bytes nor hold a stale buffer reference. Returns
+    * the offset of "html" (head/body follow at +4/+8), or -1. */
+  private def prepImplied(arena: Arena, opts: ParseOptions): Int =
+    if (opts.html5Tree) arena.appendStr("htmlheadbody") else -1
 
   // byte-level classifiers: UTF-8 continuation bytes are negative and fall
   // out of every ASCII class naturally
@@ -91,9 +111,11 @@ object Parser {
   private def isKeyStop(c: Int): Boolean = (ctab(c & 0xFF) & CtKeyStop) != 0
   private def isValStop(c: Int): Boolean = (ctab(c & 0xFF) & CtValStop) != 0
 
-  private final class Parser(a: Arena, opts: ParseOptions) {
+  private final class Parser(a: Arena, opts: ParseOptions, impliedOff: Int) {
     private val buf = a.buf
-    private val len = a.bufLen
+    // impliedOff (the pre-append bufLen) is the SOURCE length in html5Tree
+    // mode: the appended implied-element names must never be tokenized
+    private val len = if (impliedOff >= 0) impliedOff else a.bufLen
     // word view for the SWAR '<' scan (the buffer never grows during parse:
     // the source is fully copied in by resetFromUtf8; overflow appends
     // happen only in mutations)
@@ -131,12 +153,23 @@ object Parser {
       * mode) / error (strict). */
     private val maxDepth = 2048
 
+    // ---- html5Tree implicit-tree state (only touched when opts.html5Tree):
+    // the document's html/head/body element ids, explicit or implied ----
+    private var htmlId = -1
+    private var headId = -1
+    private var bodyId = -1
+
     def run(): Option[ParseError] = {
       try {
         loop()
-        // EOF: unclosed tags
-        if (sp > 0 && !opts.autoFixUnclosedTag)
-          return Some(ParseError(s"unclosed tag <${a.lowerName(stack(0))}>", len))
+        // EOF: unclosed tags (implied html/head/body never had close tags —
+        // they don't count)
+        if (sp > 0 && !opts.autoFixUnclosedTag) {
+          var s = 0
+          while (s < sp && (a.flags(stack(s)) & a.F_IMPLIED) != 0) s += 1
+          if (s < sp)
+            return Some(ParseError(s"unclosed tag <${a.lowerName(stack(s))}>", len))
+        }
         sp = 0
         // document vs fragment: has doctype child or an <html> element child
         var c = a.firstChild(0)
@@ -195,8 +228,194 @@ object Parser {
       var allWs = true
       var j = from
       while (j < until && allWs) { if (!isWs(buf(j))) allWs = false; j += 1 }
+      // html5Tree: non-whitespace text at root / html / head level belongs
+      // to the body (whitespace may sit anywhere, as in the spec)
+      if (!allWs && opts.html5Tree) {
+        val c = cur
+        if (c == 0 || c == htmlId || c == headId) ensureBody()
+      }
       val id = a.allocChild(if (allWs) a.SPACES else a.TEXT, cur)
       a.textOff(id) = from; a.textLen(id) = until - from
+    }
+
+    // ---------- html5Tree implicit tree construction ----------
+
+    private def onStack(id: Int): Boolean = {
+      var s = sp - 1
+      while (s >= 0) { if (stack(s) == id) return true; s -= 1 }
+      false
+    }
+
+    private def popToHtml(): Unit = {
+      while (sp > 0 && stack(sp - 1) != htmlId) sp -= 1
+    }
+
+    /** implied `html`: created only at root level (a fragment mid-element
+      * stays a fragment); re-pushed if explicitly closed. */
+    private def ensureHtml(): Unit = {
+      if (htmlId < 0) {
+        if (sp == 0) {
+          htmlId = a.allocChild(a.ELEM, 0)
+          a.nameOff(htmlId) = impliedOff; a.nameLen(htmlId) = 4
+          a.flags(htmlId) |= a.F_IMPLIED
+          push(htmlId)
+        }
+      } else if (!onStack(htmlId)) { sp = 0; push(htmlId) }
+    }
+
+    /** implied `head` (or re-entry into an explicitly closed one) for
+      * head-phase metadata elements. */
+    private def ensureHead(): Unit = {
+      ensureHtml()
+      if (htmlId < 0) return
+      if (headId < 0) {
+        popToHtml()
+        headId = a.allocChild(a.ELEM, htmlId)
+        a.nameOff(headId) = impliedOff + 4; a.nameLen(headId) = 4
+        a.flags(headId) |= a.F_IMPLIED
+        push(headId)
+      } else if (!onStack(headId)) { popToHtml(); push(headId) }
+    }
+
+    /** implied `body`; content after `</body>` re-enters it (HTML5 "after
+      * body" insertion mode re-processes in body). */
+    private def ensureBody(): Unit = {
+      if (bodyId >= 0) {
+        if (sp >= 2 && stack(1) == bodyId) return // hot path: [html, body, ...]
+        if (!onStack(bodyId)) {
+          ensureHtml()
+          if (htmlId >= 0) popToHtml()
+          push(bodyId)
+        }
+        return
+      }
+      ensureHtml()
+      if (htmlId < 0) return // fragment mid-element: no implied structure
+      popToHtml()
+      bodyId = a.allocChild(a.ELEM, htmlId)
+      a.nameOff(bodyId) = impliedOff + 8; a.nameLen(bodyId) = 4
+      a.flags(bodyId) |= a.F_IMPLIED
+      push(bodyId)
+    }
+
+    private def nameIs(nid: Int, w: String): Boolean =
+      spanIsLower(a.nameOff(nid), a.nameLen(nid), w)
+    private def curIs(w: String): Boolean = sp > 0 && nameIs(cur, w)
+
+    /** inline formatting elements an auto-close may pop through (the
+      * button-scope approximation: `<p><b>x<p>` closes the outer p). */
+    private def isFormatting(nid: Int): Boolean = {
+      val off = a.nameOff(nid)
+      val l = a.nameLen(nid)
+      l match {
+        case 1 => nameIs(nid, "b") || nameIs(nid, "i") || nameIs(nid, "u") ||
+          nameIs(nid, "s") || nameIs(nid, "a")
+        case 2 => nameIs(nid, "em") || nameIs(nid, "tt")
+        case 4 => nameIs(nid, "font") || nameIs(nid, "code") ||
+          nameIs(nid, "span") || nameIs(nid, "nobr")
+        case 5 => nameIs(nid, "small")
+        case 6 => nameIs(nid, "strong")
+        case _ => false
+      }
+    }
+
+    /** pop through formatting elements to (and including) the nearest stack
+      * entry matching `m`; no-op when a non-formatting element intervenes. */
+    private def closeThrough(m: Int => Boolean): Unit = {
+      var s = sp - 1
+      var steps = 0
+      while (s >= 0 && steps < 8) {
+        val nid = stack(s)
+        if (m(nid)) { sp = s; return }
+        if (!isFormatting(nid)) return
+        s -= 1
+        steps += 1
+      }
+    }
+
+    private def isHeading(off: Int, l: Int): Boolean =
+      l == 2 && (buf(off) | 0x20) == 'h' && buf(off + 1) >= '1' && buf(off + 1) <= '6'
+
+    /** start tags that close an open `<p>` (HTML5 8.2.5.4.7 in-body). */
+    private def isPCloser(off: Int, l: Int): Boolean = {
+      def is(w: String) = spanIsLower(off, l, w)
+      l match {
+        case 1 => is("p")
+        case 2 => isHeading(off, l) || is("dl") || is("ol") || is("ul") || is("hr")
+        case 3 => is("div") || is("nav") || is("pre")
+        case 4 => is("form") || is("main") || is("menu")
+        case 5 => is("aside") || is("table")
+        case 6 => is("figure") || is("footer") || is("header") || is("hgroup")
+        case 7 => is("address") || is("article") || is("details") || is("section")
+        case 8 => is("fieldset")
+        case 10 => is("blockquote") || is("figcaption")
+        case _ => false
+      }
+    }
+
+    private def isHeadish(off: Int, l: Int): Boolean = {
+      def is(w: String) = spanIsLower(off, l, w)
+      l match {
+        case 4 => is("base") || is("link") || is("meta")
+        case 5 => is("title") || is("style")
+        case 6 => is("script")
+        case 7 => is("bgsound")
+        case 8 => is("noscript") || is("noframes") || is("basefont") || is("template")
+        case _ => false
+      }
+    }
+
+    /** the common HTML5 auto-close rules, applied before inserting a body
+      * start tag. */
+    private def h5AutoClose(off: Int, l: Int): Unit = {
+      def is(w: String) = spanIsLower(off, l, w)
+      if (l == 2 && is("li")) closeThrough(nameIs(_, "li"))
+      else if (l == 2 && (is("dt") || is("dd")))
+        closeThrough(nid => nameIs(nid, "dt") || nameIs(nid, "dd"))
+      else if (l == 2 && (is("td") || is("th")))
+        closeThrough(nid => nameIs(nid, "td") || nameIs(nid, "th"))
+      else if (l == 2 && is("tr")) {
+        while (curIs("td") || curIs("th")) sp -= 1
+        if (curIs("tr")) sp -= 1
+      } else if (l == 5 && (is("thead") || is("tbody") || is("tfoot"))) {
+        while (curIs("td") || curIs("th") || curIs("tr")) sp -= 1
+        if (curIs("thead") || curIs("tbody") || curIs("tfoot")) sp -= 1
+      } else if (l == 6 && is("option")) closeThrough(nameIs(_, "option"))
+      else if (l == 8 && is("optgroup")) {
+        if (curIs("option")) sp -= 1
+        if (curIs("optgroup")) sp -= 1
+      } else {
+        // order matters: an open <p> closes first, THEN a current heading
+        // pops (h-in-h), matching the in-body insertion rules
+        if (isPCloser(off, l)) closeThrough(nameIs(_, "p"))
+        if (isHeading(off, l) && sp > 0 && isHeading(a.nameOff(cur), a.nameLen(cur)))
+          sp -= 1
+      }
+    }
+
+    /** html5Tree pre-insertion: arrange the stack so `cur` is the correct
+      * parent for the incoming start tag. Returns the structural slot this
+      * element claims: 1 html, 2 head, 3 body, 0 ordinary. */
+    private def h5Pre(off: Int, l: Int): Int = {
+      def is(w: String) = spanIsLower(off, l, w)
+      if (l == 4 && is("html") && htmlId < 0 && sp == 0) return 1
+      if (l == 4 && is("head") && headId < 0 && bodyId < 0) {
+        ensureHtml()
+        if (htmlId >= 0) { popToHtml(); return 2 }
+      }
+      if (l == 4 && is("body") && bodyId < 0) {
+        ensureHtml()
+        if (htmlId >= 0) { popToHtml(); return 3 }
+      }
+      if (bodyId < 0 && isHeadish(off, l)) {
+        // metadata element in the head phase (ensureHead no-ops inside an
+        // open fragment element — the tag stays where it is)
+        ensureHead()
+        return 0
+      }
+      ensureBody()
+      h5AutoClose(off, l)
+      0
     }
 
     /** span-based lowercase compare avoiding per-tag String allocation. */
@@ -248,9 +467,15 @@ object Parser {
       while (i < len && isNameChar(buf(i))) i += 1
       val nameEnd = i
       val nlen = nameEnd - nameStart
+      // html5Tree: arrange implied parents / auto-closes BEFORE the alloc
+      // so `cur` is the spec insertion point
+      val h5Slot = if (opts.html5Tree) h5Pre(nameStart, nlen) else 0
       // fused: link into the tree at alloc (appendChild overwrites fold away);
       // nothing between here and the old link point reads sibling structure
       val id = a.allocChild(a.ELEM, cur)
+      if (h5Slot == 1) htmlId = id
+      else if (h5Slot == 2) headId = id
+      else if (h5Slot == 3) bodyId = id
       a.nameOff(id) = nameStart; a.nameLen(id) = nlen
       val isVoid = spanIsVoid(nameStart, nlen)
       val isContent = !isVoid && spanIsContent(nameStart, nlen)

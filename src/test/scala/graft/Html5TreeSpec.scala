@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.ParseOptions
+import graft.query.Vis
+
+/** Opt-in HTML5 implicit-tree mode (`ParseOptions.crawl` =
+  * compat + html5Tree): implied html/head/body and the common auto-close
+  * rules for real crawl pages. The DEFAULT profiles are exact reference
+  * parity and must be unaffected — the full existing battery pins that;
+  * this spec pins the opt-in behavior. */
+class Html5TreeSpec extends AnyFunSuite {
+
+  private def crawl(html: String) =
+    Vis.loadOptions(html, ParseOptions.crawl).toOption.get
+  private def compat(html: String) =
+    Vis.load(html).toOption.get
+
+  test("fragment gets implied html/head/body; body > * selectors work") {
+    val root = crawl("<p>a</p><p>b</p>")
+    assert(root.find("html").length == 1)
+    assert(root.find("body").length == 1)
+    assert(root.find("body > p").length == 2)
+    assert(root.find("html > body").length == 1)
+    assert(root.find("p").text() == "ab")
+  }
+
+  test("implied elements render transparently: re-render is byte-identical") {
+    val pages = Seq(
+      "<p>a</p><p>b</p>",
+      "<title>t</title><div>x</div>",
+      "<ul><li>a<li>b</ul>",
+      "<table><tr><td>a<td>b<tr><td>c</table>",
+      "<!DOCTYPE html><div>hi</div>",
+      "<!-- c --><meta charset=\"utf-8\"><p>body",
+      "<p>one<p>two<div>three</div>")
+    pages.foreach { p =>
+      assert(crawl(p).doc.sourceCode == p, s"render diverged for: $p")
+    }
+  }
+
+  test("explicit html/head/body structure is used as-is (no doubling)") {
+    val src = "<html><head><meta charset=\"utf-8\"></head><body><p>hi</p></body></html>"
+    val root = crawl(src)
+    assert(root.find("html").length == 1)
+    assert(root.find("head").length == 1)
+    assert(root.find("body").length == 1)
+    assert(root.find("head > meta").length == 1)
+    assert(root.find("body > p").length == 1)
+    assert(root.doc.sourceCode == src)
+  }
+
+  test("head-phase metadata routes into the (implied) head; body content opens body") {
+    val root = crawl("<title>t</title><meta charset=\"x\"><div>content</div><style>s</style>")
+    assert(root.find("head > title").length == 1)
+    assert(root.find("head > meta").length == 1)
+    assert(root.find("body > div").length == 1)
+    // style AFTER body content stays in body (flow content position)
+    assert(root.find("body style").length == 1)
+    assert(root.find("head style").length == 0)
+  }
+
+  test("li auto-close: <li> closes an open <li> (through formatting tags)") {
+    val root = crawl("<ul><li>a<li>b<li>c</ul>")
+    assert(root.find("ul > li").length == 3)
+    assert(root.find("li li").length == 0)
+    val fmt = crawl("<ul><li><b>a<li>b</ul>")
+    assert(fmt.find("ul > li").length == 2)
+    assert(fmt.find("li li").length == 0)
+    // default compat profile keeps reference parity: naive nesting
+    val nested = compat("<ul><li>a<li>b</ul>")
+    assert(nested.find("li li").length == 1)
+  }
+
+  test("p auto-close: block starts and <p> close an open <p>") {
+    val root = crawl("<p>one<p>two<div>three</div>")
+    assert(root.find("body > p").length == 2)
+    assert(root.find("p p").length == 0)
+    assert(root.find("p div").length == 0)
+    assert(root.find("body > div").length == 1)
+    // through formatting: <p><b>x<p>y closes the outer p
+    val fmt = crawl("<p><b>x<p>y")
+    assert(fmt.find("p p").length == 0)
+    // a non-formatting container blocks the close (approximation of scope)
+    val scoped = crawl("<p><object><p>y")
+    assert(scoped.find("p p").length == 1)
+  }
+
+  test("dt/dd, table rows/cells, option/optgroup auto-close") {
+    val dl = crawl("<dl><dt>t<dd>d<dt>t2</dl>")
+    assert(dl.find("dl > dt").length == 2)
+    assert(dl.find("dl > dd").length == 1)
+    assert(dl.find("dt dd, dd dt").length == 0)
+    val tbl = crawl("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert(tbl.find("tr").length == 2)
+    assert(tbl.find("td").length == 3)
+    assert(tbl.find("td td").length == 0)
+    assert(tbl.find("tr tr").length == 0)
+    val sel = crawl("<select><option>a<option>b<optgroup label=\"g\"><option>c</select>")
+    assert(sel.find("option").length == 3)
+    assert(sel.find("option option").length == 0)
+    assert(sel.find("optgroup > option").length == 1)
+  }
+
+  test("headings close an open heading and an open p") {
+    val root = crawl("<h1>a<h2>b<p>c<h3>d")
+    assert(root.find("h1 h2").length == 0)
+    assert(root.find("p h3").length == 0)
+    assert(root.find("body > h1, body > h2, body > h3").length == 3)
+  }
+
+  test("non-ws text at root/head level moves to body; whitespace stays put") {
+    val root = crawl("<title>t</title>hello")
+    assert(root.find("body").text() == "hello")
+    assert(root.find("head").text() == "t")
+    // content after </body> re-enters body (HTML5 after-body mode)
+    val after = crawl("<html><body>a</body><div>d</div></html>")
+    assert(after.find("body div").length == 1)
+  }
+
+  test("strict + html5Tree: real unclosed tags still error, implied ones never do") {
+    val strictCrawl = ParseOptions(html5Tree = true,
+      autoFixUnclosedTag = false, autoFixUnexpectedEndtag = true,
+      autoFixUnescapedLt = true, allowSelfClosing = true)
+    val err = Vis.loadOptions("<div>x", strictCrawl)
+    assert(err.isLeft && err.swap.toOption.get.contains("div"))
+    // fully closed content: no spurious error about the implied elements
+    assert(Vis.loadOptions("<div>x</div>", strictCrawl).isRight)
+  }
+
+  test("extraction-style queries on a realistic crawl page without explicit body") {
+    val page = "<!DOCTYPE html><meta charset=\"utf-8\"><title>T</title>" +
+      "<nav>menu</nav><p>first<p>second<ul><li>one<li>two</ul><footer>f</footer>"
+    val root = crawl(page)
+    val body = root.find("body")
+    assert(body.length == 1)
+    root.find("nav, footer").remove()
+    assert(body.find("p").length == 2)
+    assert(body.text() == "firstsecondonetwo")
+    assert(root.find("head > title").text() == "T")
+  }
+}
