@@ -760,40 +760,129 @@ object TextOps extends Serializable {
   private def sigPrefix(planes: Int) = (sig: Column) =>
     shiftrightunsigned(sig, math.max(0, planes - 8)).as("sigp")
 
-  /** per-list max member-to-centroid distance from an assignment frame
-    * with (list_id, cdist) columns; lists with no members get radius 0. */
-  private def collectRadii(assigned: DataFrame, nlist: Int): Array[Double] = {
+  /** per-list (max member-to-centroid distance, member count) from an
+    * assignment frame with (list_id, cdist) columns; lists with no members
+    * get radius 0 / count 0. The counts feed the radius-aware initial
+    * probe choice (v5) — they are ADVISORY (a crashed append may leave an
+    * over-count), the certificate stays the exactness authority. */
+  private def collectRadii(assigned: DataFrame, nlist: Int): (Array[Double], Array[Long]) = {
     val radii = new Array[Double](nlist)
-    assigned.groupBy(col("list_id")).agg(max(col("cdist")).as("r"))
-      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
-    radii
+    val counts = new Array[Long](nlist)
+    assigned.groupBy(col("list_id"))
+      .agg(max(col("cdist")).as("r"), count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        radii(r.getInt(0)) = r.getDouble(1)
+        counts(r.getInt(0)) = r.getLong(2)
+      }
+    (radii, counts)
   }
 
-  /** publish one batch's per-list radii into its own `batch=` partition
-    * (see the layout comment: append-only, max-merged by readers). */
+  /** publish one batch's per-list radii + member counts into its own
+    * `batch=` partition (see the layout comment: append-only; readers
+    * max-merge radii and sum-merge counts). */
   private def writeRadiiBatch(spark: SparkSession, indexDir: String, batchId: String,
-      radii: Array[Double], overwriteAll: Boolean): Unit = {
-    val w = spark.createDataFrame(radii.indices.map(i => (i, radii(i))))
-      .toDF("list_id", "radius").withColumn("batch", lit(batchId))
+      rc: (Array[Double], Array[Long]), overwriteAll: Boolean): Unit = {
+    val (radii, counts) = rc
+    val w = spark.createDataFrame(radii.indices.map(i => (i, radii(i), counts(i))))
+      .toDF("list_id", "radius", "cnt").withColumn("batch", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("batch")
     (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
       .parquet(s"$indexDir/radii")
   }
 
+  /** a directory's content fingerprint (paths + lengths + mtimes) — the
+    * cheap no-Spark-job invalidation check for the probe-side caches. */
+  private def dirFingerprint(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var h = 1125899906842597L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.toString.hashCode
+      h = h * 31 + f.getLen
+      h = h * 31 + f.getModificationTime
+    }
+    h
+  }
+
+  // probe-side driver caches: a probe service holds the quantizer in
+  // memory — re-running three Spark jobs (centroids, radii, meta) per
+  // single-query probe was the dominant probe cost, not the scan. Keyed
+  // by indexDir, invalidated by the content fingerprint of the backing
+  // files (an append rewrites radii partitions; a rebuild rewrites
+  // everything) — so correctness never rests on the cache.
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Array[Array[Float]], Array[Double], Array[Long]))]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Int, Int, Int, Long, Int))]()
+
+  // probe-side resolved-scan cache: spark.read.parquet pays partition
+  // discovery + schema inference per call (~0.5 s against a 45-partition
+  // index dir — more than the pruned scan itself). The resolved DataFrame
+  // (its InMemoryFileIndex) is reusable across probes; invalidation is the
+  // batches/ commit-record fingerprint (every data-changing operation —
+  // build, append, compact — writes it last), and the entry is keyed by
+  // session so a stopped test session never leaks a dead plan into a new
+  // one. Probes only — maintenance ops (append/compact) read directly.
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def indexFrame(spark: SparkSession, indexDir: String, section: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}/$indexDir/$section"
+    val fp = dirFingerprint(spark, s"$indexDir/batches")
+    val hit = frameCache.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val df = spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/$section")
+    frameCache.put(key, (fp, df))
+    df
+  }
+
+  /** cached meta read: (planes, tables, nlist, n, version). */
+  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int, Long, Int) = {
+    val fp = dirFingerprint(spark, s"$indexDir/meta")
+    val hit = metaCache.get(indexDir)
+    if (hit != null && hit._1 == fp) return hit._2
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    val v = (m.getAs[Int]("planes"), m.getAs[Int]("tables"), m.getAs[Int]("nlist"),
+      m.getAs[Long]("n"), m.getAs[Int]("version"))
+    metaCache.put(indexDir, (fp, v))
+    v
+  }
+
   /** the probe-side quantizer read: immutable centroids + per-list radii
-    * as max() over every published batch partition (commutative merge —
-    * see layout comment). Lists never populated keep radius 0. */
-  private def readQuantizer(spark: SparkSession, indexDir: String): (Array[Array[Float]], Array[Double]) = {
+    * as max() and counts as sum() over every published batch partition
+    * (commutative merges, performed in the DRIVER over the collected
+    * per-batch rows — nlist*batches rows, no shuffle). Lists never
+    * populated keep radius 0 / count 0. Cached per indexDir behind a
+    * file fingerprint. */
+  private def readQuantizer(spark: SparkSession,
+      indexDir: String): (Array[Array[Float]], Array[Double], Array[Long]) = {
     import spark.implicits._
+    val fp = dirFingerprint(spark, s"$indexDir/centroids") * 31 +
+      dirFingerprint(spark, s"$indexDir/radii")
+    val hit = quantizerCache.get(indexDir)
+    if (hit != null && hit._1 == fp) return hit._2
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("list_id").as[Int], col("centroid").as[Seq[Float]])
       .collect().sortBy(_._1).map(_._2.toArray)
     val radii = new Array[Double](cents.length)
+    val counts = new Array[Long](cents.length)
     spark.read.parquet(s"$indexDir/radii")
-      .groupBy(col("list_id")).agg(max(col("radius")).as("r"))
-      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
-    (cents, radii)
+      // coalesce: tolerate a radii partition without cnt (defense in
+      // depth — the v5 version gate should make it unreachable); a 0
+      // count only shrinks the advisory bound, never breaks exactness
+      .select(col("list_id").as[Int], col("radius").as[Double],
+        coalesce(col("cnt"), lit(0L)).as[Long])
+      .collect().foreach { case (l, r, c) =>
+        if (r > radii(l)) radii(l) = r
+        counts(l) += c
+      }
+    val v = (cents, radii, counts)
+    quantizerCache.put(indexDir, (fp, v))
+    v
   }
 
   /** the (lsh rows, ivf rows with cdist) signature/assignment frames for a
@@ -926,11 +1015,10 @@ object TextOps extends Serializable {
     // exactness certificate
     require(batchId != "b0" && !batchId.startsWith("compacted-"),
       s"batchId '$batchId' is reserved (b0 = initial build, compacted-* = compaction targets)")
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    require(meta.getAs[Int]("version") == AnnIndexVersion,
+    val (planes, _, _, _, version) = readMeta(spark, indexDir)
+    require(version == AnnIndexVersion,
       s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
-    val planes = meta.getAs[Int]("planes")
-    val (cents, _) = readQuantizer(spark, indexDir)
+    val (cents, _, _) = readQuantizer(spark, indexDir)
 
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
@@ -991,8 +1079,8 @@ object TextOps extends Serializable {
     val old = spark.read.parquet(s"$indexDir/batches")
       .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
     if (old.isEmpty) return
-    val planes = spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("planes")
-    val (cents, _) = readQuantizer(spark, indexDir)
+    val planes = readMeta(spark, indexDir)._1
+    val (cents, _, _) = readQuantizer(spark, indexDir)
 
     // the deduped union of every live vector. localCheckpoint breaks the
     // read->overwrite-same-path cycle (Spark rejects a write whose plan
@@ -1055,9 +1143,7 @@ object TextOps extends Serializable {
   def annLshProbeScan(spark: SparkSession, sfDir: String, indexDir: String,
       queryId: Long, radius: Int = 1): DataFrame = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val planes = meta.getAs[Int]("planes")
-    val tables = meta.getAs[Int]("tables")
+    val (planes, tables, _, _, _) = readMeta(spark, indexDir)
     val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("vec_id") === queryId)
       .select(col("embedding")).as[Seq[Float]].head().toArray
@@ -1069,10 +1155,11 @@ object TextOps extends Serializable {
       val prefixes = probes.map(_ >>> shift).distinct
       col("tbl") === t && col("sigp").isin(prefixes: _*) && col("sig").isin(probes: _*)
     }
-    // ignoreMissingFiles: a concurrent compaction's cleanup step may
-    // delete an old batch file mid-scan; its rows already exist in the
-    // compacted partitions, so skipping the vanished file stays correct
-    spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/lsh")
+    // ignoreMissingFiles (set in indexFrame): a concurrent compaction's
+    // cleanup step may delete an old batch file mid-scan; its rows already
+    // exist in the compacted partitions, so skipping the vanished file
+    // stays correct
+    indexFrame(spark, indexDir, "lsh")
       .where(perTable.reduce(_ || _))
       .dropDuplicates("vec_id") // a vector probed in several tables scores once
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
@@ -1087,27 +1174,67 @@ object TextOps extends Serializable {
     rankTopK(spark, annLshProbeScan(spark, sfDir, indexDir, queryId, radius), k)
 
   /** IVF probe against the persisted index, EXACT by construction:
-    * phase 1 is a partition-pruned read of the `nprobe` nearest inverted
-    * lists; the persisted per-list radii then either CERTIFY the top-k as
-    * globally exact ([[certifiedExpansion]] returns nothing) or name the
-    * only other lists that could hold a better candidate, which phase 2
-    * reads (again pruned) and merges. With genuine cluster structure the
-    * certificate fires after phase 1, so the common case is one pruned
-    * read; a clusterless corpus honestly pays for more lists instead of
-    * silently returning wrong neighbors. Driver state is O(k + nlist). */
+    * phase 1 is a partition-pruned read of a RADIUS-AWARE initial list
+    * set (sized from the persisted per-list radii + member counts so the
+    * certificate usually fires immediately — see the selection comment
+    * below); the radii then either CERTIFY the top-k as globally exact
+    * ([[certifiedExpansion]] returns nothing) or name the only other
+    * lists that could hold a better candidate, which phase 2 reads
+    * (again pruned) and merges. With genuine cluster structure the
+    * common case is ONE pruned read; a clusterless corpus honestly pays
+    * for more lists instead of silently returning wrong neighbors.
+    * Driver state is O(k + nlist). `nprobe` is retained for signature
+    * compatibility; the selection is adaptive and ignores it. */
   def annIvfIndexed(spark: SparkSession, sfDir: String, indexDir: String,
       queryId: Long, k: Int, nprobe: Int = 6): DataFrame = {
     import spark.implicits._
-    val (cents, radii) = readQuantizer(spark, indexDir)
+    val (cents, radii, counts) = readQuantizer(spark, indexDir)
     val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("vec_id") === queryId)
       .select(col("embedding")).as[Seq[Float]].head().toArray
     val qb = spark.sparkContext.broadcast(q)
     val dists = centroidDistances(l2normalize(q), cents)
-    val first = dists.take(math.min(nprobe, dists.length)).map(_._2).toSet
+    // RADIUS-AWARE initial probe choice (v5, replacing a fixed nprobe):
+    // take lists in centroid-distance order until their member counts
+    // cover k — every member of list j has cosine >= 1 - (d_j + r_j)²/2,
+    // so the true k-th best after scanning that prefix is >= B, the min
+    // of those pessimistic bounds. Then pre-add every other list whose
+    // OPTIMISTIC bound 1 - max(0, d_j - r_j)²/2 reaches B (the same test
+    // the certificate will apply, against a bound the scan can only
+    // improve) — with honest counts the certificate then fires empty and
+    // the probe is ONE pruned read. Counts are advisory (a crashed append
+    // over-counts, making B too optimistic at worst): the certificate
+    // below remains the exactness authority and pays a second pruned
+    // read only in that crash window.
+    val eps = 1e-5
+    val initial = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var covered = 0L
+    var bound = Double.MaxValue
+    var di = 0
+    while (di < dists.length && covered < k) {
+      val (dj, j) = dists(di)
+      if (counts(j) > 0) {
+        initial += j
+        covered += counts(j)
+        val p = 1.0 - (dj + radii(j)) * (dj + radii(j)) / 2.0
+        if (p < bound) bound = p
+      }
+      di += 1
+    }
+    if (covered >= k) {
+      dists.foreach { case (dj, j) =>
+        if (!initial.contains(j) && counts(j) > 0) {
+          val dmin = math.max(0.0, dj - radii(j))
+          if (1.0 - dmin * dmin / 2.0 >= bound - 2 * eps) initial += j
+        }
+      }
+    }
+    // covered < k: the whole index holds fewer than k vectors and every
+    // populated list is already in `initial`
+    val first = initial.toSet
 
     def scanTopK(lists: Set[Int]): Array[(Long, Double)] =
-      spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/ivf")
+      indexFrame(spark, indexDir, "ivf")
         .where(col("list_id").isin(lists.toSeq: _*))
         // duplicate-tolerant like every probe (see compactAnnIndex: the
         // compaction crash window may leave a vector in two batches)
@@ -1138,9 +1265,7 @@ object TextOps extends Serializable {
   def annLshIndexedBatch(spark: SparkSession, sfDir: String, indexDir: String,
       queryIds: Seq[Long], k: Int, radius: Int = 1): DataFrame = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val planes = meta.getAs[Int]("planes")
-    val tables = meta.getAs[Int]("tables")
+    val (planes, tables, _, _, _) = readMeta(spark, indexDir)
     val shift = math.max(0, planes - 8)
     val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("vec_id").isin(queryIds: _*))
@@ -1158,8 +1283,7 @@ object TextOps extends Serializable {
       val prefixes = probes.map(_ >>> shift).distinct
       col("tbl") === t && col("sigp").isin(prefixes: _*) && col("sig").isin(probes: _*)
     }
-    val scored = spark.read.option("ignoreMissingFiles", "true")
-      .parquet(s"$indexDir/lsh")
+    val scored = indexFrame(spark, indexDir, "lsh")
       .where(perTable.reduce(_ || _))
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
         col("tbl").as[Int], col("sig").as[Int])
@@ -1188,8 +1312,10 @@ object TextOps extends Serializable {
     * (exactness certificate), batch partition axis (append mode).
     * v4: radii split out of centroids into an append-only batch-partitioned
     * table (crash-safe + concurrent-append-safe max-merge); hash-based
-    * quantizer sampling (arbitrary vec_id spaces). */
-  final val AnnIndexVersion = 4
+    * quantizer sampling (arbitrary vec_id spaces).
+    * v5: radii table gains per-list member counts (sum-merged) feeding the
+    * radius-aware initial probe choice — common case one pruned read. */
+  final val AnnIndexVersion = 5
 
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
@@ -1210,7 +1336,9 @@ object TextOps extends Serializable {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v$AnnIndexVersion-$name"
     def versionOk: Boolean = new java.io.File(s"$indexDir/ivf/_SUCCESS").exists() && (try {
-      spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("version") == AnnIndexVersion
+      // readMeta caches behind a file fingerprint: repeated ensure calls
+      // (one per probe in the harness) cost a dir listing, not a Spark job
+      readMeta(spark, indexDir)._5 == AnnIndexVersion
     } catch { case scala.util.control.NonFatal(_) => false })
     if (!versionOk) {
       val tmp = s"$indexDir.build-${ProcessHandle.current().pid()}-${System.nanoTime()}"
@@ -1344,7 +1472,7 @@ object TextOps extends Serializable {
       val c = nearestCentroid(nv, centsB.value)
       (id, v, c, math.sqrt(dist2(nv, centsB.value(c))))
     }.toDF("vec_id", "embedding", "list_id", "cdist").persist()
-    val radii = collectRadii(assigned, cents.length)
+    val radii = collectRadii(assigned, cents.length)._1
 
     val queries: Array[(Long, Array[Float], Array[(Double, Int)])] =
       emb.filter(_._1 < m).collect().map { case (id, v) =>

@@ -450,10 +450,15 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // but BEFORE the batch data: publish a phantom batch whose radii
       // strictly over-estimate live membership (the documented invariant —
       // readers max-merge, so these dominate)
+      // v5: a real crashed append's radii partition carries its cnt column
+      // too — an OVER-count (members that never landed), which makes the
+      // radius-aware initial bound too optimistic at worst; the
+      // certificate backstop must still deliver the exact answer
       val phantom = spark.read.parquet(s"$dir/radii")
-        .select(col("list_id"), (col("radius") * 3.0 + 0.5).as("radius"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1)))
-      spark.createDataFrame(phantom.toSeq).toDF("list_id", "radius")
+        .select(col("list_id"), (col("radius") * 3.0 + 0.5).as("radius"),
+          (col("cnt") * 2 + 7).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      spark.createDataFrame(phantom.toSeq).toDF("list_id", "radius", "cnt")
         .withColumn("batch", lit("crashed"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(s"$dir/radii")
