@@ -545,13 +545,71 @@ object TextOps extends Serializable {
   /** inverted-list count ~ sqrt(n) (the standard IVF sizing rule): list
     * count and per-list size grow TOGETHER, so probe cost scales as
     * sqrt(corpus) — the round-3 flat 1024 cap made every list grow linearly
-    * with the corpus. Clamped to [8, 4096]: past the cap a driver-side
-    * kmeans++ fit (O(sample*nlist*dim)) stops being a one-time triviality,
-    * and the next rung is distributed / hierarchical quantizer training,
-    * not a bigger driver fit (FUTURE.md). */
+    * with the corpus. Past [[DriverFitMaxNlist]] the quantizer trains
+    * HIERARCHICALLY (driver-fit coarse cells, distributed per-cell fine
+    * fits — see buildAnnIndex), so the sqrt rule holds to the 131072
+    * clamp = ~1.7e10 vectors per index shard. Beyond THAT the next rungs
+    * are a coarse-pruned probe-side centroid scan and a >16 MB broadcast
+    * codebook — new design work, so the clamp stays explicit. */
   def nlistFor(n: Long): Int =
-    math.max(8L, math.min(4096L,
+    math.max(8L, math.min(131072L,
       math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
+  /** largest codebook a single driver-side kmeans++ fit handles as a
+    * one-time triviality (O(64·nlist² · dim) work); above it the
+    * two-level training path takes over. */
+  final val DriverFitMaxNlist = 4096
+
+  /** assignment-side quantizer: how a vector picks its inverted list.
+    * The PROBE side never sees this — probes work off the flat persisted
+    * (centroid, radius) lists, and the exactness certificate only needs
+    * "every member of list j lies within r_j of c_j", which holds no
+    * matter how assignment chose the list. */
+  sealed trait AnnQuantizer extends Serializable {
+    def cents: Array[Array[Float]]
+    /** nearest list for a NORMALIZED vector. */
+    def assign(nv: Array[Float]): Int
+  }
+
+  /** exhaustive nearest-centroid assignment (nlist <= DriverFitMaxNlist). */
+  final case class FlatQuantizer(cents: Array[Array[Float]]) extends AnnQuantizer {
+    def assign(nv: Array[Float]): Int = nearestCentroid(nv, cents)
+  }
+
+  /** two-level assignment: nearest 2 coarse cells, then the nearest fine
+    * centroid within those cells' contiguous list spans — O(k1 + 2·k2)
+    * distances instead of O(nlist). Approximate list CHOICE (a boundary
+    * vector may land in a near-optimal list), which only widens that
+    * list's radius; exactness is untouched (see trait doc). */
+  final case class TwoLevelQuantizer(coarse: Array[Array[Float]],
+      listStart: Array[Int], listLen: Array[Int],
+      cents: Array[Array[Float]]) extends AnnQuantizer {
+    def assign(nv: Array[Float]): Int = {
+      var b1 = -1; var b2 = -1
+      var d1 = Double.MaxValue; var d2 = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val d = dist2(nv, coarse(c))
+        if (d < d1) { d2 = d1; b2 = b1; d1 = d; b1 = c }
+        else if (d < d2) { d2 = d; b2 = c }
+        c += 1
+      }
+      var best = -1
+      var bestD = Double.MaxValue
+      def scanCell(cell: Int): Unit = if (cell >= 0) {
+        var j = listStart(cell)
+        val end = j + listLen(cell)
+        while (j < end) {
+          val d = dist2(nv, cents(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+      }
+      scanCell(b1)
+      scanCell(b2)
+      best
+    }
+  }
 
   /** quantizer training-sample size: 64 samples PER CENTROID (the round-3
     * flaw: a flat 1024-vector sample under nlist up to 1024 meant one
@@ -885,20 +943,90 @@ object TextOps extends Serializable {
     v
   }
 
+  /** two-level quantizer training for nlist > [[DriverFitMaxNlist]] —
+    * nothing super-linear ever runs on the driver:
+    *   1. a coarse codebook of k1 = ceil(sqrt(nlist)) cells trains on the
+    *      driver from a 64·k1 sample (k1 <= ~363 at the nlist clamp — a
+    *      triviality);
+    *   2. the full 64·nlist training sample stays DISTRIBUTED: each
+    *      vector maps to its coarse cell, and each cell's fine codebook
+    *      of ~nlist/k1 centroids trains executor-side over that cell's
+    *      members (flatMapSortedGroups by vec_id + a deterministic cap,
+    *      so builds stay reproducible);
+    *   3. the flat codebook is the concatenation of the per-cell fine
+    *      codebooks — cells keep CONTIGUOUS list-id spans, which is what
+    *      makes two-level assignment a span scan.
+    * Cells the sample never hit get no lists (their would-be members
+    * assign into neighboring cells' lists — radius widens, exactness
+    * holds). Driver state: the final codebook, nlist x dim floats. */
+  private def trainTwoLevel(spark: SparkSession, vecs: Dataset[(Long, Seq[Float])],
+      n: Long, nlist: Int): TwoLevelQuantizer = {
+    import spark.implicits._
+    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val k2 = math.ceil(nlist.toDouble / k1).toInt
+    val coarseCents = kmeansCentroids(
+      sampleVectors(vecs, n, quantizerSampleSize(n, k1)), k1)
+    val cb = spark.sparkContext.broadcast(coarseCents)
+    val stride = math.max(1L, n / math.max(1L, 64L * nlist))
+    val perCell: Array[(Int, Seq[Seq[Float]])] = vecs
+      .filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+      .map { case (id, v) => (nearestCentroid(l2normalize(v), cb.value), id, v) }
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (cell: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+        // deterministic member order (sorted by vec_id) + cap: executor
+        // memory stays bounded even under a pathologically hot cell
+        val members = it.take(64 * k2).map(x => l2normalize(x._3): Seq[Float]).toArray
+        if (members.isEmpty) Iterator.empty
+        else Iterator.single(
+          (cell, kmeansCentroids(members.map(_.toArray), k2).map(_.toSeq).toSeq))
+      }.collect().sortBy(_._1)
+    val starts = new Array[Int](perCell.length)
+    val lens = new Array[Int](perCell.length)
+    val flat = Array.newBuilder[Array[Float]]
+    var at = 0
+    perCell.zipWithIndex.foreach { case ((cellId, fine), i) =>
+      starts(i) = at
+      lens(i) = fine.length
+      fine.foreach(c => flat += c.toArray)
+      at += fine.length
+    }
+    // the persisted coarse table keeps only cells WITH lists, re-indexed
+    // densely — assignment scans their spans, original cell ids are moot
+    TwoLevelQuantizer(perCell.map(pc => cb.value(pc._1)), starts, lens, flat.result())
+  }
+
+  /** assignment-side quantizer for append/compact: flat centroids plus the
+    * coarse table when the index was built two-level. */
+  private def readAssignQuantizer(spark: SparkSession, indexDir: String): AnnQuantizer = {
+    import spark.implicits._
+    val (cents, _, _) = readQuantizer(spark, indexDir)
+    val coarsePath = new org.apache.hadoop.fs.Path(s"$indexDir/coarse")
+    val fs = coarsePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(coarsePath)) FlatQuantizer(cents)
+    else {
+      val rows = spark.read.parquet(s"$indexDir/coarse")
+        .select(col("cell_id").as[Int], col("centroid").as[Seq[Float]],
+          col("list_start").as[Int], col("list_len").as[Int])
+        .collect().sortBy(_._1)
+      TwoLevelQuantizer(rows.map(_._2.toArray), rows.map(_._3), rows.map(_._4), cents)
+    }
+  }
+
   /** the (lsh rows, ivf rows with cdist) signature/assignment frames for a
     * vector set — ONE shared map shape for build and append. */
   private def indexRows(spark: SparkSession, vecs: Dataset[(Long, Seq[Float])],
-      planes: Int, cents: Array[Array[Float]]): (DataFrame, DataFrame) = {
+      planes: Int, quant: AnnQuantizer): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val centsB = spark.sparkContext.broadcast(cents)
+    val quantB = spark.sparkContext.broadcast(quant)
     val lsh = vecs.flatMap { case (id, v) =>
       (0 until LshTables).iterator.map(t => (id, v, t, hyperplaneSig(v, planes, t)))
     }.toDF("vec_id", "embedding", "tbl", "sig")
       .withColumn("sigp", sigPrefix(planes)(col("sig")))
     val ivf = vecs.map { case (id, v) =>
       val nv = l2normalize(v)
-      val c = nearestCentroid(nv, centsB.value)
-      (id, v, c, math.sqrt(dist2(nv, centsB.value(c))))
+      val q = quantB.value
+      val c = q.assign(nv)
+      (id, v, c, math.sqrt(dist2(nv, q.cents(c))))
     }.toDF("vec_id", "embedding", "list_id", "cdist")
     (lsh, ivf)
   }
@@ -946,10 +1074,15 @@ object TextOps extends Serializable {
     require(planes >= 1 && planes <= 24,
       s"planes must be in [1, 24] (got $planes): signatures are Int bit masks")
     val nlist = if (nlistOverride > 0) nlistOverride else nlistFor(n)
-    // coarse quantizer from a deterministic, bounded sample of >= 64
-    // vectors per centroid, fit on the unit sphere (see l2normalize)
-    val sample = sampleVectors(vecs, n, quantizerSampleSize(n, nlist))
-    val cents = kmeansCentroids(sample, nlist)
+    val quant: AnnQuantizer =
+      if (nlist <= DriverFitMaxNlist) {
+        // driver fit: deterministic, bounded sample of >= 64 vectors per
+        // centroid, fit on the unit sphere (see l2normalize)
+        FlatQuantizer(kmeansCentroids(
+          sampleVectors(vecs, n, quantizerSampleSize(n, nlist)), nlist))
+      } else
+        trainTwoLevel(spark, vecs, n, nlist)
+    val cents = quant.cents
 
     spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
       .toDF("planes", "tables", "nlist", "n", "version")
@@ -957,8 +1090,16 @@ object TextOps extends Serializable {
     spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
       .toDF("list_id", "centroid")
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    quant match {
+      case TwoLevelQuantizer(coarse, starts, lens, _) =>
+        spark.createDataFrame(
+          coarse.indices.map(c => (c, coarse(c).toSeq, starts(c), lens(c))))
+          .toDF("cell_id", "centroid", "list_start", "list_len")
+          .write.mode("overwrite").parquet(s"$indexDir/coarse")
+      case _ => ()
+    }
 
-    val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     writeRadiiBatch(spark, indexDir, "b0", collectRadii(ivfP, cents.length),
       overwriteAll = true)
@@ -1018,15 +1159,15 @@ object TextOps extends Serializable {
     val (planes, _, _, _, version) = readMeta(spark, indexDir)
     require(version == AnnIndexVersion,
       s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
-    val (cents, _, _) = readQuantizer(spark, indexDir)
+    val quant = readAssignQuantizer(spark, indexDir)
 
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
     val n = vecs.count()
-    val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     // this batch's radii first (conservative on crash — see scaladoc)
-    writeRadiiBatch(spark, indexDir, batchId, collectRadii(ivfP, cents.length),
+    writeRadiiBatch(spark, indexDir, batchId, collectRadii(ivfP, quant.cents.length),
       overwriteAll = false)
     writeIndexBatch(indexDir, batchId, lsh, ivfP, n, overwriteAll = false)
     ivfP.unpersist(false)
@@ -1080,7 +1221,7 @@ object TextOps extends Serializable {
       .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
     if (old.isEmpty) return
     val planes = readMeta(spark, indexDir)._1
-    val (cents, _, _) = readQuantizer(spark, indexDir)
+    val quant = readAssignQuantizer(spark, indexDir)
 
     // the deduped union of every live vector. localCheckpoint breaks the
     // read->overwrite-same-path cycle (Spark rejects a write whose plan
@@ -1095,11 +1236,11 @@ object TextOps extends Serializable {
       .localCheckpoint(true)
     val n = vecs.count()
 
-    val (lsh, ivf) = indexRows(spark, vecs, planes, cents)
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     // 1. tight radii first, 2.-3. data + commit record via the one shared
     // write path (single layout definition with build/append)
-    writeRadiiBatch(spark, indexDir, target, collectRadii(ivfP, cents.length),
+    writeRadiiBatch(spark, indexDir, target, collectRadii(ivfP, quant.cents.length),
       overwriteAll = false)
     writeIndexBatch(indexDir, target, lsh, ivfP, n, overwriteAll = false)
     ivfP.unpersist(false)

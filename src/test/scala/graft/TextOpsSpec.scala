@@ -185,7 +185,10 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.nlistFor(100L) == 10)
     assert(TextOps.nlistFor(10000L) == 100)
     assert(TextOps.nlistFor(1000000L) == 1000)
-    assert(TextOps.nlistFor(1000L * 1000L * 1000L * 1000L) == 4096) // cap
+    // v5: the sqrt rule holds past the old 4096 driver-fit cap (two-level
+    // training takes over above DriverFitMaxNlist); clamp now 131072
+    assert(TextOps.nlistFor(100000000L) == 10000)
+    assert(TextOps.nlistFor(Long.MaxValue / 4) == 131072) // clamp
     // the training sample is 64 vectors PER CENTROID (never again 1:1)
     assert(TextOps.quantizerSampleSize(1000000L, 1000) == 64000L)
     assert(TextOps.quantizerSampleSize(500L, 23) == 500L) // capped at n
