@@ -1,0 +1,620 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** the persisted ANN index (the 100-TB probe path): build / append /
+  * compact lifecycle, partition-pruned LSH + certificate-exact IVF probes,
+  * probe-side metadata caches, and the cross-engine eval harnesses. See
+  * [[TextOps]] and the layout comment below. */
+private[spark] trait AnnIndexOps extends AnnCoreOps {
+  // ---------- persisted ANN index (the 100-TB probe path) ----------
+  //
+  // annLsh / annIvfRecall recompute signatures over a full corpus scan per
+  // query — fine as build-path witnesses, a non-starter at 100 TB. The
+  // production shape is write-once/probe-many: signatures and IVF list ids
+  // become PARTITION COLUMNS of a persisted parquet index, so a probe is a
+  // partition-pruned read of O(probes) buckets, not a corpus pass.
+  //
+  // Layout under `indexDir` (v4):
+  //   meta/       1 row: planes, tables, nlist, n, version — the TRAINING-
+  //               time facts (planes / quantizer are fixed for the index's
+  //               lifetime; retraining = rebuild)
+  //   centroids/  nlist rows: list_id, centroid — IMMUTABLE after build
+  //               (only the radii grow; splitting them out means no writer
+  //               ever rewrites the quantizer, so no crash can destroy it)
+  //   radii/      (list_id, radius) partitioned by batch: each ingest
+  //               publishes ITS OWN batch's per-list max ||v̂ - c|| into
+  //               its own partition (dynamic overwrite — idempotent on
+  //               retry), and readers take max() per list over all
+  //               batches. The merge is commutative and append-only, so
+  //               concurrent appends cannot lose each other's maxima (the
+  //               v3 read-modify-write of a shared radius column could).
+  //               A batch's radii land BEFORE its data: a crash between
+  //               the two leaves an OVER-estimate — the certificate scans
+  //               extra lists, never misses one.
+  //   batches/    one row per ingested batch (batch, n_rows), partitioned
+  //               by batch with dynamic overwrite — the idempotent commit
+  //               record, same discipline as ExtractJob's lineage
+  //   lsh/        one row per (tbl, vec_id): partitioned by (tbl, sigp,
+  //               batch) — sigp = top <=8 bits of sig bounds directory
+  //               fan-out to 256/table at any scale; row groups sorted by
+  //               sig so the pushed-down sig IN (...) filter skips row
+  //               groups
+  //   ivf/        one row per vec_id, partitioned by (list_id, batch)
+  //
+  // `batch` is the GROWTH axis: a 100-TB pipeline ingests continuously, so
+  // the index must accept new vectors without an overwrite-only rebuild
+  // (the round-3 design gap). Each ingest lands in its own batch partition
+  // via dynamic partition overwrite — re-running a failed append replaces
+  // exactly its own partitions (exactly-once, like ExtractJob bucket
+  // resume). Probes never filter on batch, so pruning on (tbl, sigp) /
+  // list_id is unchanged.
+  //
+  // The vectors are stored inline in both sections (FAISS-style lists):
+  // probe locality beats the 1+L storage multiplier — embeddings are a
+  // small fraction of corpus bytes.
+
+  // LOGICAL shift, matching the probes' `>>> shift` — an arithmetic shift
+  // would sign-extend and diverge if a signature ever had its top bit set
+  // (planes is capped at 24 below, so sigs stay positive; belt and braces)
+  private def sigPrefix(planes: Int) = (sig: Column) =>
+    shiftrightunsigned(sig, math.max(0, planes - 8)).as("sigp")
+
+  /** per-list (max member-to-centroid distance, member count) from an
+    * assignment frame with (list_id, cdist) columns; lists with no members
+    * get radius 0 / count 0. The counts feed the radius-aware initial
+    * probe choice (v5) — they are ADVISORY (a crashed append may leave an
+    * over-count), the certificate stays the exactness authority. */
+  private[spark] def collectRadii(assigned: DataFrame, nlist: Int): (Array[Double], Array[Long]) = {
+    val radii = new Array[Double](nlist)
+    val counts = new Array[Long](nlist)
+    assigned.groupBy(col("list_id"))
+      .agg(max(col("cdist")).as("r"), count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        radii(r.getInt(0)) = r.getDouble(1)
+        counts(r.getInt(0)) = r.getLong(2)
+      }
+    (radii, counts)
+  }
+
+  /** publish one batch's per-list radii + member counts into its own
+    * `batch=` partition (see the layout comment: append-only; readers
+    * max-merge radii and sum-merge counts). */
+  private def writeRadiiBatch(spark: SparkSession, indexDir: String, batchId: String,
+      rc: (Array[Double], Array[Long]), overwriteAll: Boolean): Unit = {
+    val (radii, counts) = rc
+    val w = spark.createDataFrame(radii.indices.map(i => (i, radii(i), counts(i))))
+      .toDF("list_id", "radius", "cnt").withColumn("batch", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/radii")
+  }
+
+  /** a directory's content fingerprint (paths + lengths + mtimes) — the
+    * cheap no-Spark-job invalidation check for the probe-side caches. */
+  private def dirFingerprint(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var h = 1125899906842597L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.toString.hashCode
+      h = h * 31 + f.getLen
+      h = h * 31 + f.getModificationTime
+    }
+    h
+  }
+
+  // probe-side driver caches: a probe service holds the quantizer in
+  // memory — re-running three Spark jobs (centroids, radii, meta) per
+  // single-query probe was the dominant probe cost, not the scan. Keyed
+  // by indexDir, invalidated by the content fingerprint of the backing
+  // files (an append rewrites radii partitions; a rebuild rewrites
+  // everything) — so correctness never rests on the cache.
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Array[Array[Float]], Array[Double], Array[Long]))]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Int, Int, Int, Long, Int))]()
+
+  // probe-side resolved-scan cache: spark.read.parquet pays partition
+  // discovery + schema inference per call (~0.5 s against a 45-partition
+  // index dir — more than the pruned scan itself). The resolved DataFrame
+  // (its InMemoryFileIndex) is reusable across probes; invalidation is the
+  // batches/ commit-record fingerprint (every data-changing operation —
+  // build, append, compact — writes it last), and the entry is keyed by
+  // session so a stopped test session never leaks a dead plan into a new
+  // one. Probes only — maintenance ops (append/compact) read directly.
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private[spark] def indexFrame(spark: SparkSession, indexDir: String, section: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}/$indexDir/$section"
+    val fp = dirFingerprint(spark, s"$indexDir/batches")
+    val hit = frameCache.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val df = spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/$section")
+    frameCache.put(key, (fp, df))
+    df
+  }
+
+  /** cached meta read: (planes, tables, nlist, n, version). */
+  private[spark] def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int, Long, Int) = {
+    val fp = dirFingerprint(spark, s"$indexDir/meta")
+    val hit = metaCache.get(indexDir)
+    if (hit != null && hit._1 == fp) return hit._2
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    val v = (m.getAs[Int]("planes"), m.getAs[Int]("tables"), m.getAs[Int]("nlist"),
+      m.getAs[Long]("n"), m.getAs[Int]("version"))
+    metaCache.put(indexDir, (fp, v))
+    v
+  }
+
+  /** the probe-side quantizer read: immutable centroids + per-list radii
+    * as max() and counts as sum() over every published batch partition
+    * (commutative merges, performed in the DRIVER over the collected
+    * per-batch rows — nlist*batches rows, no shuffle). Lists never
+    * populated keep radius 0 / count 0. Cached per indexDir behind a
+    * file fingerprint. */
+  private[spark] def readQuantizer(spark: SparkSession,
+      indexDir: String): (Array[Array[Float]], Array[Double], Array[Long]) = {
+    import spark.implicits._
+    val fp = dirFingerprint(spark, s"$indexDir/centroids") * 31 +
+      dirFingerprint(spark, s"$indexDir/radii")
+    val hit = quantizerCache.get(indexDir)
+    if (hit != null && hit._1 == fp) return hit._2
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("list_id").as[Int], col("centroid").as[Seq[Float]])
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val radii = new Array[Double](cents.length)
+    val counts = new Array[Long](cents.length)
+    spark.read.parquet(s"$indexDir/radii")
+      // coalesce: tolerate a radii partition without cnt (defense in
+      // depth — the v5 version gate should make it unreachable); a 0
+      // count only shrinks the advisory bound, never breaks exactness
+      .select(col("list_id").as[Int], col("radius").as[Double],
+        coalesce(col("cnt"), lit(0L)).as[Long])
+      .collect().foreach { case (l, r, c) =>
+        if (r > radii(l)) radii(l) = r
+        counts(l) += c
+      }
+    val v = (cents, radii, counts)
+    quantizerCache.put(indexDir, (fp, v))
+    v
+  }
+
+  /** two-level quantizer training for nlist > [[DriverFitMaxNlist]] —
+    * nothing super-linear ever runs on the driver:
+    *   1. a coarse codebook of k1 = ceil(sqrt(nlist)) cells trains on the
+    *      driver from a 64·k1 sample (k1 <= ~363 at the nlist clamp — a
+    *      triviality);
+    *   2. the full 64·nlist training sample stays DISTRIBUTED: each
+    *      vector maps to its coarse cell, and each cell's fine codebook
+    *      of ~nlist/k1 centroids trains executor-side over that cell's
+    *      members (flatMapSortedGroups by vec_id + a deterministic cap,
+    *      so builds stay reproducible);
+    *   3. the flat codebook is the concatenation of the per-cell fine
+    *      codebooks — cells keep CONTIGUOUS list-id spans, which is what
+    *      makes two-level assignment a span scan.
+    * Cells the sample never hit get no lists (their would-be members
+    * assign into neighboring cells' lists — radius widens, exactness
+    * holds). Driver state: the final codebook, nlist x dim floats. */
+  private def trainTwoLevel(spark: SparkSession, vecs: Dataset[(Long, Seq[Float])],
+      n: Long, nlist: Int): TwoLevelQuantizer = {
+    import spark.implicits._
+    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val k2 = math.ceil(nlist.toDouble / k1).toInt
+    val coarseCents = kmeansCentroids(
+      sampleVectors(vecs, n, quantizerSampleSize(n, k1)), k1)
+    val cb = spark.sparkContext.broadcast(coarseCents)
+    val stride = math.max(1L, n / math.max(1L, 64L * nlist))
+    val perCell: Array[(Int, Seq[Seq[Float]])] = vecs
+      .filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+      .map { case (id, v) => (nearestCentroid(l2normalize(v), cb.value), id, v) }
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (cell: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+        // deterministic member order (sorted by vec_id) + cap: executor
+        // memory stays bounded even under a pathologically hot cell
+        val members = it.take(64 * k2).map(x => l2normalize(x._3): Seq[Float]).toArray
+        if (members.isEmpty) Iterator.empty
+        else Iterator.single(
+          (cell, kmeansCentroids(members.map(_.toArray), k2).map(_.toSeq).toSeq))
+      }.collect().sortBy(_._1)
+    val starts = new Array[Int](perCell.length)
+    val lens = new Array[Int](perCell.length)
+    val flat = Array.newBuilder[Array[Float]]
+    var at = 0
+    perCell.zipWithIndex.foreach { case ((cellId, fine), i) =>
+      starts(i) = at
+      lens(i) = fine.length
+      fine.foreach(c => flat += c.toArray)
+      at += fine.length
+    }
+    // the persisted coarse table keeps only cells WITH lists, re-indexed
+    // densely — assignment scans their spans, original cell ids are moot
+    TwoLevelQuantizer(perCell.map(pc => cb.value(pc._1)), starts, lens, flat.result())
+  }
+
+  /** assignment-side quantizer for append/compact: flat centroids plus the
+    * coarse table when the index was built two-level. */
+  private def readAssignQuantizer(spark: SparkSession, indexDir: String): AnnQuantizer = {
+    import spark.implicits._
+    val (cents, _, _) = readQuantizer(spark, indexDir)
+    val coarsePath = new org.apache.hadoop.fs.Path(s"$indexDir/coarse")
+    val fs = coarsePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(coarsePath)) FlatQuantizer(cents)
+    else {
+      val rows = spark.read.parquet(s"$indexDir/coarse")
+        .select(col("cell_id").as[Int], col("centroid").as[Seq[Float]],
+          col("list_start").as[Int], col("list_len").as[Int])
+        .collect().sortBy(_._1)
+      TwoLevelQuantizer(rows.map(_._2.toArray), rows.map(_._3), rows.map(_._4), cents)
+    }
+  }
+
+  /** the (lsh rows, ivf rows with cdist) signature/assignment frames for a
+    * vector set — ONE shared map shape for build and append. */
+  private def indexRows(spark: SparkSession, vecs: Dataset[(Long, Seq[Float])],
+      planes: Int, quant: AnnQuantizer): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val quantB = spark.sparkContext.broadcast(quant)
+    val lsh = vecs.flatMap { case (id, v) =>
+      (0 until LshTables).iterator.map(t => (id, v, t, hyperplaneSig(v, planes, t)))
+    }.toDF("vec_id", "embedding", "tbl", "sig")
+      .withColumn("sigp", sigPrefix(planes)(col("sig")))
+    val ivf = vecs.map { case (id, v) =>
+      val nv = l2normalize(v)
+      val q = quantB.value
+      val c = q.assign(nv)
+      (id, v, c, math.sqrt(dist2(nv, q.cents(c))))
+    }.toDF("vec_id", "embedding", "list_id", "cdist")
+    (lsh, ivf)
+  }
+
+  /** write one batch's lsh/ivf rows. `overwriteAll = true` (initial build)
+    * wipes the whole table; appends use DYNAMIC partition overwrite so only
+    * this batch's own `... /batch=<id>` partitions are replaced. */
+  private def writeIndexBatch(indexDir: String, batchId: String,
+      lsh: DataFrame, ivf: DataFrame, nRows: Long, overwriteAll: Boolean): Unit = {
+    val lshW = lsh.withColumn("batch", lit(batchId))
+      .repartition(col("tbl"), col("sigp"))
+      .sortWithinPartitions(col("tbl"), col("sigp"), col("sig"))
+      .write.mode("overwrite").partitionBy("tbl", "sigp", "batch")
+    (if (overwriteAll) lshW else lshW.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/lsh")
+    val ivfW = ivf.drop("cdist").withColumn("batch", lit(batchId))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id", "batch")
+    (if (overwriteAll) ivfW else ivfW.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/ivf")
+    // commit record last: a batch row exists only once its data landed
+    val sparkS = lsh.sparkSession
+    val batchesW = sparkS.createDataFrame(Seq((batchId, nRows))).toDF("batch", "n_rows")
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+    (if (overwriteAll) batchesW else batchesW.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/batches")
+  }
+
+  /** Build the persisted index (initial batch `b0`). Deterministic per
+    * (embeddings, params): the caller controls `indexDir` lifetime. One
+    * pass over the corpus computes both the L LSH signatures and the IVF
+    * list id per vector. Quantizer sizing per the round-3 verdict:
+    * nlist ~ sqrt(n) ([[nlistFor]]), a 64-samples-per-centroid training
+    * sample ([[quantizerSampleSize]]), kmeans++ seeding — never again one
+    * sample per centroid. Grow the index afterwards with
+    * [[appendAnnIndex]]; retraining the quantizer = rebuild. */
+  def buildAnnIndex(spark: SparkSession, emb: DataFrame, indexDir: String,
+      planesOverride: Int = 0, nlistOverride: Int = 0): Unit = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    val n = vecs.count()
+    val planes = if (planesOverride > 0) planesOverride else planesFor(n)
+    require(planes >= 1 && planes <= 24,
+      s"planes must be in [1, 24] (got $planes): signatures are Int bit masks")
+    val nlist = if (nlistOverride > 0) nlistOverride else nlistFor(n)
+    val quant: AnnQuantizer =
+      if (nlist <= DriverFitMaxNlist) {
+        // driver fit: deterministic, bounded sample of >= 64 vectors per
+        // centroid, fit on the unit sphere (see l2normalize)
+        FlatQuantizer(kmeansCentroids(
+          sampleVectors(vecs, n, quantizerSampleSize(n, nlist)), nlist))
+      } else
+        trainTwoLevel(spark, vecs, n, nlist)
+    val cents = quant.cents
+
+    spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
+      .toDF("planes", "tables", "nlist", "n", "version")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    quant match {
+      case TwoLevelQuantizer(coarse, starts, lens, _) =>
+        spark.createDataFrame(
+          coarse.indices.map(c => (c, coarse(c).toSeq, starts(c), lens(c))))
+          .toDF("cell_id", "centroid", "list_start", "list_len")
+          .write.mode("overwrite").parquet(s"$indexDir/coarse")
+      case _ => ()
+    }
+
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
+    val ivfP = ivf.persist()
+    writeRadiiBatch(spark, indexDir, "b0", collectRadii(ivfP, cents.length),
+      overwriteAll = true)
+    writeIndexBatch(indexDir, "b0", lsh, ivfP, n, overwriteAll = true)
+    ivfP.unpersist(false)
+    vecs.unpersist(false)
+  }
+
+  /** deterministic quantizer training sample, robust to ARBITRARY vec_id
+    * spaces (sparse, offset, all-odd — subset builds are first-class now
+    * that [[appendAnnIndex]] exists): membership is decided by
+    * `mix64(vec_id)` falling in the stride's zero residue class, which
+    * hashes ANY id distribution to a uniform ~target-sized sample — the
+    * old `vec_id % stride == 0` filter returned an EMPTY sample whenever
+    * the id space avoided the stride multiples (empty sample = driver
+    * crash in seeding). Tiny-tail fallback: first `target` rows by id. */
+  private[spark] def sampleVectors(vecs: Dataset[(Long, Seq[Float])], n: Long,
+      target: Long): Array[Array[Float]] = {
+    import vecs.sparkSession.implicits._
+    val stride = math.max(1L, n / target)
+    val picked = vecs.filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+      .collect().sortBy(_._1).map(x => l2normalize(x._2))
+    if (picked.nonEmpty) picked
+    else vecs.orderBy(col(vecs.columns.head)) // id col: "vec_id" or "_1" by caller shape
+      .limit(math.min(target, Int.MaxValue.toLong).toInt)
+      .collect().sortBy(_._1).map(x => l2normalize(x._2))
+  }
+
+  /** Append a new vector batch to an existing index — the 100-TB growth
+    * path (a training corpus ingests continuously; overwrite-only rebuild
+    * is a non-starter). Reuses the index's trained quantizer and planes
+    * (meta/centroids), writes the batch's rows into its own `batch=<id>`
+    * partitions via dynamic partition overwrite, so re-running a failed or
+    * duplicated append for the same `batchId` is IDEMPOTENT (replaces
+    * exactly its own partitions, exactly-once like ExtractJob's bucket
+    * resume).
+    *
+    * Certificate safety on crash AND under concurrency: the batch's
+    * per-list radii are published into the batch's OWN `radii/batch=`
+    * partition BEFORE its data, and readers max-merge over all batches.
+    * A crash between the two writes leaves an over-estimate (extra lists
+    * scanned, none missed); two concurrent appends touch disjoint radii
+    * partitions, so neither can lose the other's maxima — there is no
+    * shared-state read-modify-write anywhere, and the centroids table is
+    * never rewritten after build. */
+  def appendAnnIndex(spark: SparkSession, emb: DataFrame, indexDir: String,
+      batchId: String): Unit = {
+    import spark.implicits._
+    require(batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId must be a safe partition value (got '$batchId')")
+    // reserved names: overwriting the build batch or a compaction target
+    // would REPLACE (not merge) its radii/data partitions — losing
+    // vectors and shrinking published radii, which silently breaks the
+    // exactness certificate
+    require(batchId != "b0" && !batchId.startsWith("compacted-"),
+      s"batchId '$batchId' is reserved (b0 = initial build, compacted-* = compaction targets)")
+    val (planes, _, _, _, version) = readMeta(spark, indexDir)
+    require(version == AnnIndexVersion,
+      s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
+    val quant = readAssignQuantizer(spark, indexDir)
+
+    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    val n = vecs.count()
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
+    val ivfP = ivf.persist()
+    // this batch's radii first (conservative on crash — see scaladoc)
+    writeRadiiBatch(spark, indexDir, batchId, collectRadii(ivfP, quant.cents.length),
+      overwriteAll = false)
+    writeIndexBatch(indexDir, batchId, lsh, ivfP, n, overwriteAll = false)
+    ivfP.unpersist(false)
+    vecs.unpersist(false)
+  }
+
+  /** Compact every ingested batch into one `batch=compacted-<epoch>`
+    * partition set — the file-count hygiene pass after many appends (each
+    * append adds one small file per touched (tbl,sigp) / list_id
+    * directory; after ~10^3 batches small-file overhead dominates probe
+    * I/O). Probes are unaffected semantically (they prune on (tbl,sigp) /
+    * list_id, never batch).
+    *
+    * Implementation = RE-INGEST the deduped union of all vectors as one
+    * batch through the exact build/append write path ([[indexRows]] +
+    * [[writeRadiiBatch]] + [[writeIndexBatch]]) — one layout definition,
+    * and the radii are recomputed TIGHT from the surviving rows (a
+    * crashed append's over-estimating phantom partition is corrected
+    * here, not preserved forever).
+    *
+    * Crash-safety without a transaction log: every step is individually
+    * idempotent and every intermediate state is probe-correct —
+    *   1. the target batch's tight radii land first (old radii partitions
+    *      still present until step 4, and max-merge keeps their
+    *      over-estimates in force exactly as long as their data exists),
+    *   2. regenerated rows land in the target partitions via dynamic
+    *      overwrite (vectors deduped on vec_id, so a previous crashed
+    *      compaction's leftovers collapse),
+    *   3. the commit record lands,
+    *   4. the superseded batch partitions are deleted.
+    * A crash between 2 and 4 leaves some vectors present in two batches:
+    * harmless, because every probe dedups on vec_id (LSH probe scan, IVF
+    * scanTopK, batch probe's (qid, vec_id)) and reads with
+    * ignoreMissingFiles (a file deleted mid-scan by step 4 only ever
+    * removes rows that already exist in the target partitions);
+    * re-running the compaction finishes the cleanup. An append running
+    * CONCURRENTLY in the same Spark application is safe: its new batch is
+    * either folded in (read before the snapshot) or left untouched
+    * (after) — only batches seen at snapshot time are deleted. Appends/
+    * compactions from SEPARATE applications need external scheduling —
+    * Spark's output-committer staging for one root path is keyed at
+    * second granularity, so cross-application concurrent writes to the
+    * same table root can collide in staging (true of any parquet table,
+    * not specific to this layout). */
+  def compactAnnIndex(spark: SparkSession, indexDir: String, epoch: String = "0"): Unit = {
+    import spark.implicits._
+    require(epoch.nonEmpty && epoch.matches("[A-Za-z0-9._-]+"),
+      s"epoch must be a safe partition value (got '$epoch')")
+    val target = s"compacted-$epoch"
+    val old = spark.read.parquet(s"$indexDir/batches")
+      .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
+    if (old.isEmpty) return
+    val planes = readMeta(spark, indexDir)._1
+    val quant = readAssignQuantizer(spark, indexDir)
+
+    // the deduped union of every live vector. localCheckpoint breaks the
+    // read->overwrite-same-path cycle (Spark rejects a write whose plan
+    // still reads the output path) and bounds the materialized slice to
+    // the VECTORS (not the L-times-larger lsh table). A 100-TB deployment
+    // would bound it further by compacting one list_id range at a time —
+    // same algorithm, partial scope.
+    val vecs = spark.read.parquet(s"$indexDir/ivf")
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .as[(Long, Seq[Float])]
+      .localCheckpoint(true)
+    val n = vecs.count()
+
+    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
+    val ivfP = ivf.persist()
+    // 1. tight radii first, 2.-3. data + commit record via the one shared
+    // write path (single layout definition with build/append)
+    writeRadiiBatch(spark, indexDir, target, collectRadii(ivfP, quant.cents.length),
+      overwriteAll = false)
+    writeIndexBatch(indexDir, target, lsh, ivfP, n, overwriteAll = false)
+    ivfP.unpersist(false)
+    // the checkpointed vecs blocks are reclaimed by the ContextCleaner
+    // once this frame goes out of scope (Dataset.unpersist does not track
+    // localCheckpoint blocks)
+
+    // 4. drop the superseded batch partitions (Hadoop FS glob — works on
+    // local FS here and HDFS/object stores at scale)
+    val conf = spark.sparkContext.hadoopConfiguration
+    old.foreach { b =>
+      Seq(s"$indexDir/lsh/*/*/batch=$b", s"$indexDir/ivf/*/batch=$b",
+        s"$indexDir/radii/batch=$b", s"$indexDir/batches/batch=$b").foreach { pat =>
+        val p = new org.apache.hadoop.fs.Path(pat)
+        val fs = p.getFileSystem(conf)
+        val hits = fs.globStatus(p)
+        if (hits != null) hits.foreach(h => fs.delete(h.getPath, true))
+      }
+    }
+  }
+
+  /** bump on ANY change to signature / quantizer / layout semantics
+    * (hyperplaneSig, l2normalize, partitioning): a persisted index built by
+    * older code must never be probed by newer code.
+    * v3: sqrt(n) nlist + kmeans++ quantizer, per-list radius column
+    * (exactness certificate), batch partition axis (append mode).
+    * v4: radii split out of centroids into an append-only batch-partitioned
+    * table (crash-safe + concurrent-append-safe max-merge); hash-based
+    * quantizer sampling (arbitrary vec_id spaces).
+    * v5: radii table gains per-list member counts (sum-merged) feeding the
+    * radius-aware initial probe choice — common case one pruned read. */
+  final val AnnIndexVersion = 5
+
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+  }
+
+  /** build-if-absent wrapper keyed by the sf dir (the correctness/bench
+    * harness entry — production callers own indexDir lifetimes). Rebuilds
+    * when the persisted index predates [[AnnIndexVersion]].
+    *
+    * Publish is ATOMIC: the index is built into a process-unique temp dir
+    * and renamed into place, so two JVMs racing the same missing index
+    * (Verify and Bench do exactly this) can never interleave overwrite
+    * writes into one dir, and a probe can never read a half-built index —
+    * the published path either doesn't exist or is complete. The loser of
+    * the publish race keeps the winner's index and discards its own. */
+  def ensureAnnIndex(spark: SparkSession, sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v$AnnIndexVersion-$name"
+    def versionOk: Boolean = new java.io.File(s"$indexDir/ivf/_SUCCESS").exists() && (try {
+      // readMeta caches behind a file fingerprint: repeated ensure calls
+      // (one per probe in the harness) cost a dir listing, not a Spark job
+      readMeta(spark, indexDir)._5 == AnnIndexVersion
+    } catch { case scala.util.control.NonFatal(_) => false })
+    if (!versionOk) {
+      val tmp = s"$indexDir.build-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      buildAnnIndex(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"), tmp)
+      val src = java.nio.file.Paths.get(tmp)
+      val dst = java.nio.file.Paths.get(indexDir)
+      try java.nio.file.Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          if (versionOk) deleteRecursively(tmp) // lost the race: keep the winner
+          else {
+            // a stale/old-version dir squats on the name. Replacing it is
+            // delete-then-move — NOT atomic — so only ONE process may do
+            // it: an atomically-created lock file elects the replacer;
+            // everyone else WAITS for a valid index instead of deleting
+            // anything (a published complete index is therefore never
+            // deleted by a non-elected process — no delete-the-winner
+            // window between another JVM's versionOk check and its move).
+            val lock = new java.io.File(s"$indexDir.lock")
+            def create(): Boolean = try lock.createNewFile()
+              catch { case scala.util.control.NonFatal(_) => false }
+            // a crashed holder must not wedge recovery forever: a lock
+            // older than 10 min is stolen (deleted + re-contended). A LIVE
+            // holder heartbeats the lock mtime every 60 s below, so only a
+            // genuinely dead holder ever looks stale — a legitimate long
+            // delete (huge index dir) keeps its lock.
+            def elect(): Boolean = create() || {
+              val stale = lock.exists() &&
+                System.currentTimeMillis() - lock.lastModified() > 600000L
+              stale && lock.delete() && create()
+            }
+            if (elect()) {
+              val heartbeat = new Thread(() => {
+                try while (!Thread.interrupted()) {
+                  Thread.sleep(60000L)
+                  lock.setLastModified(System.currentTimeMillis()); ()
+                } catch { case _: InterruptedException => () }
+              }, s"ann-lock-heartbeat-${lock.getName}")
+              heartbeat.setDaemon(true)
+              heartbeat.start()
+              try {
+                if (!versionOk) { // re-check under the lock
+                  deleteRecursively(indexDir)
+                  // a fresh builder (not in this recovery branch) may land
+                  // its first move into the vacated name during our
+                  // window — its index is complete, so keep it
+                  try java.nio.file.Files.move(src, dst,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      if (versionOk) deleteRecursively(tmp) else throw e
+                  }
+                } else deleteRecursively(tmp)
+              } finally { heartbeat.interrupt(); lock.delete(); () }
+            } else {
+              // another process is replacing the squatter: wait it out
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (!versionOk && System.nanoTime() < deadline) Thread.sleep(200)
+              deleteRecursively(tmp)
+              require(versionOk,
+                s"ANN index recovery at $indexDir did not complete within 120 s")
+            }
+          }
+      }
+    }
+    indexDir
+  }
+
+  /** multi-query LSH ANN eval with a CROSS-ENGINE oracle: emits the exact
+    * top-k (qid, rank, vec_id) computed over multi-probe LSH candidates; the
+    * DuckDB oracle recomputes per-query brute-force top-k independently via
+    * list_cosine_similarity, so any candidate-set miss (recall < 1 at the
+    * probed radius) hash-mismatches — the recall bit is no longer
+    * self-graded. Window-per-qid is eval-harness shape; the production
+    * single-query path is [[annLshIndexed]] (TakeOrdered, pruned read).
+    * `materialize = false` returns the lazy plan (the persisted signature
+    * frame then stays cached until the caller releases it). */
+}

@@ -1,0 +1,146 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** deduplication operators over the documents / embeddings tables: exact
+  * (hash-keyed), MinHash-LSH, SimHash, and embedding-cosine near-dup pairs
+  * — every candidate generator is banded + bucket-capped and every pair is
+  * verified exactly before it counts. See [[TextOps]]. */
+private[spark] trait TextDedupOps extends AnnCoreOps {
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.withColumn("h", xxhash64(col("text")))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("text"), col("keep_id"), col("dup_count"))
+
+  /** corpus dedup summary without text-keyed shuffles: group by
+    * (xxhash64, length) and verify exactness within each tiny hash group
+    * via countDistinct — semantics identical to COUNT(DISTINCT text). */
+  def dedupExactSummary(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+      .agg(countDistinct(col("text")).as("d"), count(lit(1)).as("c"))
+      .agg(sum(col("d")).as("distinct_texts"), sum(col("c")).as("total_docs"))
+
+  /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->
+    * bucket join (self-join only inside LSH buckets), then EXACT
+    * shingle-Jaccard verification of every candidate.
+    *
+    * Scale guards: sub-`w`-token docs emit no bands; buckets larger than
+    * `bucketCap` are dropped before the self-join (a pathological bucket can
+    * never go O(n^2)); the band table is persisted so the signature map runs
+    * once, not on both sides of the self-join. */
+  def minhashPairs(spark: SparkSession, docs: DataFrame, w: Int = 3, perms: Int = 16,
+      bands: Int = 4, bucketCap: Long = 10000L, minJaccard: Double = 0.9,
+      materialize: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val bandRows = docs.select(col("doc_id").as[Long], col("text").as[String])
+      .flatMap { case (id, text) =>
+        val keys = minHashBandKeys(text, w, perms, bands)
+        if (keys == null) Iterator.empty
+        else keys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
+      }.toDF("doc_id", "band", "key")
+      .persist()
+    val okBuckets = bandRows.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val inBucket = bandRows.join(okBuckets, Seq("band", "key"))
+    val candidates = inBucket.as("a").join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    val verified = candidates
+      .join(texts.select(col("doc_id").as("left_id"), col("text").as("lt")), "left_id")
+      .join(texts.select(col("doc_id").as("right_id"), col("text").as("rt")), "right_id")
+      .select(col("left_id").as[Long], col("right_id").as[Long],
+        col("lt").as[String], col("rt").as[String])
+      .flatMap { case (l, r, lt, rt) =>
+        if (jaccard(lt, rt, w) >= minJaccard) Iterator.single((l, r)) else Iterator.empty
+      }.toDF("left_id", "right_id")
+    // materialize=false returns the lazy plan (plan dumps / caller-owned
+    // pipelines); the internal band persist is released on BOTH paths —
+    // the lazy plan recomputes it on action (correctness-neutral), so
+    // neither path can leak executor memory
+    if (materialize) finishUnpersist(verified, bandRows)
+    else { bandRows.unpersist(false); verified }
+  }
+
+  /** SimHash bands: 4 x 16-bit bands over the 64-bit hash; near-dup
+    * candidates share a band, verified by full-hash Hamming distance. */
+  def simhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as[Long], col("text").as[String]).map { case (id, t) =>
+      val h = simHash(t)
+      (id, h, (0 until 4).map(b => ((h >>> (16 * b)) & 0xffffL).toInt))
+    }.toDF("doc_id", "simhash", "bands")
+  }
+
+  /** SimHash near-dup pairs: band bucket join + Hamming-distance verify. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = 10000L, materialize: Boolean = true): DataFrame = {
+    val sigs = simhashBuckets(spark, docs)
+      .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band", "key")))
+      .persist()
+    val okBuckets = sigs.groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val inBucket = sigs.join(okBuckets, Seq("band", "key"))
+    val verified = inBucket.as("a").join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    if (materialize) finishUnpersist(verified, sigs)
+    else { sigs.unpersist(false); verified } // leak-free: lazy plan recomputes
+  }
+
+  /** whitespace token count + BPE-ish subword count (letter runs / digit
+    * runs / single punctuation — the pre-tokenizer regex shape). Pure
+    * column expressions, fully codegen'd. */
+
+  /** embedding-cosine near-dup pairs: multi-table hyperplane-LSH buckets
+    * generate candidates (bucket-size-capped, corpus-scaled plane count),
+    * exact cosine >= threshold verifies them — the vector analog of
+    * [[minhashPairs]]; no all-pairs join anywhere. */
+  def embedDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double = 0.99,
+      bucketCap: Long = 10000L, materialize: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+      .persist()
+    // near-identical vectors (cos >= threshold) share a bucket in every
+    // table almost surely, so unlike ANN the bucket target can be SMALL:
+    // candidate volume is ~tables * target * n / 2 — keep the constant low
+    val planes = planesFor(vecs.count(), target = 32L)
+    val sigRows = vecs.flatMap { case (id, v) =>
+      (0 until LshTables).iterator.map(t => (id, t, hyperplaneSig(v, planes, t)))
+    }.toDF("vec_id", "tbl", "sig")
+    val okBuckets = sigRows.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2 && col("sz") <= bucketCap)
+      .select(col("tbl"), col("sig"))
+    val inBucket = sigRows.join(okBuckets, Seq("tbl", "sig"))
+    val candidates = inBucket.as("a").join(inBucket.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
+      .distinct()
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val verified = candidates
+      .join(vdf.select(col("vec_id").as("left_id"), col("embedding").as("lv")), "left_id")
+      .join(vdf.select(col("vec_id").as("right_id"), col("embedding").as("rv")), "right_id")
+      .select(col("left_id").as[Long], col("right_id").as[Long],
+        col("lv").as[Seq[Float]], col("rv").as[Seq[Float]])
+      .flatMap { case (l, r, lv, rv) =>
+        if (cosine(lv.toArray, rv) >= threshold) Iterator.single((l, r)) else Iterator.empty
+      }.toDF("left_id", "right_id")
+    if (materialize) finishUnpersist(verified, vecs)
+    else { vecs.unpersist(false); verified } // leak-free: lazy plan recomputes
+  }
+}
