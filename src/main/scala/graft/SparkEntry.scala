@@ -409,6 +409,32 @@ object SparkEntry {
         "n_body", "n_head", "n_input", "n_header", "b_src").orderBy("doc_id")
     }),
 
+    // ---- 16b. HTML5 implicit-tree crawl mode (ParseOptions.crawl):
+    //      a realistic page with NO explicit html/head/body and unclosed
+    //      <p>/<li> — implied structure + auto-close must produce the
+    //      spec tree, metadata must land in head, and re-render stays
+    //      byte-identical (implied elements render transparently) ----
+    "q_html5_tree" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val nLi = 1 + (id % 5).toInt
+        val nP = 1 + (id % 3).toInt
+        val html = s"""<!DOCTYPE html><meta charset="utf-8"><title>T$id</title>""" +
+          ("<p>par" * nP) + "<ul>" + ("<li>item" * nLi) + s"</ul><div>tail$id</div>"
+        val root = Vis.loadOptions(html, graft.html.ParseOptions.crawl)
+          .toOption.get
+        (id,
+          root.find("body > p").length.toLong,
+          root.find("ul > li").length.toLong,
+          root.find("li li, p p, p ul").length.toLong, // auto-close: no nesting
+          root.find("head > title").text(),
+          root.find("head").children("").length.toLong, // meta + title
+          root.find("body").text(),
+          if (root.doc.sourceCode == html) 1L else 0L)
+      }.toDF("doc_id", "n_body_p", "n_li", "n_nested", "t_title",
+        "n_head_kids", "body_text", "b_src").orderBy("doc_id")
+    }),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -808,6 +834,18 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS n_input, CAST(1 AS BIGINT) AS n_header, " +
         "CAST(1 AS BIGINT) AS b_src " +
         "FROM documents ORDER BY doc_id"),
+    "q_html5_tree" ->
+      ("SELECT doc_id, " +
+        "CAST(1 + doc_id % 3 AS BIGINT) AS n_body_p, " +
+        "CAST(1 + doc_id % 5 AS BIGINT) AS n_li, " +
+        "CAST(0 AS BIGINT) AS n_nested, " +
+        "concat('T', CAST(doc_id AS VARCHAR)) AS t_title, " +
+        "CAST(2 AS BIGINT) AS n_head_kids, " +
+        "concat(repeat('par', CAST(1 + doc_id % 3 AS INT)), " +
+        "repeat('item', CAST(1 + doc_id % 5 AS INT)), 'tail', " +
+        "CAST(doc_id AS VARCHAR)) AS body_text, " +
+        "CAST(1 AS BIGINT) AS b_src " +
+        "FROM documents ORDER BY doc_id"),
     "q_set_ops" ->
       ("WITH t AS (SELECT doc_id, (doc_id % 5) + 2 AS k, doc_id % 6 AS m FROM documents) " +
         "SELECT doc_id, CAST(1 AS BIGINT) AS n_submit, CAST(1 AS BIGINT) AS n_oot, " +
@@ -843,17 +881,21 @@ object SparkEntry {
         "'''>x</li>|', CAST(doc_id % 7 + 1 AS INT)), '|') AS snippets " +
         "FROM documents ORDER BY doc_id"),
     "q_media_real" ->
-      ("SELECT doc_id AS media_id, " +
-        "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'image' END AS kind, " +
-        "CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 16 + (doc_id % 7) * 16 END AS BIGINT) AS width, " +
-        "CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 16 + (doc_id % 5) * 16 END AS BIGINT) AS height, " +
-        "CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 4) * 8000 WHEN doc_id % 5 = 2 THEN " +
-        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END " +
-        "ELSE 0 END AS BIGINT) AS sample_rate, " +
-        "CAST(CASE WHEN doc_id % 5 = 1 THEN 64 + (doc_id % 17) * 16 " +
-        "WHEN doc_id % 5 = 2 THEN 1 + (doc_id % 24) ELSE 1 END AS BIGINT) AS frames, " +
+      ("WITH f AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS fmt, " +
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END AS fps " +
+        "FROM documents) " +
+        "SELECT doc_id AS media_id, " +
+        "CASE WHEN fmt IN (1, 5) THEN 'audio' WHEN fmt IN (2, 6) THEN 'video' ELSE 'image' END AS kind, " +
+        "CAST(CASE WHEN fmt IN (1, 5) THEN 0 ELSE 16 + (doc_id % 7) * 16 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN fmt IN (1, 5) THEN 0 ELSE 16 + (doc_id % 5) * 16 END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN fmt = 1 THEN 8000 + (doc_id % 4) * 8000 " +
+        "WHEN fmt = 5 THEN CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END " +
+        "WHEN fmt IN (2, 6) THEN fps ELSE 0 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN fmt = 1 THEN 64 + (doc_id % 17) * 16 " +
+        "WHEN fmt = 5 THEN 16 + (doc_id % 17) " +
+        "WHEN fmt IN (2, 6) THEN 1 + (doc_id % 24) ELSE 1 END AS BIGINT) AS frames, " +
         "CAST((doc_id % 251) // 16 AS BIGINT) AS dom_bin " +
-        "FROM documents ORDER BY media_id"),
+        "FROM f ORDER BY media_id"),
     "q_rollup_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),

@@ -319,8 +319,147 @@ object MediaOps extends Serializable {
     null
   }
 
+  // MPEG1 Layer III bitrate table (kbps) and sample-rate table, indexed by
+  // the header's 4-bit / 2-bit fields (index 0 = free, 15 = bad)
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3: optional ID3v2 tag skip (syncsafe size), then an MPEG1 Layer III
+    * frame walk — sample rate / bitrate from the first frame header, frame
+    * count + TRUE per-frame offsets from the frame-length formula
+    * (144 * bitrate / rate + padding). A truncated final frame ends the
+    * walk (crawl tolerance). Null on malformed input. */
+  def decodeMp3(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 10) return null
+    var at = 0
+    if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2: 10-byte header, syncsafe 28-bit size
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      if (size < 0 || 10L + size >= bytes.length) return null
+      at = 10 + size
+    }
+    // resync tolerance: scan up to 2 KB for the first frame sync
+    val scanLim = math.min(bytes.length - 4, at + 2048)
+    while (at <= scanLim &&
+      !((bytes(at) & 0xFF) == 0xFF && (bytes(at + 1) & 0xE0) == 0xE0)) at += 1
+    if (at > scanLim) return null
+    val h1 = bytes(at + 1) & 0xFF
+    if ((h1 & 0x18) != 0x18 || (h1 & 0x06) != 0x02) return null // MPEG1 Layer III only
+    val first = at
+    var sampleRate = 0
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var going = true
+    while (going && at + 4 <= bytes.length) {
+      if (!((bytes(at) & 0xFF) == 0xFF && (bytes(at + 1) & 0xE0) == 0xE0)) going = false
+      else {
+        val b2 = bytes(at + 2) & 0xFF
+        val brIdx = (b2 >> 4) & 0xF
+        val srIdx = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) going = false
+        else {
+          val sr = Mp3Rates(srIdx)
+          if (sampleRate == 0) sampleRate = sr
+          val frameLen = 144 * (Mp3Bitrates(brIdx) * 1000) / sr + padding
+          if (frameLen <= 4 || at.toLong + frameLen > bytes.length) going = false
+          else {
+            // frame payload after the 4-byte header (no CRC in our profile)
+            frameOffs += ((at + 4, frameLen - 4))
+            at += frameLen
+          }
+        }
+      }
+    }
+    if (sampleRate == 0 || frameOffs.isEmpty) return null
+    Decoded(MediaMeta("audio", 0, 0, sampleRate, frameOffs.length),
+      first, at - first, frameOffs.toSeq)
+  }
+
+  /** MP4 (ISO BMFF): recursive box walk — mvhd yields timescale/duration,
+    * tkhd the 16.16 fixed-point track dims, stsz the sample count + TRUE
+    * per-sample sizes (frame offsets derived from the mdat payload start,
+    * the single-chunk layout). fps = round(samples * timescale /
+    * duration). Null on malformed input. */
+  def decodeMp4(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 16) return null
+    if (!(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')) return null
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    var sampleSizes: Array[Int] = null
+    var mdatOff = -1
+    var mdatLen = 0
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var at = from
+      while (at + 8 <= until) {
+        val size = beI32(bytes, at)
+        if (size < 8 || at.toLong + size > until) return false
+        val typ = new String(bytes, at + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case t if containers(t) =>
+            if (!walk(at + 8, at + size, depth + 1)) return false
+          case "mvhd" if size >= 8 + 20 =>
+            val v = bytes(at + 8) & 0xFF
+            if (v == 0) { // ver0: ctime/mtime 4+4, then timescale/duration
+              timescale = beI32(bytes, at + 20).toLong & 0xFFFFFFFFL
+              duration = beI32(bytes, at + 24).toLong & 0xFFFFFFFFL
+            } else if (v == 1 && size >= 8 + 28) { // 8-byte times
+              timescale = beI32(bytes, at + 28).toLong & 0xFFFFFFFFL
+              duration = ((beI32(bytes, at + 32).toLong & 0xFFFFFFFFL) << 32) |
+                (beI32(bytes, at + 36).toLong & 0xFFFFFFFFL)
+            }
+          case "tkhd" if size >= 8 + 84 =>
+            val v = bytes(at + 8) & 0xFF
+            val base = if (v == 0) at + 8 + 76 else at + 8 + 88
+            if (base + 8 <= at + size) {
+              width = beI32(bytes, base) >>> 16 // 16.16 fixed
+              height = beI32(bytes, base + 4) >>> 16
+            }
+          case "stsz" if size >= 8 + 12 =>
+            val fixed = beI32(bytes, at + 12)
+            val count = beI32(bytes, at + 16)
+            if (count < 0 || count > (1 << 22)) return false
+            if (fixed != 0) sampleSizes = Array.fill(count)(fixed)
+            else if (8 + 12 + 4L * count <= size)
+              sampleSizes = Array.tabulate(count)(i => beI32(bytes, at + 20 + 4 * i))
+          case "mdat" =>
+            mdatOff = at + 8
+            mdatLen = size - 8
+          case _ => ()
+        }
+        at += size
+      }
+      true
+    }
+    if (!walk(0, bytes.length, 0)) return null
+    if (width <= 0 || height <= 0 || mdatOff < 0 || sampleSizes == null ||
+      sampleSizes.isEmpty) return null
+    // single-chunk layout: samples are contiguous from the mdat start
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = mdatOff
+    var ok = true
+    sampleSizes.foreach { sz =>
+      if (ok && sz >= 0 && off.toLong + sz <= mdatOff.toLong + mdatLen) {
+        frameOffs += ((off, sz)); off += sz
+      } else ok = false
+    }
+    if (frameOffs.isEmpty) return null
+    val fps =
+      if (duration > 0 && timescale > 0)
+        math.round(frameOffs.length.toDouble * timescale / duration).toInt
+      else 0
+    Decoded(MediaMeta("video", width, height, fps, frameOffs.length),
+      mdatOff, mdatLen, frameOffs.toSeq)
+  }
+
   /** format dispatch on magic bytes: the single decode slot. RIFF files
-    * split on the form type at offset 8 (WAVE vs 'AVI '). */
+    * split on the form type at offset 8 (WAVE vs 'AVI '); ISO BMFF on the
+    * 'ftyp' box at offset 4; MP3 on an ID3 tag or a bare frame sync. */
   def decodeReal(bytes: Array[Byte]): Decoded = {
     if (bytes == null || bytes.length < 12) return null
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
@@ -328,6 +467,10 @@ object MediaOps extends Serializable {
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(8) == 'A') decodeAvi(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
+    else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+      decodeMp4(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+      ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xE0) == 0xE0)) decodeMp3(bytes)
     else {
       val m = decodeStub(bytes)
       if (m == null) null else Decoded(m, 16, bytes.length - 16)
@@ -467,6 +610,94 @@ object MediaOps extends Serializable {
     out.toByteArray
   }
 
+  def mp3RateOf(id: Long): Int = Mp3Rates((id % 3).toInt)
+  def mp3FramesOf(id: Long): Int = 16 + (id % 17).toInt
+
+  /** a true MPEG1 Layer III stream (ID3v2 tag + constant-bitrate frames at
+    * 128 kbps, real frame-length arithmetic) with constant frame-payload
+    * bytes. Not valid Huffman audio data — codecs stay out of scope — but
+    * every header field and frame boundary is real. */
+  def synthMp3(id: Long): Array[Byte] = {
+    val sr = mp3RateOf(id)
+    val srIdx = (id % 3).toInt
+    val frames = mp3FramesOf(id)
+    val frameLen = 144 * 128000 / sr // brIdx 9 = 128 kbps, no padding
+    val tagBody = 32
+    val out = new Array[Byte](10 + tagBody + frames * frameLen)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4; out(4) = 0 // v2.4
+    out(5) = 0
+    out(6) = 0; out(7) = 0; out(8) = 0; out(9) = tagBody.toByte // syncsafe size
+    var at = 10 + tagBody
+    var f = 0
+    while (f < frames) {
+      out(at) = 0xFF.toByte
+      out(at + 1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+      out(at + 2) = (0x90 | (srIdx << 2)).toByte // bitrate idx 9, padding 0
+      out(at + 3) = 0
+      java.util.Arrays.fill(out, at + 4, at + frameLen, payloadByteOf(id).toByte)
+      at += frameLen
+      f += 1
+    }
+    out
+  }
+
+  /** a true ISO BMFF (MP4) file: ftyp, moov{mvhd, trak{tkhd, mdia{minf{
+    * stbl{stsz}}}}}, mdat — v0 boxes, 16.16 fixed-point track dims,
+    * timescale/duration sized so fps = fpsOf(id), fixed 32-byte samples
+    * of constant payload bytes. */
+  def synthMp4(id: Long): Array[Byte] = {
+    val w = widthOf(id)
+    val h = heightOf(id)
+    val frames = videoFramesOf(id)
+    val sampleLen = 32
+    val out = new java.io.ByteArrayOutputStream(256 + frames * sampleLen)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    def cc(s: String): Unit = s.foreach(c => out.write(c & 0xFF))
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+    // ftyp
+    be32(16); cc("ftyp"); cc("isom"); be32(0)
+    // moov = 8 + mvhd(108) + trak(144)
+    be32(260); cc("moov")
+    be32(108); cc("mvhd")
+    be32(0) // ver/flags
+    be32(0); be32(0) // ctime/mtime
+    be32(fpsOf(id)) // timescale
+    be32(frames) // duration -> fps = frames*timescale/duration = timescale
+    be32(0x00010000); out.write(1); out.write(0) // rate 1.0, volume 1.0
+    zeros(2 + 8) // reserved
+    be32(0x00010000); be32(0); be32(0) // identity matrix
+    be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    zeros(24) // predefined
+    be32(2) // next track id
+    // trak = 8 + tkhd(92) + mdia(44)
+    be32(144); cc("trak")
+    be32(92); cc("tkhd")
+    be32(0); be32(0); be32(0) // ver/flags, ctime, mtime
+    be32(1); be32(0); be32(frames) // track id, reserved, duration
+    zeros(8); zeros(2 + 2 + 2 + 2) // reserved, layer/alt/volume/reserved
+    be32(0x00010000); be32(0); be32(0) // identity matrix
+    be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    be32(w << 16); be32(h << 16) // 16.16 fixed dims
+    be32(44); cc("mdia")
+    be32(36); cc("minf")
+    be32(28); cc("stbl")
+    be32(20); cc("stsz")
+    be32(0) // ver/flags
+    be32(sampleLen) // fixed sample size
+    be32(frames) // sample count
+    // mdat
+    be32(8 + frames * sampleLen); cc("mdat")
+    val pay = new Array[Byte](frames * sampleLen)
+    java.util.Arrays.fill(pay, payloadByteOf(id).toByte)
+    out.write(pay, 0, pay.length)
+    out.toByteArray
+  }
+
   def fpsOf(id: Long): Int = Array(10, 20, 25, 50)((id % 4).toInt)
   def videoFramesOf(id: Long): Int = 1 + (id % 24).toInt
   private val AviFrameLen = 32 // even: no RIFF pad byte between frames
@@ -549,25 +780,27 @@ object MediaOps extends Serializable {
   }
 
   /** real-format media pipeline: synthesize true BMP / WAV / AVI / PNG /
-    * JPEG bytes (id % 5 — the formats a real crawl media column actually
-    * contains), decode through the REAL container parsers per partition,
-    * extract the histogram dominant bin over the actual pixel / PCM /
-    * frame / IDAT / scan payload (for AVI the histogram runs over the
-    * TRUE frame spans from the movi walk, not the raw movi bytes — chunk
-    * headers never pollute the features). Every output column is a
-    * closed-form function of the id for the DuckDB oracle. */
+    * JPEG / MP3 / MP4 bytes (id % 7 — the formats a real crawl media
+    * column actually contains), decode through the REAL container parsers
+    * per partition, extract the histogram dominant bin over the actual
+    * pixel / PCM / frame / IDAT / scan / mdat payload (frame-addressable
+    * formats histogram over the TRUE frame spans — container headers
+    * never pollute the features). Every output column is a closed-form
+    * function of the id for the DuckDB oracle. */
   def realMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as[Long])
       .mapPartitions { it =>
         it.map { id =>
-          val bytes = (id % 5) match {
+          val bytes = (id % 7) match {
             case 0 => synthBmp(id)
             case 1 => synthWav(id)
             case 2 => synthAvi(id)
             case 3 => synthPng(id)
-            case _ => synthJpeg(id)
+            case 4 => synthJpeg(id)
+            case 5 => synthMp3(id)
+            case _ => synthMp4(id)
           }
           val d = decodeReal(bytes)
           val spans =

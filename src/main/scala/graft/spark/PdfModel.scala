@@ -302,6 +302,56 @@ private[spark] object PdfModel {
     }
     var data = s.data
     filters.zip(parms).foreach {
+      case ("ASCIIHexDecode" | "AHx", _) =>
+        // hex pairs, whitespace ignored, '>' EOD, odd final digit pads 0
+        val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+        var hi = -1
+        var i = 0
+        var done = false
+        while (i < data.length && !done) {
+          val c = data(i) & 0xFF
+          if (c == '>') done = true
+          else {
+            val d = Character.digit(c, 16)
+            if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+            else if (!isWs(c)) fail("bad ASCIIHex data")
+          }
+          i += 1
+        }
+        if (hi >= 0) out.write(hi << 4)
+        data = out.toByteArray
+      case ("ASCII85Decode" | "A85", _) =>
+        // 5 chars '!'..'u' -> 4 bytes base 85; 'z' -> 4 zero bytes;
+        // '~>' EOD; a partial group of n chars yields n-1 bytes
+        val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+        val group = new Array[Int](5)
+        var k = 0
+        var i = 0
+        var done = false
+        def flush(n: Int): Unit = {
+          var v = 0L
+          var j = 0
+          while (j < 5) { v = v * 85 + (if (j < n) group(j) else 84); j += 1 }
+          val emit = n - 1
+          if (emit >= 1) out.write(((v >> 24) & 0xFF).toInt)
+          if (emit >= 2) out.write(((v >> 16) & 0xFF).toInt)
+          if (emit >= 3) out.write(((v >> 8) & 0xFF).toInt)
+          if (emit >= 4) out.write((v & 0xFF).toInt)
+        }
+        while (i < data.length && !done) {
+          val c = data(i) & 0xFF
+          if (c == '~') done = true
+          else if (c == 'z' && k == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+          else if (c >= '!' && c <= 'u') {
+            group(k) = c - '!'
+            k += 1
+            if (k == 5) { flush(5); k = 0 }
+          } else if (!isWs(c)) fail("bad ASCII85 data")
+          i += 1
+        }
+        if (k == 1) fail("dangling ASCII85 digit")
+        if (k > 1) flush(k)
+        data = out.toByteArray
       case ("FlateDecode" | "Fl", p) =>
         data = inflate(data)
         p match {

@@ -134,6 +134,34 @@ object PdfOps extends Serializable {
     out.toByteArray
   }
 
+  /** ASCII85 (base-85) encode with `~>` EOD, per PDF 32000 7.4.3: groups
+    * of 4 bytes -> 5 chars '!'..'u', all-zero group -> 'z', partial group
+    * of n bytes -> n+1 chars. */
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < n) data(i + j) & 0xFF else 0)
+        j += 1
+      }
+      if (v == 0L && n == 4) out.write('z')
+      else {
+        val cs = new Array[Int](5)
+        var k = 4
+        while (k >= 0) { cs(k) = (v % 85).toInt + '!'; v /= 85; k -= 1 }
+        var e = 0
+        while (e <= n) { out.write(cs(e)); e += 1 }
+      }
+      i += n
+    }
+    out.write('~'); out.write('>')
+    out.toByteArray
+  }
+
   /** PNG Up-filter predictor (tag 2) encode, for the v2 xref stream:
     * each row = 0x02 then (raw - priorRow) bytes. */
   private def pngUpEncode(rows: Seq[Array[Byte]]): Array[Byte] = {
@@ -182,13 +210,18 @@ object PdfOps extends Serializable {
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.5\n")
 
-    // --- top-level content streams (Flate), offsets recorded for the xref
+    // --- top-level content streams, offsets recorded for the xref: plain
+    // Flate for the ' variant; a CHAINED /Filter [/ASCII85Decode
+    // /FlateDecode] (deflate then ascii85-armor — the order a real writer
+    // uses) for the hex-string variant
     val contentOff = new Array[Int](np)
     for (p <- 0 until np) {
       val raw = if (hexVariant) pageContentHex(id, p) else pageContentQuote(id, p)
-      val body = deflate(raw)
+      val (body, filter) =
+        if (hexVariant) (ascii85(deflate(raw)), "[/ASCII85Decode /FlateDecode]")
+        else (deflate(raw), "/FlateDecode")
       contentOff(p) = out.size()
-      w(s"${4 + 2 * p} 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      w(s"${4 + 2 * p} 0 obj\n<< /Length ${body.length} /Filter $filter >>\nstream\n")
       out.write(body)
       w("\nendstream\nendobj\n")
     }

@@ -157,9 +157,11 @@ class MediaOpsSpec extends AnyFunSuite {
       val len = (mix(i + 7777).abs % 300).toInt
       val junk = Array.tabulate(len)(j => mix(i * 2000L + j).toByte)
       MediaOps.decodePng(junk); MediaOps.decodeJpeg(junk) // must not throw
+      MediaOps.decodeMp3(junk); MediaOps.decodeMp4(junk)
     }
     Seq(MediaOps.synthAvi(7L), MediaOps.synthBmp(8L), MediaOps.synthWav(9L),
-      MediaOps.synthPng(10L), MediaOps.synthJpeg(11L)).foreach { valid =>
+      MediaOps.synthPng(10L), MediaOps.synthJpeg(11L), MediaOps.synthMp3(12L),
+      MediaOps.synthMp4(13L)).foreach { valid =>
       // every truncation length
       (0 until valid.length by 7).foreach { cut =>
         MediaOps.decodeReal(java.util.Arrays.copyOf(valid, cut))
@@ -240,7 +242,49 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.decodeJpeg(prog) != null)
   }
 
-  test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI/PNG/JPEG bytes") {
+  test("REAL MP3 parser: ID3 skip, frame walk, true frame offsets") {
+    (0L until 40L).foreach { id =>
+      val bytes = MediaOps.synthMp3(id)
+      val d = MediaOps.decodeMp3(bytes)
+      assert(d != null, s"id=$id")
+      assert(d.meta == MediaOps.MediaMeta("audio", 0, 0, MediaOps.mp3RateOf(id),
+        MediaOps.mp3FramesOf(id)), s"id=$id")
+      assert(d.frameOffsets.length == MediaOps.mp3FramesOf(id))
+      // frame payloads are the constant byte; header bytes excluded
+      d.frameOffsets.foreach { case (off, len) =>
+        assert(bytes(off) == MediaOps.payloadByteOf(id).toByte)
+        assert(len == 144 * 128000 / MediaOps.mp3RateOf(id) - 4)
+      }
+      // dispatch finds it by the ID3 magic
+      assert(MediaOps.decodeReal(bytes) == d)
+    }
+    // bare stream without ID3 tag also decodes (sync-scan entry)
+    val tagged = MediaOps.synthMp3(7L)
+    val bare = tagged.drop(42) // 10-byte header + 32-byte tag body
+    val d = MediaOps.decodeMp3(bare)
+    assert(d != null && d.meta.frames == MediaOps.mp3FramesOf(7L))
+    // truncated final frame: walk stops, earlier frames kept
+    val cut = java.util.Arrays.copyOf(tagged, tagged.length - 10)
+    val dc = MediaOps.decodeMp3(cut)
+    assert(dc != null && dc.meta.frames == MediaOps.mp3FramesOf(7L) - 1)
+  }
+
+  test("REAL MP4 parser: box walk, 16.16 dims, stsz-derived frame spans") {
+    (0L until 40L).foreach { id =>
+      val bytes = MediaOps.synthMp4(id)
+      val d = MediaOps.decodeMp4(bytes)
+      assert(d != null, s"id=$id")
+      assert(d.meta == MediaOps.MediaMeta("video", MediaOps.widthOf(id),
+        MediaOps.heightOf(id), MediaOps.fpsOf(id), MediaOps.videoFramesOf(id)), s"id=$id")
+      assert(d.frameOffsets.length == MediaOps.videoFramesOf(id))
+      d.frameOffsets.foreach { case (off, len) =>
+        assert(len == 32 && bytes(off) == MediaOps.payloadByteOf(id).toByte)
+      }
+      assert(MediaOps.decodeReal(bytes) == d)
+    }
+  }
+
+  test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI/PNG/JPEG/MP3/MP4 bytes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-media-real-test")
       .config("spark.sql.shuffle.partitions", "2")
@@ -250,18 +294,22 @@ class MediaOpsSpec extends AnyFunSuite {
     val df = MediaOps.realMediaFeatures(spark, "/root/testdata/sf0.001").orderBy("media_id")
     df.collect().foreach { r =>
       val id = r.getLong(0)
-      (id % 5) match {
+      (id % 7) match {
         case 0 | 3 | 4 => // BMP / PNG / JPEG
           assert(r.getString(1) == "image")
           assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
           assert(r.getLong(3) == MediaOps.heightOf(id).toLong)
           assert(r.getLong(4) == 0L)
           assert(r.getLong(5) == 1L)
-        case 1 =>
+        case 1 => // WAV
           assert(r.getString(1) == "audio")
           assert(r.getLong(4) == 8000L + (id % 4) * 8000)
           assert(r.getLong(5) == 64L + (id % 17) * 16)
-        case _ =>
+        case 5 => // MP3
+          assert(r.getString(1) == "audio")
+          assert(r.getLong(4) == MediaOps.mp3RateOf(id).toLong)
+          assert(r.getLong(5) == MediaOps.mp3FramesOf(id).toLong)
+        case _ => // AVI / MP4
           assert(r.getString(1) == "video")
           assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
           assert(r.getLong(3) == MediaOps.heightOf(id).toLong)

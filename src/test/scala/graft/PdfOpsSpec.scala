@@ -63,6 +63,37 @@ class PdfOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("filter tier: ASCII85+Flate chain on v3 content; ASCIIHexDecode end-to-end") {
+    // v3 content streams are armored with a real chained filter
+    val v3 = new String(PdfOps.synthPdf(3L), "ISO-8859-1")
+    assert(v3.contains("[/ASCII85Decode /FlateDecode]"))
+    assert(PdfOps.extractPdfText(PdfOps.synthPdf(3L)) == PdfOps.expectedText(3L))
+    // hand-built classic PDF with an ASCIIHexDecode content stream: only
+    // the structured path (xref + page tree + filter decode) can read it
+    val content = "BT /F1 12 Tf 72 700 Td (hexed) Tj ET"
+    val hex = content.getBytes("ISO-8859-1").map(b => f"${b & 0xFF}%02x").mkString + ">"
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    objs.zipWithIndex.foreach { case (o, i) =>
+      offs += sb.length
+      sb.append(s"${i + 1} 0 obj\n$o\nendobj\n")
+    }
+    offs += sb.length
+    sb.append(s"4 0 obj\n<< /Length ${hex.length} /Filter /ASCIIHexDecode >>\nstream\n")
+    sb.append(hex).append("\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 5\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    val pdf = sb.toString.getBytes("ISO-8859-1")
+    assert(PdfOps.extractPdfText(pdf) == "hexed")
+    assert(PdfOps.pageCount(pdf) == 1)
+  }
+
   test("classic PDFs also resolve through the structured path (page-tree pageCount)") {
     // pageCount prefers the page-tree walk; for classic files the /Count
     // regex fallback must agree with it
