@@ -593,10 +593,17 @@ final class Arena(initialNodes: Int = 256) {
     case DOCTYPE => appendSpanTo(textOff(id), textLen(id), out) // raw incl. <! >
     case ROOT => renderInner(id, out, encodeContent)
     case ELEM if (flags(id) & F_IMPLIED) != 0 =>
-      // an implied (parser-synthesized) element has no source bytes of its
-      // own: render children only, so html5Tree-mode re-render stays
-      // byte-identical to the input
+      // an implied (parser-synthesized) element has no source OPEN tag:
+      // render children only, so html5Tree-mode re-render stays
+      // byte-identical to the input. A stray close tag in the source
+      // (`</body>` with no explicit open — endTag matched the implied
+      // element and set F_END_TAG) DID contribute bytes, so it renders.
       renderInner(id, out, encodeContent)
+      if ((flags(id) & F_END_TAG) != 0) {
+        out.append('<').append('/')
+        appendSpanTo(nameOff(id), nameLen(id), out)
+        out.append('>')
+      }
     case ELEM =>
       out.append('<'); appendSpanTo(nameOff(id), nameLen(id), out)
       var a = attrHead(id)

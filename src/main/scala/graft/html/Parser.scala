@@ -320,11 +320,14 @@ object Parser {
     }
 
     /** pop through formatting elements to (and including) the nearest stack
-      * entry matching `m`; no-op when a non-formatting element intervenes. */
+      * entry matching `m`; no-op when a non-formatting element intervenes.
+      * The walk is naturally bounded by the first non-formatting ancestor;
+      * the 64-step cap only guards a pathological all-formatting bomb
+      * (real tag soup opens far fewer than 64 inline tags). */
     private def closeThrough(m: Int => Boolean): Unit = {
       var s = sp - 1
       var steps = 0
-      while (s >= 0 && steps < 8) {
+      while (s >= 0 && steps < 64) {
         val nid = stack(s)
         if (m(nid)) { sp = s; return }
         if (!isFormatting(nid)) return

@@ -17,14 +17,14 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
   // become PARTITION COLUMNS of a persisted parquet index, so a probe is a
   // partition-pruned read of O(probes) buckets, not a corpus pass.
   //
-  // Layout under `indexDir` (v4):
+  // Layout under `indexDir` (v5):
   //   meta/       1 row: planes, tables, nlist, n, version — the TRAINING-
   //               time facts (planes / quantizer are fixed for the index's
   //               lifetime; retraining = rebuild)
   //   centroids/  nlist rows: list_id, centroid — IMMUTABLE after build
   //               (only the radii grow; splitting them out means no writer
   //               ever rewrites the quantizer, so no crash can destroy it)
-  //   radii/      (list_id, radius) partitioned by batch: each ingest
+  //   radii/      (list_id, radius, cnt) partitioned by batch: each ingest
   //               publishes ITS OWN batch's per-list max ||v̂ - c|| into
   //               its own partition (dynamic overwrite — idempotent on
   //               retry), and readers take max() per list over all
@@ -33,7 +33,13 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
   //               v3 read-modify-write of a shared radius column could).
   //               A batch's radii land BEFORE its data: a crash between
   //               the two leaves an OVER-estimate — the certificate scans
-  //               extra lists, never misses one.
+  //               extra lists, never misses one. cnt (v5) is the batch's
+  //               per-list member count, sum-merged by readers — ADVISORY
+  //               input to the radius-aware probe choice, never load-
+  //               bearing for exactness.
+  //   coarse/     (two-level builds only) cell centroid + contiguous
+  //               fine-list span per coarse cell — the assignment-side
+  //               structure; probes never read it.
   //   batches/    one row per ingested batch (batch, n_rows), partitioned
   //               by batch with dynamic overwrite — the idempotent commit
   //               record, same discipline as ExtractJob's lineage
@@ -132,13 +138,24 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
+  /** read-through caches stay BOUNDED: past the cap the whole map clears
+    * (entries are pure derivations — a clear only costs re-reads). Keeps
+    * a long-lived driver that cycles sessions / probes many index dirs
+    * from accumulating dead plans forever. */
+  private def putBounded[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
+      k: String, v: V, cap: Int = 64): Unit = {
+    if (m.size >= cap) m.clear()
+    m.put(k, v)
+    ()
+  }
+
   private[spark] def indexFrame(spark: SparkSession, indexDir: String, section: String): DataFrame = {
     val key = s"${System.identityHashCode(spark)}/$indexDir/$section"
     val fp = dirFingerprint(spark, s"$indexDir/batches")
     val hit = frameCache.get(key)
     if (hit != null && hit._1 == fp) return hit._2
     val df = spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/$section")
-    frameCache.put(key, (fp, df))
+    putBounded(frameCache, key, (fp, df))
     df
   }
 
@@ -150,7 +167,7 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val m = spark.read.parquet(s"$indexDir/meta").head()
     val v = (m.getAs[Int]("planes"), m.getAs[Int]("tables"), m.getAs[Int]("nlist"),
       m.getAs[Long]("n"), m.getAs[Int]("version"))
-    metaCache.put(indexDir, (fp, v))
+    putBounded(metaCache, indexDir, (fp, v))
     v
   }
 
@@ -183,7 +200,7 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         counts(l) += c
       }
     val v = (cents, radii, counts)
-    quantizerCache.put(indexDir, (fp, v))
+    putBounded(quantizerCache, indexDir, (fp, v))
     v
   }
 
@@ -559,19 +576,37 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
             // deleted by a non-elected process — no delete-the-winner
             // window between another JVM's versionOk check and its move).
             val lock = new java.io.File(s"$indexDir.lock")
-            def create(): Boolean = try lock.createNewFile()
-              catch { case scala.util.control.NonFatal(_) => false }
+            val token = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+            def create(): Boolean = try {
+              if (lock.createNewFile()) {
+                java.nio.file.Files.writeString(lock.toPath, token)
+                true
+              } else false
+            } catch { case scala.util.control.NonFatal(_) => false }
             // a crashed holder must not wedge recovery forever: a lock
-            // older than 10 min is stolen (deleted + re-contended). A LIVE
-            // holder heartbeats the lock mtime every 60 s below, so only a
-            // genuinely dead holder ever looks stale — a legitimate long
-            // delete (huge index dir) keeps its lock.
-            def elect(): Boolean = create() || {
+            // older than 10 min is stolen. A LIVE holder heartbeats the
+            // lock mtime every 60 s below, so only a genuinely dead holder
+            // ever looks stale. The steal is an ATOMIC RENAME (exactly one
+            // stealer moves the stale lock aside — delete+create let two
+            // waiters both win and the second's deleteRecursively could
+            // destroy the first's just-published index), and election is
+            // CONFIRMED by re-reading the process token after a settle
+            // window, so a create racing the vacated name can't yield two
+            // elected processes.
+            def steal(): Boolean = {
               val stale = lock.exists() &&
                 System.currentTimeMillis() - lock.lastModified() > 600000L
-              stale && lock.delete() && create()
+              stale && {
+                val aside = new java.io.File(s"${lock.getPath}.stale-$token")
+                lock.renameTo(aside) && { aside.delete(); create() }
+              }
             }
-            if (elect()) {
+            def confirmed(): Boolean = try {
+              Thread.sleep(150) // let a racing create's write settle
+              new String(java.nio.file.Files.readAllBytes(lock.toPath),
+                java.nio.charset.StandardCharsets.UTF_8) == token
+            } catch { case scala.util.control.NonFatal(_) => false }
+            if ((create() || steal()) && confirmed()) {
               val heartbeat = new Thread(() => {
                 try while (!Thread.interrupted()) {
                   Thread.sleep(60000L)
@@ -608,13 +643,4 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     indexDir
   }
 
-  /** multi-query LSH ANN eval with a CROSS-ENGINE oracle: emits the exact
-    * top-k (qid, rank, vec_id) computed over multi-probe LSH candidates; the
-    * DuckDB oracle recomputes per-query brute-force top-k independently via
-    * list_cosine_similarity, so any candidate-set miss (recall < 1 at the
-    * probed radius) hash-mismatches — the recall bit is no longer
-    * self-graded. Window-per-qid is eval-harness shape; the production
-    * single-query path is [[annLshIndexed]] (TakeOrdered, pruned read).
-    * `materialize = false` returns the lazy plan (the persisted signature
-    * frame then stays cached until the caller releases it). */
 }

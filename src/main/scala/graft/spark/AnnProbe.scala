@@ -194,16 +194,6 @@ private[spark] trait AnnProbeOps extends AnnIndexOps {
       .orderBy("qid", "rank")
   }
 
-  /** bump on ANY change to signature / quantizer / layout semantics
-    * (hyperplaneSig, l2normalize, partitioning): a persisted index built by
-    * older code must never be probed by newer code.
-    * v3: sqrt(n) nlist + kmeans++ quantizer, per-list radius column
-    * (exactness certificate), batch partition axis (append mode).
-    * v4: radii split out of centroids into an append-only batch-partitioned
-    * table (crash-safe + concurrent-append-safe max-merge); hash-based
-    * quantizer sampling (arbitrary vec_id spaces).
-    * v5: radii table gains per-list member counts (sum-merged) feeding the
-    * radius-aware initial probe choice — common case one pruned read. */
   /** multi-query LSH ANN eval with a CROSS-ENGINE oracle: emits the exact
     * top-k (qid, rank, vec_id) computed over multi-probe LSH candidates; the
     * DuckDB oracle recomputes per-query brute-force top-k independently via

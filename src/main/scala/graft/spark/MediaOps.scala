@@ -408,7 +408,8 @@ object MediaOps extends Serializable {
             if (v == 0) { // ver0: ctime/mtime 4+4, then timescale/duration
               timescale = beI32(bytes, at + 20).toLong & 0xFFFFFFFFL
               duration = beI32(bytes, at + 24).toLong & 0xFFFFFFFFL
-            } else if (v == 1 && size >= 8 + 28) { // 8-byte times
+            } else if (v == 1 && size >= 8 + 32) { // 8-byte times: duration
+              // reaches box offset 8+32, so the guard must cover it
               timescale = beI32(bytes, at + 28).toLong & 0xFFFFFFFFL
               duration = ((beI32(bytes, at + 32).toLong & 0xFFFFFFFFL) << 32) |
                 (beI32(bytes, at + 36).toLong & 0xFFFFFFFFL)

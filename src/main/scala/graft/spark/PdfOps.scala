@@ -343,6 +343,30 @@ object PdfOps extends Serializable {
     -1
   }
 
+  /** the dict source immediately preceding a `stream` keyword at `s`:
+    * whitespace walks back from s onto the dict's OWN `>>`, then a
+    * backward depth scan finds its MATCHING `<<` (nested dicts like
+    * /DecodeParms << .. >> handled). Empty when no dict directly precedes
+    * (a "stream" byte-match inside binary data) — the old walk treated
+    * the dict's own `>>` as a nested close and captured the whole file
+    * prefix, misclassifying every stream after the first /ObjStm. */
+  private def dictBefore(bytes: Array[Byte], s: Int): String = {
+    var e = s - 1
+    while (e > 0 && (bytes(e) == '\r' || bytes(e) == '\n' || bytes(e) == ' ' ||
+      bytes(e) == '\t')) e -= 1
+    if (e < 1 || bytes(e) != '>' || bytes(e - 1) != '>') return ""
+    var i = e - 2
+    var depth = 0
+    while (i > 0) {
+      if (bytes(i - 1) == '>' && bytes(i) == '>') { depth += 1; i -= 2 }
+      else if (bytes(i - 1) == '<' && bytes(i) == '<') {
+        if (depth == 0) return new String(bytes, i - 1, e + 2 - (i - 1), ISO_8859_1)
+        depth -= 1; i -= 2
+      } else i -= 1
+    }
+    ""
+  }
+
   private final case class Seg(stream: Int, y: Double, x: Double, text: String)
 
   /** a font's /ToUnicode mapping: code width in bytes (from the CMap's
@@ -631,7 +655,10 @@ object PdfOps extends Serializable {
             catch { case scala.util.control.NonFatal(_) => }
           }
         }
-        Some(renderSegs(segs))
+        // zero segments = the page tree parsed but NO content resolved
+        // (stale incremental-update xref is the classic cause): let the
+        // tolerant byte-order scan have its shot instead of reporting ""
+        if (segs.isEmpty) None else Some(renderSegs(segs))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -662,22 +689,7 @@ object PdfOps extends Serializable {
         val s = indexOf(bytes, "stream", at)
         if (s < 0) more = false
         else {
-          // dict for this stream: scan back to the MATCHING "<<" — a
-          // nested dict between the filter entry and "stream" (e.g.
-          // /DecodeParms << ... >>) must not truncate the capture, or the
-          // /FlateDecode marker would be silently missed
-          var dictStart = s
-          var depth = 0
-          var scanning = true
-          while (scanning && dictStart > 1) {
-            if (bytes(dictStart - 1) == '>' && bytes(dictStart) == '>') {
-              depth += 1; dictStart -= 2
-            } else if (bytes(dictStart - 1) == '<' && bytes(dictStart) == '<') {
-              if (depth == 0) scanning = false
-              else { depth -= 1; dictStart -= 2 }
-            } else dictStart -= 1
-          }
-          val dict = new String(bytes, math.max(0, dictStart - 1), s - dictStart + 1, ISO_8859_1)
+          val dict = dictBefore(bytes, s)
           var body = s + "stream".length
           if (body < bytes.length && bytes(body) == '\r') body += 1
           if (body < bytes.length && bytes(body) == '\n') body += 1
@@ -751,18 +763,7 @@ object PdfOps extends Serializable {
         val s = indexOf(bytes, "stream", at)
         if (s < 0) more = false
         else {
-          var dictStart = s
-          var depth = 0
-          var scanning = true
-          while (scanning && dictStart > 1) {
-            if (bytes(dictStart - 1) == '>' && bytes(dictStart) == '>') {
-              depth += 1; dictStart -= 2
-            } else if (bytes(dictStart - 1) == '<' && bytes(dictStart) == '<') {
-              if (depth == 0) scanning = false
-              else { depth -= 1; dictStart -= 2 }
-            } else dictStart -= 1
-          }
-          val dict = new String(bytes, math.max(0, dictStart - 1), s - dictStart + 1, ISO_8859_1)
+          val dict = dictBefore(bytes, s)
           var body = s + "stream".length
           if (body < bytes.length && bytes(body) == '\r') body += 1
           if (body < bytes.length && bytes(body) == '\n') body += 1

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * — every candidate generator is banded + bucket-capped and every pair is
   * verified exactly before it counts. See [[TextOps]]. */
 private[spark] trait TextDedupOps extends AnnCoreOps {
+  /** exact dedup: keep first doc_id per identical text. The explicit
+    * `repartition(xxhash64(text))` makes the 8-byte hash the ONLY shuffle
+    * key (Catalyst accepts the coarser clustering for the superset groupBy),
+    * so at 100 TB the exchange never sorts or hash-compares multi-KB text
+    * keys and skew is whatever the hash gives — uniform. */
   def dedupExact(docs: DataFrame): DataFrame =
     docs.withColumn("h", xxhash64(col("text")))
       .repartition(col("h"))
@@ -100,10 +105,6 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
     if (materialize) finishUnpersist(verified, sigs)
     else { sigs.unpersist(false); verified } // leak-free: lazy plan recomputes
   }
-
-  /** whitespace token count + BPE-ish subword count (letter runs / digit
-    * runs / single punctuation — the pre-tokenizer regex shape). Pure
-    * column expressions, fully codegen'd. */
 
   /** embedding-cosine near-dup pairs: multi-table hyperplane-LSH buckets
     * generate candidates (bucket-size-capped, corpus-scaled plane count),

@@ -231,11 +231,9 @@ private[spark] trait TextCoreOps extends Serializable {
     out
   }
 
-  /** exact dedup: keep first doc_id per identical text. The explicit
-    * `repartition(xxhash64(text))` makes the 8-byte hash the ONLY shuffle
-    * key (Catalyst accepts the coarser clustering for the superset groupBy),
-    * so at 100 TB the exchange never sorts or hash-compares multi-KB text
-    * keys and skew is whatever the hash gives — uniform. */
+  /** whitespace token count + BPE-ish subword count (letter runs / digit
+    * runs / single punctuation — the pre-tokenizer regex shape). Pure
+    * column expressions, fully codegen'd. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(length(trim(col("text"))) === 0, lit(0L))

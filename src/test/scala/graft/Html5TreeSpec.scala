@@ -128,6 +128,26 @@ class Html5TreeSpec extends AnyFunSuite {
     assert(Vis.loadOptions("<div>x</div>", strictCrawl).isRight)
   }
 
+  test("stray close tags matching implied elements keep byte-identity") {
+    // </body></html> with no explicit opens: endTag matches the implied
+    // elements; their close-tag BYTES came from the source, so re-render
+    // must emit them (the implied OPEN tags still render transparently)
+    val src = "<div>x</div></body></html>"
+    val root = crawl(src)
+    assert(root.find("body > div").length == 1)
+    assert(root.doc.sourceCode == src, root.doc.sourceCode)
+    val src2 = "<p>a</body>"
+    assert(crawl(src2).doc.sourceCode == src2)
+  }
+
+  test("li auto-close survives deep formatting nesting (scope walk not step-capped)") {
+    // 9 open formatting elements between the li and the close point — the
+    // old 8-step cap silently dropped the auto-close here
+    val root = crawl("<ul><li><b><i><u><s><a><em><tt><font><code>x<li>y</ul>")
+    assert(root.find("ul > li").length == 2)
+    assert(root.find("li li").length == 0)
+  }
+
   test("extraction-style queries on a realistic crawl page without explicit body") {
     val page = "<!DOCTYPE html><meta charset=\"utf-8\"><title>T</title>" +
       "<nav>menu</nav><p>first<p>second<ul><li>one<li>two</ul><footer>f</footer>"

@@ -284,6 +284,22 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 truncated version-1 mvhd box returns null, never throws") {
+    // a v1 mvhd whose box size stops short of the 8-byte duration read —
+    // the walk's size guard must reject it instead of indexing past the
+    // buffer
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF) }
+    def cc(s: String): Unit = s.foreach(c => out.write(c & 0xFF))
+    be32(16); cc("ftyp"); cc("isom"); be32(0)
+    be32(44); cc("moov")
+    be32(36); cc("mvhd") // v1 needs size >= 40 for the duration read
+    out.write(1); out.write(0); out.write(0); out.write(0) // version 1
+    be32(0); be32(0); be32(0); be32(0); be32(0); be32(0) // 24 bytes: ctime/mtime/timescale-ish
+    assert(MediaOps.decodeMp4(out.toByteArray) == null) // must not throw
+  }
+
   test("realMediaFeatures: closed-form columns over true BMP/WAV/AVI/PNG/JPEG/MP3/MP4 bytes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-media-real-test")

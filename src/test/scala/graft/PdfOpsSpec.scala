@@ -176,6 +176,45 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.pageCount(null) == 0)
   }
 
+  test("scan fallback: a stream AFTER an ObjStm is still interpreted (dict scan bounded)") {
+    // the pre-fix backward dict walk treated the dict's own >> as a nested
+    // close and captured the whole file prefix — after one /ObjStm, every
+    // later stream's dict "contained" /ObjStm and was skipped as a text
+    // source. No xref here, so only the tolerant scan runs.
+    val objstm = "1 0 obj\n<< /Type /ObjStm /N 0 /First 0 /Length 4 >>\nstream\nZZZZ\nendstream\nendobj\n"
+    val content = "BT 72 700 Td (after-objstm) Tj ET"
+    val pdf = ("%PDF-1.4\n" + objstm +
+      s"2 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      .getBytes("ISO-8859-1")
+    val t = PdfOps.extractPdfText(pdf)
+    assert(t == "after-objstm", s"got '$t'")
+  }
+
+  test("structured path with unresolvable /Contents falls back to the scan") {
+    // valid xref + page tree, but the page's /Contents ref points at a
+    // missing object; an unreferenced content stream exists in the file.
+    // Zero structured segments must yield the scan's answer, not "".
+    val content = "BT 72 700 Td (orphan) Tj ET"
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    objs.zipWithIndex.foreach { case (o, i) =>
+      offs += sb.length
+      sb.append(s"${i + 1} 0 obj\n$o\nendobj\n")
+    }
+    offs += sb.length
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 5\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    val t = PdfOps.extractPdfText(sb.toString.getBytes("ISO-8859-1"))
+    assert(t == "orphan", s"got '$t'")
+  }
+
   test("malformed inputs yield null/0, never throw") {
     assert(PdfOps.extractPdfText(null) == null)
     assert(PdfOps.extractPdfText(Array[Byte](1, 2, 3)) == null)
