@@ -11,6 +11,9 @@ object ThreadBench {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import spark.implicits._
+    // INTENTIONAL driver-side collect: this is the Spark-FREE engine
+    // micro-harness — the corpus must live in local arrays so raw threads
+    // measure the tokenizer alone. Bounded: sf0.1 amplified = ~924 MB.
     val pages = graft.spark.PagesGen.amplified(spark, sfDir, 30,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSE", "5").toInt)
       .map(_.html).collect()

@@ -11,20 +11,27 @@ import scala.collection.mutable.ArrayBuffer
   * PDF/layout parse, DOM heuristics") — a pure-JVM extractor, no codec
   * libraries:
   *
-  *   - content streams are located tolerantly (`stream`...`endstream`
-  *     spans), FlateDecode'd with `java.util.zip.Inflater` when their dict
-  *     says so;
-  *   - the text operators are interpreted: `Td`/`TD`/`Tm` position state,
-  *     `(...) Tj` and `[(..) .. (..)] TJ` show text (with PDF string
-  *     escapes: `\(`, `\)`, `\\`, `\n`, `\r`, `\t`, octal);
+  *   - STRUCTURED path first ([[PdfModel]]): real cross-reference
+  *     resolution (classic tables AND /Type /XRef streams), /ObjStm,
+  *     page-tree-ordered extraction, /Resources /Font -> /ToUnicode CMap
+  *     mapping for Type0 show strings, filter chains (Flate + predictors,
+  *     ASCIIHex, ASCII85);
+  *   - tolerant fallback: content streams located by `stream`/`endstream`
+  *     spans in byte order when the structure is broken (crawl reality);
+  *   - the text operators are interpreted: `Td`/`TD`/`Tm`/`TL`/`T*`
+  *     position state, `(...) Tj`, `<hex> Tj`, `[..] TJ`, and the
+  *     `'`/`"` next-line shows (PDF string escapes incl. octal and
+  *     line continuations);
   *   - LAYOUT ordering, not stream ordering: segments within a page are
   *     emitted top-to-bottom then left-to-right (y desc, x asc) regardless
   *     of the order the content stream drew them.
   *
-  * Deterministic synthetic PDFs (real format: xref, trailer, Flate or raw
-  * streams) make every output a closed-form function of the id — the
-  * DuckDB oracle recomputes the expected text independently. Per-row
-  * failure yields null, never a task failure. */
+  * Deterministic synthetic PDFs (four REAL structural variants by id%4:
+  * classic Flate / classic raw / xref-stream+ObjStm+Predictor-12+quote /
+  * xref-stream+ASCII85-chain+hex+dquote, with a /ToUnicode'd Type0 font
+  * on the quote variant) make every output a closed-form function of the
+  * id — the DuckDB oracle recomputes the expected text independently.
+  * Per-row failure yields null, never a task failure. */
 object PdfOps extends Serializable {
 
   // ---------- synthesis (a real, openable PDF) ----------
