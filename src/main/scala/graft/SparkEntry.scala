@@ -435,6 +435,23 @@ object SparkEntry {
         "n_head_kids", "body_text", "b_src").orderBy("doc_id")
     }),
 
+    // ---- 16c. SQL extract_main_crawl vs extract_main on fragment pages
+    //      (no explicit body): the crawl profile's implied body gives the
+    //      recipe's `body` candidate a match, so main-content extraction
+    //      returns content only, while the compat profile falls back to
+    //      the whole root (title included) — both closed-form ----
+    "q_sql_crawl" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        (id, s"""<meta charset="utf-8"><title>T$id</title><nav>menu</nav>""" +
+          s"<p>c$id one<p>c$id two<footer>f</footer>")
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"),
+          call_function("extract_main_crawl", col("html")).as("main_txt"),
+          call_function("extract_main", col("html")).as("compat_txt"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -845,6 +862,12 @@ object SparkEntry {
         "repeat('item', CAST(1 + doc_id % 5 AS INT)), 'tail', " +
         "CAST(doc_id AS VARCHAR)) AS body_text, " +
         "CAST(1 AS BIGINT) AS b_src " +
+        "FROM documents ORDER BY doc_id"),
+    "q_sql_crawl" ->
+      ("SELECT doc_id, " +
+        "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +
+        "concat('T', CAST(doc_id AS VARCHAR), " +
+        "'c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS compat_txt " +
         "FROM documents ORDER BY doc_id"),
     "q_set_ops" ->
       ("WITH t AS (SELECT doc_id, (doc_id % 5) + 2 AS k, doc_id % 6 AS m FROM documents) " +

@@ -61,28 +61,37 @@ case class ExtractText(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
-/** `extract_main(html)` — the full boilerplate-strip recipe as one scalar. */
-case class ExtractMain(child: Expression)
+/** `extract_main(html)` — the full boilerplate-strip recipe as one scalar;
+  * `crawl = true` is registered as `extract_main_crawl(html)` and parses
+  * under the HTML5 implicit-tree profile (implied body gives the recipe's
+  * `body` candidate something to match on fragment pages). */
+case class ExtractMain(child: Expression, crawl: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def prettyName: String = "extract_main"
+  override def prettyName: String = if (crawl) "extract_main_crawl" else "extract_main"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType || child.dataType == BinaryType ||
       child.dataType == NullType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"extract_main: html must be STRING or BINARY, got ${child.dataType.sql}")
+      s"$prettyName: html must be STRING or BINARY, got ${child.dataType.sql}")
 
   private val htmlIsBinary: Boolean = child.dataType == BinaryType
 
   override def nullSafeEval(html: Any): Any = {
-    if (htmlIsBinary) Extractor.extractMainCodegen(html.asInstanceOf[Array[Byte]])
-    else Extractor.extractMainCodegenStr(html.asInstanceOf[UTF8String])
+    if (htmlIsBinary) {
+      if (crawl) Extractor.extractMainCrawlCodegen(html.asInstanceOf[Array[Byte]])
+      else Extractor.extractMainCodegen(html.asInstanceOf[Array[Byte]])
+    } else {
+      if (crawl) Extractor.extractMainCrawlCodegenStr(html.asInstanceOf[UTF8String])
+      else Extractor.extractMainCodegenStr(html.asInstanceOf[UTF8String])
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (htmlIsBinary) "extractMainCodegen" else "extractMainCodegenStr"
+    val base = if (crawl) "extractMainCrawlCodegen" else "extractMainCodegen"
+    val fn = if (htmlIsBinary) base else base + "Str"
     nullSafeCodeGen(ctx, ev, h => {
       s"""
          |${ev.value} = graft.spark.Extractor.$fn($h);
@@ -260,6 +269,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("extract_main", 1, "(html)")(children)
         ExtractMain(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_main_crawl"),
+      new ExpressionInfo(classOf[ExtractMain].getName, "extract_main_crawl"),
+      (children: Seq[Expression]) => {
+        arity("extract_main_crawl", 1, "(html)")(children)
+        ExtractMain(children.head, crawl = true)
       }))
     ext.injectFunction((
       FunctionIdentifier("extract_attrs"),

@@ -61,6 +61,21 @@ object Extractor extends Serializable {
     }
   }
 
+  /** [[parse]] under the CRAWL profile (compat fixes + HTML5 implicit
+    * tree): implied html/head/body + auto-close, for real crawl pages
+    * that never wrote `<body>`. */
+  def parseCrawl(html: String): VDoc = {
+    var arena = arenas.get()
+    if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
+      arena = new graft.dom.Arena(1024)
+      arenas.set(arena)
+    }
+    Parser.parseInto(arena, html, ParseOptions.crawl) match {
+      case Some(_) => null
+      case None => new VDoc(arena)
+    }
+  }
+
   /** a rare giant page must not pin executor memory forever: drop the
     * thread-local arena back to a fresh one when its buffers grew far beyond
     * what the current row needs. */
@@ -257,6 +272,19 @@ object Extractor extends Serializable {
     selectMain(doc, recipe).text()
   }
 
+  /** [[parseBytes]] under the CRAWL profile — see [[parseCrawl]]. */
+  def parseBytesCrawl(html: Array[Byte]): VDoc = {
+    var arena = arenas.get()
+    if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
+      arena = new graft.dom.Arena(1024)
+      arenas.set(arena)
+    }
+    Parser.parseIntoUtf8(arena, html, ParseOptions.crawl) match {
+      case Some(_) => null
+      case None => new VDoc(arena)
+    }
+  }
+
   /** main-content extraction: remove boilerplate, pick the first matching
     * main-content candidate, return its text(). Null on parse failure. */
   def extractMain(html: String, recipe: Recipe): String =
@@ -359,6 +387,38 @@ object Extractor extends Serializable {
     if (html == null) return null
     try {
       val out = extractMain(html.toString, Recipe.default)
+      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** `extract_main_crawl` static entries: the SAME boilerplate-strip
+    * recipe over the CRAWL parse profile — on fragment pages the implied
+    * `body` gives the recipe's `body` candidate something to match, so
+    * extraction returns main content instead of falling back to the whole
+    * root (titles and all). Defensive null-on-failure like every entry. */
+  def extractMainCrawlCodegen(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null) return null
+    try {
+      val doc = parseBytesCrawl(html)
+      if (doc == null) return null
+      val main = selectMain(doc, Recipe.default)
+      val ub = outBuilder()
+      ub.reset()
+      main.ids.foreach(e => doc.arena.textContentUtf8(e, ub))
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  def extractMainCrawlCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null) return null
+    try {
+      val doc = parseCrawl(html.toString)
+      if (doc == null) return null
+      val out = extractMainFrom(doc, Recipe.default)
       if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
     } catch {
       case scala.util.control.NonFatal(_) => null
