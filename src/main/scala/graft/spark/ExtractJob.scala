@@ -83,8 +83,24 @@ object ExtractJob {
 
     val done: Set[Int] =
       if (fsExists(spark, lineagePath)) {
-        spark.read.parquet(lineagePath)
-          .where(col("status") === "done")
+        val lin = spark.read.parquet(lineagePath)
+        // resume-config guard: lineage partition ids are only meaningful
+        // under the bucketing that produced them — resuming with a
+        // different buckets/salt would subtract stale ids from a REMAPPED
+        // space and silently skip data. Rows written before the config
+        // columns existed are accepted as-is (legacy lineage).
+        if (lin.columns.contains("buckets")) {
+          val cfgs = lin.select(col("buckets").as[Int], col("salt").as[Int])
+            .distinct().collect()
+          cfgs.foreach { case (b, sa) =>
+            require(b == cfg.buckets && sa == cfg.salt,
+              s"lineage at $lineagePath was written with buckets=$b salt=$sa; " +
+                s"resuming with buckets=${cfg.buckets} salt=${cfg.salt} would " +
+                "silently skip remapped data — use a fresh outDir or the " +
+                "original config")
+          }
+        }
+        lin.where(col("status") === "done")
           .select("partition_id").as[Int].collect().toSet
       } else Set.empty
 
@@ -146,7 +162,8 @@ object ExtractJob {
         col("bucket").cast("int").as("partition_id"),
         col("warc_ts_min"), col("warc_ts_max"),
         col("doc_count"), col("byte_count"), col("failure_count"),
-        lit("done").as("status"), lit(runId).as("run_id"))
+        lit("done").as("status"), lit(runId).as("run_id"),
+        lit(cfg.buckets).as("buckets"), lit(cfg.salt).as("salt"))
     lineage
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(lineagePath)

@@ -83,13 +83,15 @@ object Extractor extends Serializable {
 
   /** parse UTF-8 bytes into the thread-local arena (no intermediate String /
     * char[] garbage); null on parse failure. */
-  def parseBytes(html: Array[Byte]): VDoc = {
+  def parseBytes(html: Array[Byte]): VDoc = parseBytesWith(html, ParseOptions.compat)
+
+  private def parseBytesWith(html: Array[Byte], opts: ParseOptions): VDoc = {
     var arena = arenas.get()
     if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
       arena = new graft.dom.Arena(1024)
       arenas.set(arena)
     }
-    Parser.parseIntoUtf8(arena, html, ParseOptions.compat) match {
+    Parser.parseIntoUtf8(arena, html, opts) match {
       case Some(_) => null
       case None => new VDoc(arena)
     }
@@ -179,18 +181,22 @@ object Extractor extends Serializable {
     computed
   }
 
+  @inline private def matchesCompound(doc: VDoc, c: Int,
+      simples: Array[graft.selector.Simple]): Boolean = {
+    var all = true
+    var si = 0
+    while (all && si < simples.length) {
+      all = graft.query.Engine.matchOne(doc, c, simples(si))
+      si += 1
+    }
+    all
+  }
+
   @inline private def matchesAnyCompound(doc: VDoc, c: Int,
       compounds: Array[Array[graft.selector.Simple]]): Boolean = {
     var pi = 0
     while (pi < compounds.length) {
-      val simples = compounds(pi)
-      var all = true
-      var si = 0
-      while (all && si < simples.length) {
-        all = graft.query.Engine.matchOne(doc, c, simples(si))
-        si += 1
-      }
-      if (all) return true
+      if (matchesCompound(doc, c, compounds(pi))) return true
       pi += 1
     }
     false
@@ -214,32 +220,15 @@ object Extractor extends Serializable {
       val a = doc.arena
       val firstMatch = Array.fill(cands.length)(-1)
       val toRemove = new scala.collection.mutable.ArrayBuffer[Int](8)
-      @inline def matchesCompound(c: Int, simples: Array[graft.selector.Simple]): Boolean = {
-        var all = true
-        var si = 0
-        while (all && si < simples.length) {
-          all = graft.query.Engine.matchOne(doc, c, simples(si))
-          si += 1
-        }
-        all
-      }
-      @inline def matchesAny(c: Int, compounds: Array[Array[graft.selector.Simple]]): Boolean = {
-        var pi = 0
-        while (pi < compounds.length) {
-          if (matchesCompound(c, compounds(pi))) return true
-          pi += 1
-        }
-        false
-      }
       def rec(node: Int): Unit = {
         var c = a.firstChild(node)
         while (c >= 0) {
           if (a.kind(c) == a.ELEM) {
-            if (matchesAny(c, strip)) toRemove += c
+            if (matchesAnyCompound(doc, c, strip)) toRemove += c
             else {
               var i = 0
               while (i < cands.length) {
-                if (firstMatch(i) < 0 && matchesCompound(c, cands(i))) firstMatch(i) = c
+                if (firstMatch(i) < 0 && matchesCompound(doc, c, cands(i))) firstMatch(i) = c
                 i += 1
               }
               if (a.firstChild(c) >= 0) rec(c)
@@ -273,17 +262,7 @@ object Extractor extends Serializable {
   }
 
   /** [[parseBytes]] under the CRAWL profile — see [[parseCrawl]]. */
-  def parseBytesCrawl(html: Array[Byte]): VDoc = {
-    var arena = arenas.get()
-    if (arena.buf.length > ArenaShrinkChars && html.length < (ArenaShrinkChars >> 3)) {
-      arena = new graft.dom.Arena(1024)
-      arenas.set(arena)
-    }
-    Parser.parseIntoUtf8(arena, html, ParseOptions.crawl) match {
-      case Some(_) => null
-      case None => new VDoc(arena)
-    }
-  }
+  def parseBytesCrawl(html: Array[Byte]): VDoc = parseBytesWith(html, ParseOptions.crawl)
 
   /** main-content extraction: remove boilerplate, pick the first matching
     * main-content candidate, return its text(). Null on parse failure. */
@@ -314,15 +293,8 @@ object Extractor extends Serializable {
     * the same bytes must have the same fate whether the column is STRING
     * or BINARY. */
   def extractTextCodegen(html: org.apache.spark.unsafe.types.UTF8String,
-      selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    if (html == null || selector == null) return null
-    try {
-      val out = extractText(html.toString, selector.toString)
-      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
-    } catch {
-      case scala.util.control.NonFatal(_) => null
-    }
-  }
+      selector: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (html == null) null else extractTextCodegenBinary(html.getBytes, selector)
 
   private val utf8Out = new ThreadLocal[graft.dom.Utf8Builder] {
     override def initialValue(): graft.dom.Utf8Builder = new graft.dom.Utf8Builder()
@@ -355,6 +327,11 @@ object Extractor extends Serializable {
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
     } catch {
       case scala.util.control.NonFatal(_) => null
+      // belt over the parser's maxDepth=2048 cap: should a recursive walk
+      // ever overflow the task stack anyway, the row degrades to null
+      // after full unwind instead of failing the task (NonFatal does not
+      // match StackOverflowError)
+      case _: StackOverflowError => null
     }
   }
 
@@ -380,18 +357,16 @@ object Extractor extends Serializable {
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.buf, 0, ub.len)
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 
-  def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    if (html == null) return null
-    try {
-      val out = extractMain(html.toString, Recipe.default)
-      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
-    } catch {
-      case scala.util.control.NonFatal(_) => null
-    }
-  }
+  /** STRING entries delegate to the byte-native paths via the UTF8String's
+    * underlying UTF-8 bytes: no UTF-16 round trip of the page, and STRING
+    * and BINARY columns give the same bytes the same fate by construction
+    * (the round-4 interpreted-vs-codegen unification, now structural). */
+  def extractMainCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (html == null) null else extractMainCodegen(html.getBytes)
 
   /** `extract_main_crawl` static entries: the SAME boilerplate-strip
     * recipe over the CRAWL parse profile — on fragment pages the implied
@@ -410,20 +385,12 @@ object Extractor extends Serializable {
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 
-  def extractMainCrawlCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    if (html == null) return null
-    try {
-      val doc = parseCrawl(html.toString)
-      if (doc == null) return null
-      val out = extractMainFrom(doc, Recipe.default)
-      if (out == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(out)
-    } catch {
-      case scala.util.control.NonFatal(_) => null
-    }
-  }
+  def extractMainCrawlCodegenStr(html: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (html == null) null else extractMainCrawlCodegen(html.getBytes)
 
   /** byte-native hot path for BINARY input: UTF-8 in (parseBytes), UTF-8 out
     * (Utf8Builder) — no UTF-16 String round trip of the page, same as
@@ -464,6 +431,7 @@ object Extractor extends Serializable {
       org.apache.spark.unsafe.types.UTF8String.fromBytes(ub.toBytes)
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 
@@ -485,16 +453,8 @@ object Extractor extends Serializable {
     }
 
   def extractOuterHtmlCodegen(html: org.apache.spark.unsafe.types.UTF8String,
-      sel: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (html == null || sel == null) return null
-    try {
-      val doc = parse(html.toString)
-      if (doc == null) return null
-      attrsToArrayData(extractOuterHtmlFrom(doc, sel.toString))
-    } catch {
-      case scala.util.control.NonFatal(_) => null
-    }
-  }
+      sel: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (html == null) null else extractOuterHtmlCodegenBinary(html.getBytes, sel)
 
   /** byte-native BINARY path (parseBytes; only the matched snippets
     * materialize as Strings). */
@@ -507,6 +467,7 @@ object Extractor extends Serializable {
       attrsToArrayData(extractOuterHtmlFrom(doc, sel.toString))
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 
@@ -537,11 +498,8 @@ object Extractor extends Serializable {
     * generated code; null propagates as SQL NULL). */
   def extractAttrsCodegen(html: org.apache.spark.unsafe.types.UTF8String,
       sel: org.apache.spark.unsafe.types.UTF8String,
-      attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (html == null || sel == null || attr == null) return null
-    try attrsToArrayData(extractAttrs(html.toString, sel.toString, attr.toString))
-    catch { case scala.util.control.NonFatal(_) => null }
-  }
+      attr: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (html == null) null else extractAttrsCodegenBinary(html.getBytes, sel, attr)
 
   /** byte-native BINARY path: the page parses straight from UTF-8 (no
     * UTF-16 inflation); only the small matched attr values materialize as
@@ -577,6 +535,7 @@ object Extractor extends Serializable {
       } else attrsToArrayData(extractAttrsFrom(doc, selStr, attrName))
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 
@@ -586,11 +545,8 @@ object Extractor extends Serializable {
       out.map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v).asInstanceOf[Any]))
 
   def extractCountCodegen(html: org.apache.spark.unsafe.types.UTF8String,
-      sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
-    if (html == null || sel == null) return null
-    try extractCount(html.toString, sel.toString)
-    catch { case scala.util.control.NonFatal(_) => null }
-  }
+      sel: org.apache.spark.unsafe.types.UTF8String): java.lang.Long =
+    if (html == null) null else extractCountCodegenBinary(html.getBytes, sel)
 
   /** byte-native BINARY path: parseBytes, never a page-sized String. */
   def extractCountCodegenBinary(html: Array[Byte],
@@ -625,6 +581,7 @@ object Extractor extends Serializable {
       }
     } catch {
       case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
   }
 

@@ -85,8 +85,13 @@ object StreamingExtract {
           .mode("overwrite")
           .parquet(s"$outDir/extracted")
         val sess = batch.sparkSession
-        sess.read.parquet(s"$outDir/extracted")
-          .where(col("batch_id") === batchId)
+        // read ONLY the just-written batch partition (basePath keeps the
+        // partition columns): a whole-table read would eagerly list every
+        // partition ever written before the filter applies — per-batch
+        // listing cost growing with total batches (O(n²) cumulative on an
+        // object store)
+        sess.read.option("basePath", s"$outDir/extracted")
+          .parquet(s"$outDir/extracted/batch_id=$batchId")
           .groupBy(col("batch_id"), col("bucket"))
           .agg(min(col("warc_ts")).as("warc_ts_min"),
             max(col("warc_ts")).as("warc_ts_max"),

@@ -99,6 +99,27 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.where(col("run_id") === "r2").count() == 4)
   }
 
+  test("resume with a different buckets/salt is refused (stale ids would remap)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-resume-cfg").toString
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 8, runId = "r1"))
+    // lineage records the producing config
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.select("buckets").distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+    // a re-run with remapped bucketing must fail loudly, not skip data
+    val e1 = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 16, runId = "r2"))
+    }
+    assert(e1.getMessage.contains("buckets=8"))
+    val e2 = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 8, salt = 7, runId = "r2"))
+    }
+    assert(e2.getMessage.contains("salt=42"))
+    // the original config still resumes cleanly (fully done -> no-op)
+    ExtractJob.run(spark, pages, out, ExtractJob.Config(buckets = 8, runId = "r3"))
+    assert(spark.read.parquet(s"$out/lineage").count() == 8)
+  }
+
   test("empty input and fully-done resume: clean no-ops, never a crash") {
     val out = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val none = PagesGen.asDataFrame(spark, sfDir).where(lit(false))
