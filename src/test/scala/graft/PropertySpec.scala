@@ -161,6 +161,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("crawl-mode render fixed point: render(parse(render(parse(x)))) == render(parse(x))") {
+    // byte-identity to the INPUT can legitimately diverge under the
+    // implicit-tree mode (after-body re-entry, unmatched closes), but the
+    // rendered form must be a FIXED POINT: one more parse+render cycle
+    // changes nothing — the invariant a store-and-reprocess pipeline needs
+    val alphabet = "<>/= \"'abpdivulschrtml!-&;0"
+    for (trial <- 1 to 400) {
+      val soup = (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val r1 = Vis.loadOptionsCatch(soup, graft.html.ParseOptions.crawl, _ => ()).doc.sourceCode
+      val r2 = Vis.loadOptionsCatch(r1, graft.html.ParseOptions.crawl, _ => ()).doc.sourceCode
+      assert(r2 == r1, s"trial $trial: not a fixed point for soup '$soup'")
+    }
+    // structured crawl-ish fragments hit the implied-element machinery
+    val frags = Seq("<li>a<li>b", "<p>x<div>y", "<td>c<td>d", "<title>t</title>text",
+      "<meta x=1><p>z</body>tail", "</body></html>", "<b><i>deep<p>q<p>r")
+    frags.foreach { f =>
+      val r1 = Vis.loadOptionsCatch(f, graft.html.ParseOptions.crawl, _ => ()).doc.sourceCode
+      val r2 = Vis.loadOptionsCatch(r1, graft.html.ParseOptions.crawl, _ => ()).doc.sourceCode
+      assert(r2 == r1, s"fragment '$f'")
+    }
+  }
+
+  test("crawl-mode engine methods on fuzz docs never throw") {
+    val alphabet = "<>/=\"' abc&;x"
+    val sels = Seq("body > *", "html head title", "li", "p", "ul > li", "*")
+    for (_ <- 1 to 200) {
+      val s = (0 until rnd.nextInt(100)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val root = Vis.loadOptionsCatch(s, graft.html.ParseOptions.crawl, _ => ())
+      sels.foreach { sel =>
+        val found = root.find(sel)
+        found.text(); found.outerHtmls(); found.parent(""); found.siblings("")
+      }
+    }
+  }
+
   test("textops invariants: jaccard bounds/symmetry, simhash order-invariance, band whitespace-invariance") {
     import graft.spark.TextOps
     val rnd = new scala.util.Random(42)
