@@ -142,9 +142,20 @@ private[spark] trait AnnCoreOps extends TextCoreOps {
     rankTopK(spark, scored, k)
   }
 
-  /** Hamming-1 multi-probe set for a signature. */
-  private def probeSet(sig: Int, planes: Int): Set[Int] =
-    (sig +: (0 until planes).map(p => sig ^ (1 << p))).toSet
+  /** Hamming-<=radius multi-probe set for a signature — the ONE
+    * multi-probe definition (indexed probes, batch probe, evals, and the
+    * scan-path annLsh all share it). */
+  def probeSetR(sig: Int, planes: Int, radius: Int): Set[Int] = {
+    var cur = Set(sig)
+    var all = cur
+    var r = 0
+    while (r < radius) {
+      cur = cur.flatMap(s => (0 until planes).map(p => s ^ (1 << p)))
+      all = all ++ cur
+      r += 1
+    }
+    all
+  }
 
   /** LSH-bucketed ANN scale path: `LshTables` independent random-hyperplane
     * tables, probe the query's bucket plus all Hamming-1 neighbors in EACH
@@ -165,7 +176,7 @@ private[spark] trait AnnCoreOps extends TextCoreOps {
       .select(col("embedding").as[Seq[Float]], col("buckets").as[Seq[Int]]).head()
     val qb = spark.sparkContext.broadcast(qRow._1.toArray)
     val probes: Array[Set[Int]] =
-      qRow._2.toArray.map(sig => probeSet(sig, planes))
+      qRow._2.toArray.map(sig => probeSetR(sig, planes, 1))
     val probesB = spark.sparkContext.broadcast(probes)
     val scored = bucketed
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
@@ -367,9 +378,15 @@ private[spark] trait AnnCoreOps extends TextCoreOps {
     * Float precision — exactly the dedup workload) would otherwise let a
     * tying list be wrongly certified away. Cost of the wider margin: at
     * most the occasional extra list scanned. */
+  /** the certificate's float-noise epsilon — SHARED with the radius-aware
+    * initial probe choice (annIvfIndexed pre-adds with 2*CertEps so its
+    * set stays a superset of what the certificate can name; widening one
+    * without the other silently costs every probe a second pruned read). */
+  final val CertEps = 1e-5
+
   def certifiedExpansion(dists: Array[(Double, Int)], radii: Array[Double],
       scanned: Set[Int], kthCosine: Double): Set[Int] = {
-    val eps = 1e-5
+    val eps = CertEps
     dists.iterator.filter { case (dj, j) =>
       !scanned.contains(j) && {
         val dmin = math.max(0.0, dj - radii(j))

@@ -189,7 +189,11 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
       .collect().sortBy(_._1).map(_._2.toArray)
     val radii = new Array[Double](cents.length)
     val counts = new Array[Long](cents.length)
-    spark.read.parquet(s"$indexDir/radii")
+    // ignoreMissingFiles: a concurrent compaction's step-4 cleanup may
+    // delete a superseded radii batch file mid-read; the compacted batch's
+    // tight radii landed first and max-merge keeps correctness, same
+    // argument as the lsh/ivf probe scans
+    spark.read.option("ignoreMissingFiles", "true").parquet(s"$indexDir/radii")
       // coalesce: tolerate a radii partition without cnt (defense in
       // depth — the v5 version gate should make it unreachable); a 0
       // count only shrinks the advisory bound, never breaks exactness
@@ -331,6 +335,8 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
     val n = vecs.count()
+    require(n > 0, "buildAnnIndex: empty embeddings frame — nothing to index " +
+      "(the quantizer fit needs at least one vector)")
     val planes = if (planesOverride > 0) planesOverride else planesFor(n)
     require(planes >= 1 && planes <= 24,
       s"planes must be in [1, 24] (got $planes): signatures are Int bit masks")
@@ -357,7 +363,12 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
           coarse.indices.map(c => (c, coarse(c).toSeq, starts(c), lens(c))))
           .toDF("cell_id", "centroid", "list_start", "list_len")
           .write.mode("overwrite").parquet(s"$indexDir/coarse")
-      case _ => ()
+      case _ =>
+        // an in-place rebuild over a previously TWO-LEVEL index must not
+        // leave the stale coarse table behind: readAssignQuantizer
+        // dispatches on its existence, and stale spans over the new
+        // codebook would assign out of bounds
+        deleteRecursively(s"$indexDir/coarse")
     }
 
     val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
@@ -552,7 +563,12 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     * the publish race keeps the winner's index and discards its own. */
   def ensureAnnIndex(spark: SparkSession, sfDir: String): String = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v$AnnIndexVersion-$name"
+    // the raw-path hash disambiguates sfDirs that sanitize identically
+    // ("/data/sf_a" vs "/data/sf-a") — a silent key collision would probe
+    // whichever corpus built first
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ann-v$AnnIndexVersion-$name-" +
+      (sfDir.hashCode & 0x7fffffff).toString
+    
     def versionOk: Boolean = new java.io.File(s"$indexDir/ivf/_SUCCESS").exists() && (try {
       // readMeta caches behind a file fingerprint: repeated ensure calls
       // (one per probe in the harness) cost a dir listing, not a Spark job

@@ -10,19 +10,6 @@ import org.apache.spark.sql.expressions.Window
   * eval pair. Maintenance lifecycle lives in [[AnnIndexOps]]; see
   * [[TextOps]]. */
 private[spark] trait AnnProbeOps extends AnnIndexOps {
-  /** Hamming-<=radius multi-probe set for a signature. */
-  def probeSetR(sig: Int, planes: Int, radius: Int): Set[Int] = {
-    var cur = Set(sig)
-    var all = cur
-    var r = 0
-    while (r < radius) {
-      cur = cur.flatMap(s => (0 until planes).map(p => s ^ (1 << p)))
-      all = all ++ cur
-      r += 1
-    }
-    all
-  }
-
   /** the LAZY scored probe scan behind [[annLshIndexed]]: reads ONLY the
     * probed (tbl, sigp) partitions (partition pruning) and skips
     * non-matching row groups via the pushed-down sig filter — O(tables *
@@ -95,7 +82,7 @@ private[spark] trait AnnProbeOps extends AnnIndexOps {
     // over-counts, making B too optimistic at worst): the certificate
     // below remains the exactness authority and pays a second pruned
     // read only in that crash window.
-    val eps = 1e-5
+    val eps = CertEps
     val initial = scala.collection.mutable.LinkedHashSet.empty[Int]
     var covered = 0L
     var bound = Double.MaxValue
@@ -249,7 +236,11 @@ private[spark] trait AnnProbeOps extends AnnIndexOps {
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
     val n = emb.count()
-    val nlist = nlistFor(n)
+    // EVAL-ONLY harness: clamp to the driver-fit cap — unlike
+    // buildAnnIndex this path has no two-level branch, and a coarser
+    // codebook only changes candidate-set size, never the exactness
+    // contract (the certificate still closes it)
+    val nlist = math.min(nlistFor(n), DriverFitMaxNlist)
     val sample = sampleVectors(emb, n, quantizerSampleSize(n, nlist))
     val cents = kmeansCentroids(sample, nlist)
     val centsB = spark.sparkContext.broadcast(cents)

@@ -122,6 +122,10 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
     val sigRows = vecs.flatMap { case (id, v) =>
       (0 until LshTables).iterator.map(t => (id, t, hyperplaneSig(v, planes, t)))
     }.toDF("vec_id", "tbl", "sig")
+      // persisted: the signature map otherwise re-executes for the
+      // bucket-count aggregate AND both sides of the self-join (~3x the
+      // dominant cost) — same reason minhashPairs persists its band table
+      .persist()
     val okBuckets = sigRows.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("sz"))
       .where(col("sz") >= 2 && col("sz") <= bucketCap)
@@ -141,7 +145,7 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
       .flatMap { case (l, r, lv, rv) =>
         if (cosine(lv.toArray, rv) >= threshold) Iterator.single((l, r)) else Iterator.empty
       }.toDF("left_id", "right_id")
-    if (materialize) finishUnpersist(verified, vecs)
-    else { vecs.unpersist(false); verified } // leak-free: lazy plan recomputes
+    if (materialize) finishUnpersist(verified, vecs, sigRows)
+    else { vecs.unpersist(false); sigRows.unpersist(false); verified } // leak-free: lazy plan recomputes
   }
 }

@@ -319,10 +319,12 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ensureAnnIndex recovery: squatter replaced, stale lock stolen, fresh lock honored") {
-    // the shared-index name for this sfDir (mirrors ensureAnnIndex's key)
+    // the shared-index name for this sfDir (mirrors ensureAnnIndex's key,
+    // incl. the raw-path hash that disambiguates sanitization collisions)
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val indexDir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft-ann-v${TextOps.AnnIndexVersion}-$name")
+      s"${sys.props("java.io.tmpdir")}/graft-ann-v${TextOps.AnnIndexVersion}-$name-" +
+        (sfDir.hashCode & 0x7fffffff).toString)
     val lock = new java.io.File(indexDir.getPath + ".lock")
     def wreck(): Unit = { // a stale incomplete dir squatting on the name
       org.apache.commons.io.FileUtils.deleteDirectory(indexDir)
