@@ -249,15 +249,37 @@ final class Arena(initialNodes: Int = 256) {
     new String(buf, off, len, java.nio.charset.StandardCharsets.UTF_8)
 
   def spanEqIgnoreCase(off: Int, len: Int, lower: String): Boolean = {
-    if (len != lower.length) return false
-    var i = 0
-    while (i < len) {
-      val c = buf(off + i)
-      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
-      if (lc != lower.charAt(i).toByte) return false
-      i += 1
+    // fast path: ASCII `lower` (every internal constant and virtually
+    // every real selector) — byte-per-char compare with ASCII folding
+    var ascii = true
+    var k = 0
+    while (ascii && k < lower.length) { if (lower.charAt(k) >= 0x80) ascii = false; k += 1 }
+    if (ascii) {
+      if (len != lower.length) return false
+      var i = 0
+      while (i < len) {
+        val c = buf(off + i)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        if (lc != lower.charAt(i).toByte) return false
+        i += 1
+      }
+      true
+    } else {
+      // non-ASCII selector ident (the parser accepts them, matching the
+      // reference's to_ascii_lowercase semantics): compare the span's
+      // UTF-8 bytes against `lower`'s UTF-8 bytes with ASCII-only folding
+      // — a char-length/byte-truncating compare could never match
+      val lb = lower.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (len != lb.length) return false
+      var i = 0
+      while (i < len) {
+        val c = buf(off + i)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        if (lc != lb(i)) return false
+        i += 1
+      }
+      true
     }
-    true
   }
 
   /** lowercase tag name of an element ("" for non-elements / root);
@@ -369,6 +391,10 @@ final class Arena(initialNodes: Int = 256) {
     if (nx >= 0) prevSib(nx) = pr else lastChild(p) = pr
     if (nx >= 0) renumberFrom(nx, nodeIdx(c))
     parent(c) = -1; prevSib(c) = -1; nextSib(c) = -1
+    // the removed subtree may hold the cached holder of a duplicate id:
+    // the cache must rebuild from the LIVE tree, or #id lookups return
+    // empty / getElementById hands back a detached node
+    idMapDirty = true
   }
 
   /** insert `c` before existing child `ref` (same parent as ref). */
@@ -396,6 +422,7 @@ final class Arena(initialNodes: Int = 256) {
     var c = firstChild(p)
     while (c >= 0) { val nx = nextSib(c); parent(c) = -1; prevSib(c) = -1; nextSib(c) = -1; c = nx }
     firstChild(p) = -1; lastChild(p) = -1
+    idMapDirty = true // removed subtrees may hold cached id elements (see detach)
   }
 
   def childElemCount(p: Int): Int = {

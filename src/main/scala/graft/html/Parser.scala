@@ -476,9 +476,6 @@ object Parser {
       // fused: link into the tree at alloc (appendChild overwrites fold away);
       // nothing between here and the old link point reads sibling structure
       val id = a.allocChild(a.ELEM, cur)
-      if (h5Slot == 1) htmlId = id
-      else if (h5Slot == 2) headId = id
-      else if (h5Slot == 3) bodyId = id
       a.nameOff(id) = nameStart; a.nameLen(id) = nlen
       val isVoid = spanIsVoid(nameStart, nlen)
       val isContent = !isVoid && spanIsContent(nameStart, nlen)
@@ -503,6 +500,16 @@ object Parser {
             i += 2; done = true
           case _ => parseAttr(id)
         }
+      }
+      // html5Tree: claim the html/head/body slot only now that selfClosed
+      // is known — a self-closed <body/> must NOT become the insertion
+      // parent (F_SELF_CLOSED renders without children, so content routed
+      // into it would vanish from re-render); it stays an ordinary leaf
+      // and later content opens an implied body
+      if (h5Slot != 0 && !selfClosed) {
+        if (h5Slot == 1) htmlId = id
+        else if (h5Slot == 2) headId = id
+        else if (h5Slot == 3) bodyId = id
       }
       if (selfClosed) {
         a.flags(id) |= a.F_SELF_CLOSED

@@ -98,7 +98,10 @@ final class Elems(var doc: VDoc, var ids: Array[Int]) {
 
   def prevUntil(selector: String, filter: String, contains: Boolean): Elems = {
     // reference elements.rs:1367-1377: unique_sibling_LAST starts, then
-    // re-reverse to document order
+    // whole-result reverse, exactly like reference prev_until
+    // (elements.rs: "should reverse the result when length > 1") — note
+    // this restores document order per walk CHAIN only; multi-parent
+    // start sets come back group-reversed in the reference too
     val starts = Engine.uniqueSibling(a, ArrayBuffer.from(ids), first = false)
     val r = selectUntil("prev_until", starts.toArray, selector, filter, contains, Combinator.Prev)
     new Elems(doc, r.ids.reverse)

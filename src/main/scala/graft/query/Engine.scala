@@ -141,19 +141,37 @@ object Engine {
     out
   }
 
-  /** keep first (asc) / last of each consecutive same-parent run
-    * (reference unique_sibling, elements.rs:367-415). */
+  /** keep ONE member per distinct parent — first (asc) / last of each
+    * (reference unique_sibling, elements.rs:367-415). The reference pairs
+    * a consecutive-run fast path (prev_parent) with a GLOBAL parent
+    * HashSet (parents_indexs), so NON-consecutive same-parent members —
+    * which nested sets like `find("a, i, b")` produce — also dedup; a
+    * run-only dedup emitted the parent twice and out of order. Members
+    * with no element parent collapse to the first one (has_root). */
   def uniqueSibling(a: Arena, ids: ArrayBuffer[Int], first: Boolean): ArrayBuffer[Int] = {
     if (ids.length <= 1) return ids
     val out = new ArrayBuffer[Int](ids.length)
-    var i = 0
+    val seenParents = new java.util.HashSet[Integer]()
     var prevParent = Int.MinValue
-    while (i < ids.length) {
-      val e = ids(i)
+    var hasRoot = false
+    def handle(e: Int): Unit = {
       val p = a.parent(e)
-      if (p != prevParent) { out += e; prevParent = p }
-      else if (!first) out(out.length - 1) = e
-      i += 1
+      if (p >= 0) {
+        if (prevParent != Int.MinValue && p == prevParent) return
+        prevParent = p
+        if (seenParents.add(p)) out += e
+      } else if (!hasRoot) { hasRoot = true; out += e }
+    }
+    if (first) {
+      var i = 0
+      while (i < ids.length) { handle(ids(i)); i += 1 }
+    } else {
+      var i = ids.length - 1
+      while (i >= 0) { handle(ids(i)); i -= 1 }
+      // walked last-to-first: reverse to restore document order
+      var l = 0
+      var r = out.length - 1
+      while (l < r) { val t = out(l); out(l) = out(r); out(r) = t; l += 1; r -= 1 }
     }
     out
   }

@@ -148,6 +148,19 @@ class Html5TreeSpec extends AnyFunSuite {
     assert(root.find("li li").length == 0)
   }
 
+  test("self-closed <body/> never becomes the insertion parent (content would vanish from render)") {
+    // F_SELF_CLOSED renders without children: routing content into a
+    // self-closed body would drop it from sourceCode while text() kept it
+    val src = "<body/><div>x</div>"
+    val root = crawl(src)
+    assert(root.find("div").text() == "x")
+    assert(root.doc.sourceCode == src, root.doc.sourceCode)
+    val src2 = "<html/><p>y</p>"
+    val r2 = crawl(src2)
+    assert(r2.find("p").text() == "y")
+    assert(r2.doc.sourceCode == src2, r2.doc.sourceCode)
+  }
+
   test("extraction-style queries on a realistic crawl page without explicit body") {
     val page = "<!DOCTYPE html><meta charset=\"utf-8\"><title>T</title>" +
       "<nav>menu</nav><p>first<p>second<ul><li>one<li>two</ul><footer>f</footer>"

@@ -464,6 +464,45 @@ class MethodSpec extends AnyFunSuite {
     assert(b.hasClass("b"))
   }
 
+  test("parent() on a NESTED set dedups non-consecutive same-parent members (reference parents_indexs)") {
+    // set [a, i, b]: a,b children of p, i child of a — the reference's
+    // unique_sibling keeps one member per DISTINCT parent via a global
+    // set, so parent() yields [p, a], never [p, a, p]
+    val root = load("""<p id="P"><a>1<i>x</i></a><b>2</b></p>""")
+    val set = root.find("a, i, b")
+    assert(set.length == 3)
+    val parents = set.parent("")
+    assert(parents.length == 2, s"got ${parents.length}")
+    val names = parents.map((_, e) => parents.doc.arena.lowerName(e))
+    assert(names == Seq("p", "a"), names.toString)
+    // siblings/nextAll on the same shape stay duplicate-free
+    assert(set.nextAll("").length == 1) // only b's run yields nothing; a's yields b... the b member is last
+  }
+
+  test("removing the cached id holder: #id finds the live duplicate, getElementById never returns a detached node") {
+    val root = load("""<div id="x">first</div><p id="x">second</p>""")
+    assert(root.find("#x").text() == "first") // first-registered wins
+    root.find("div").remove()
+    // the cache rebuilds from the live tree: the duplicate is now the holder
+    assert(root.find("#x").text() == "second")
+    assert(root.doc.getElementById("x").text() == "second")
+    root.find("p").remove()
+    assert(root.find("#x").length == 0)
+    assert(root.doc.getElementById("x").isEmpty)
+  }
+
+  test("non-ASCII attr-key/class selectors match (UTF-8 span compare)") {
+    // tag-open needs ASCII alpha (HTML5 + reference tokenizer), but attr
+    // KEYS and class names carry non-ASCII on real pages — the byte-len
+    // vs char-len span compare could never match them before
+    val root = load("""<div data-名前="v" class="クラス">d</div><p class="x">e</p>""")
+    assert(root.find("[data-名前]").length == 1)
+    assert(root.find("[data-名前='v']").length == 1)
+    assert(root.find("[data-名前]").text() == "d")
+    assert(root.find(".クラス").length == 1)
+    assert(root.find("div").attr("data-名前").map(_.toString) == Some("v"))
+  }
+
   test("multi-target insert: LAST target owns the moved nodes (reference insert: targets forward)") {
     val root = load("""<div id="d1"></div><div id="d2"></div><p>m</p>""")
     root.find("p").appendTo(root.find("div"))
