@@ -452,6 +452,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16d. WARC source parsing (ISO 28500 — the container Common
+    //      Crawl actually ships): real records with Content-Length
+    //      framing + HTTP splitting, page bodies through the crawl-mode
+    //      extraction; every column closed-form ----
+    "q_warc" -> ((s, dir) =>
+      graft.spark.WarcOps.warcTable(s, dir).orderBy("doc_id")),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -863,6 +870,18 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)) AS body_text, " +
         "CAST(1 AS BIGINT) AS b_src " +
         "FROM documents ORDER BY doc_id"),
+    "q_warc" -> {
+      def uri(p: Int) = s"'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p$p'"
+      def txt(p: Int) = s"'w' || CAST(doc_id AS VARCHAR) || ' body $p'"
+      "SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_pages, " +
+        s"CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ${uri(0)} " +
+        s"WHEN 1 THEN ${uri(0)} || ',' || ${uri(1)} " +
+        s"ELSE ${uri(0)} || ',' || ${uri(1)} || ',' || ${uri(2)} END AS uris, " +
+        s"CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ${txt(0)} " +
+        s"WHEN 1 THEN ${txt(0)} || '|' || ${txt(1)} " +
+        s"ELSE ${txt(0)} || '|' || ${txt(1)} || '|' || ${txt(2)} END AS texts " +
+        "FROM documents ORDER BY doc_id"
+    },
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

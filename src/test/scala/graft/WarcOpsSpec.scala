@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.WarcOps
+
+/** WARC (ISO 28500) source parsing: real Content-Length-framed records,
+  * HTTP splitting, crawl tolerance on truncation/corruption. */
+class WarcOpsSpec extends AnyFunSuite {
+
+  test("synthesized WARC round-trips: responses only, uris/dates/bodies intact") {
+    (0L until 40L).foreach { id =>
+      val bytes = WarcOps.synthWarc(id)
+      assert(new String(bytes.take(8), "ISO-8859-1") == "WARC/1.0")
+      val pages = WarcOps.parseWarc(bytes)
+      assert(pages.length == WarcOps.pagesPerWarc(id), s"id=$id")
+      pages.zipWithIndex.foreach { case (pg, p) =>
+        assert(pg.uri == WarcOps.pageUri(id, p))
+        assert(new String(pg.html, "ISO-8859-1") == WarcOps.pageHtml(id, p))
+      }
+    }
+  }
+
+  test("the warcinfo record is framed over, never surfaced as a page") {
+    val pages = WarcOps.parseWarc(WarcOps.synthWarc(5L))
+    assert(pages.forall(_.uri.startsWith("https://warc-5")))
+  }
+
+  test("Content-Length framing: an html body containing CRLFCRLF and WARC/ text stays one page") {
+    // bodies are framed by length, never scanned for separators
+    val body = "<p>a</p>\r\n\r\nWARC/1.0\r\n\r\n<p>b</p>"
+    val http = s"HTTP/1.1 200 OK\r\n\r\n$body"
+    val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val pages = WarcOps.parseWarc(rec.getBytes("ISO-8859-1"))
+    assert(pages.length == 1)
+    assert(new String(pages.head.html, "ISO-8859-1") == body)
+  }
+
+  test("truncation keeps the complete prefix; garbage never throws") {
+    val full = WarcOps.synthWarc(2L) // 3 response records
+    val all = WarcOps.parseWarc(full)
+    assert(all.length == 3)
+    // cut inside the LAST record: first two survive
+    val cut = java.util.Arrays.copyOf(full, full.length - 20)
+    val kept = WarcOps.parseWarc(cut)
+    assert(kept.length == 2, s"kept ${kept.length}")
+    // random garbage / empty / null: empty result, no throw
+    assert(WarcOps.parseWarc(null).isEmpty)
+    assert(WarcOps.parseWarc(Array.empty[Byte]).isEmpty)
+    assert(WarcOps.parseWarc("not a warc at all".getBytes).isEmpty)
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      WarcOps.parseWarc(junk) // never a throw
+      WarcOps.parseWarc("WARC/1.0\r\n".getBytes ++ junk)
+    }
+    // single-byte mutations across a valid file's header region
+    (0 until math.min(full.length, 120)).foreach { pos =>
+      val m = full.clone()
+      m(pos) = (m(pos) ^ 0x5a).toByte
+      WarcOps.parseWarc(m) // any prefix outcome is legal, a throw is not
+    }
+  }
+
+  test("case-insensitive headers and tolerant separators") {
+    val body = "<p>ok</p>"
+    val http = s"HTTP/1.1 200 OK\r\n\r\n$body"
+    val rec = s"WARC/1.0\r\nwarc-type: RESPONSE\r\nWARC-TARGET-URI: u2\r\n" +
+      s"content-length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    // "RESPONSE" value is case-SENSITIVE per our parse (warc-type values
+    // are lowercase in the wild); lowercase type parses
+    val rec2 = rec.replace("RESPONSE", "response")
+    val pages = WarcOps.parseWarc(rec2.getBytes("ISO-8859-1"))
+    assert(pages.length == 1 && pages.head.uri == "u2")
+  }
+}
