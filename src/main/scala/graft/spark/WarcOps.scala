@@ -57,6 +57,56 @@ object WarcOps extends Serializable {
     out.toByteArray
   }
 
+  /** per-record gzip members, concatenated — the `.warc.gz` layout
+    * Common Crawl ships (each record its own member so readers can seek).
+    * java.util.zip.GZIPInputStream consumes concatenated members
+    * transparently. */
+  def synthWarcGz(id: Long): Array[Byte] = {
+    val raw = synthWarc(id)
+    // split at record boundaries: re-walk via the version-line scan so
+    // each record becomes its own member (like a real CC writer)
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var at = 0
+    while (at < raw.length) {
+      var next = at + 1
+      var found = -1
+      while (found < 0 && next + 5 <= raw.length) {
+        if (raw(next) == 'W' &&
+          new String(raw, next, 5, ISO_8859_1) == "WARC/") found = next
+        else next += 1
+      }
+      val end = if (found < 0) raw.length else found
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(raw, at, end - at)
+      gz.finish()
+      at = end
+    }
+    out.toByteArray
+  }
+
+  /** [[parseWarc]] over a gzip'd buffer (multi-member tolerated); null /
+    * non-gzip input yields an empty list, never a throw. */
+  def parseWarcGz(bytes: Array[Byte]): Seq[WarcPage] = {
+    if (bytes == null || bytes.length < 2 ||
+      (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B) return Nil
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 8192)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      parseWarc(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** magic-byte dispatch: gzip'd or plain WARC bytes. */
+  def parseWarcAuto(bytes: Array[Byte]): Seq[WarcPage] =
+    if (bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) parseWarcGz(bytes)
+    else parseWarc(bytes)
+
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
     var i = from
     val lim = math.min(until, b.length) - 3
@@ -131,7 +181,10 @@ object WarcOps extends Serializable {
       .select(col("doc_id").as[Long])
       .mapPartitions { it =>
         it.map { id =>
-          val pages = parseWarc(synthWarc(id))
+          // odd ids ship as .warc.gz (per-record gzip members, the real
+          // CC layout); even ids plain — one dispatch entry handles both
+          val bytes = if (id % 2 == 1) synthWarcGz(id) else synthWarc(id)
+          val pages = parseWarcAuto(bytes)
           val texts = pages.map { pg =>
             val t = Extractor.extractMainCrawlCodegen(pg.html)
             if (t == null) "" else t.toString

@@ -63,6 +63,26 @@ class WarcOpsSpec extends AnyFunSuite {
     }
   }
 
+  test(".warc.gz: per-record gzip members round-trip; auto dispatch; corrupt gz never throws") {
+    (0L until 20L).foreach { id =>
+      val gz = WarcOps.synthWarcGz(id)
+      assert((gz(0) & 0xFF) == 0x1F && (gz(1) & 0xFF) == 0x8B)
+      val viaGz = WarcOps.parseWarcGz(gz)
+      val plain = WarcOps.parseWarc(WarcOps.synthWarc(id))
+      assert(viaGz.map(_.uri) == plain.map(_.uri), s"id=$id")
+      assert(viaGz.zip(plain).forall { case (a, b) => a.html.sameElements(b.html) })
+      // one dispatch entry serves both layouts
+      assert(WarcOps.parseWarcAuto(gz).length == plain.length)
+      assert(WarcOps.parseWarcAuto(WarcOps.synthWarc(id)).length == plain.length)
+    }
+    // corrupt gzip: empty result, no throw
+    val gz = WarcOps.synthWarcGz(3L)
+    val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x7f).toByte
+    WarcOps.parseWarcGz(bad) // any prefix outcome legal, a throw is not
+    assert(WarcOps.parseWarcGz("not gzip".getBytes).isEmpty)
+    assert(WarcOps.parseWarcGz(null).isEmpty)
+  }
+
   test("case-insensitive headers and tolerant separators") {
     val body = "<p>ok</p>"
     val http = s"HTTP/1.1 200 OK\r\n\r\n$body"
