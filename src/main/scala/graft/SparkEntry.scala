@@ -459,6 +459,13 @@ object SparkEntry {
     "q_warc" -> ((s, dir) =>
       graft.spark.WarcOps.warcTable(s, dir).orderBy("doc_id")),
 
+    // ---- 16e. WARC FILE source (round 6): real multi-record .warc.gz
+    //      files on disk, read back through the STREAMING record reader
+    //      (bounded memory per task — the Common Crawl ingest shape), one
+    //      row per page through crawl-profile extraction ----
+    "q_warc_file" -> ((s, dir) =>
+      graft.spark.WarcOps.warcFileTable(s, dir).orderBy("uri")),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -882,6 +889,12 @@ object SparkEntry {
         s"ELSE ${txt(0)} || '|' || ${txt(1)} || '|' || ${txt(2)} END AS texts " +
         "FROM documents ORDER BY doc_id"
     },
+    "q_warc_file" ->
+      ("WITH pg AS (SELECT doc_id, UNNEST(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS p " +
+        "FROM documents) " +
+        "SELECT 'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS uri, " +
+        "'w' || CAST(doc_id AS VARCHAR) || ' body ' || CAST(p AS VARCHAR) AS main_txt " +
+        "FROM pg ORDER BY uri"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

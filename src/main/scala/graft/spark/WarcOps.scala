@@ -2,27 +2,270 @@ package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.GZIPInputStream
 
-/** WARC (ISO 28500) record parsing — the container Common Crawl actually
-  * ships: a crawl source is a stream of `WARC/1.0` records, each a
-  * CRLF-terminated header block (WARC-Type, WARC-Target-URI, WARC-Date,
-  * Content-Length) framing an HTTP response whose body is the page.
+/** WARC (ISO 28500) ingest — the container Common Crawl actually ships: a
+  * crawl source is a stream of `WARC/1.0` records, each a CRLF-terminated
+  * header block (WARC-Type, WARC-Target-URI, WARC-Date, Content-Length)
+  * framing an HTTP response whose body is the page.
   *
-  * [[parseWarc]] walks a WARC byte buffer record by record using
-  * Content-Length framing (never scanning payload bytes for separators —
-  * bodies may contain anything), case-insensitive header lookup, and
-  * HTTP-response splitting at the first CRLFCRLF. Malformed records stop
-  * the walk at the last good record (crawl tolerance: a truncated fetch
-  * keeps its complete prefix); a malformed file yields an empty list,
-  * never a throw.
+  * The core is [[WarcRecordReader]], a STREAMING record walk over an
+  * `InputStream` with bounded memory: headers are read line-by-line under a
+  * cap, bodies are read (or skipped) under `maxBodyBytes`, and record
+  * offsets are Long — a ~1 GB-gz / ~4 GB-inflated Common Crawl WARC (or any
+  * logical stream past 2 GiB) parses record-at-a-time without ever holding
+  * the file. Framing is Content-Length only (payload bytes are never
+  * scanned for separators — bodies may contain anything), header lookup is
+  * case-insensitive, and malformation/truncation stops the walk at the last
+  * good record (crawl tolerance: a truncated fetch keeps its complete
+  * prefix) — never a throw.
   *
-  * Synthesis ([[synthWarc]]) is a REAL WARC file (warcinfo + response
-  * records, correct Content-Length arithmetic) whose page bodies are the
-  * deterministic function of the id that the DuckDB oracle recomputes. */
+  * [[readWarcFiles]] is the file source: it maps a directory/glob of
+  * `.warc` / `.warc.gz` FILES to page rows, one sequential streamed file
+  * per task (gzip members via one `GZIPInputStream` — multi-member streams
+  * are consumed transparently, which is exactly the per-record-member
+  * layout CC writers emit so readers can seek). gzip is not splittable
+  * without a member index, so the scale unit is the file — the layout
+  * Common Crawl itself standardizes (~1 GB per WARC, thousands of files
+  * per segment), giving natural task granularity at any corpus size.
+  * [[warcPages]] adapts the source to [[ExtractJob]]'s pages schema, so
+  * `.warc.gz files -> salted buckets -> extraction -> lineage` is one call.
+  *
+  * The buffer entries ([[parseWarc]] / [[parseWarcGz]]) delegate to the
+  * same reader, so the round-5 whole-file inflate (and its
+  * `bytes.length * 4` Int-overflow that silently dropped >512 MB-gz files
+  * to Nil) is structurally gone.
+  *
+  * Synthesis ([[synthWarc]] / [[synthWarcDir]]) builds REAL WARC bytes and
+  * files (warcinfo + response records, correct Content-Length arithmetic)
+  * whose page bodies are deterministic functions of the id that the DuckDB
+  * oracle recomputes. */
 object WarcOps extends Serializable {
 
   final case class WarcPage(uri: String, date: String, html: Array[Byte])
+
+  /** one parsed record: lowercase header map + body (null when the body
+    * exceeded `maxBodyBytes` and was skipped — the error channel, not a
+    * silent drop). */
+  final case class WarcRecord(headers: Map[String, String], body: Array[Byte], bodyLen: Long) {
+    def skipped: Boolean = body == null
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  /** Streaming WARC record iterator over `in` with bounded memory:
+    * at most `maxHeaderBytes` of header block and `min(Content-Length,
+    * maxBodyBytes)` of body are ever resident per record. Bodies larger
+    * than `maxBodyBytes` are SKIPPED in the stream (body = null, bodyLen
+    * kept) so one pathological record cannot OOM an executor while the
+    * rest of the file still parses. Stops (never throws) at EOF, a
+    * malformed header block, or a body overrunning EOF. */
+  final class WarcRecordReader(
+      raw: InputStream,
+      maxHeaderBytes: Int = 1 << 20,
+      maxBodyBytes: Int = 256 << 20) extends Iterator[WarcRecord] with AutoCloseable {
+
+    private val in = new PushbackInputStream(new BufferedInputStream(raw, 64 << 10), 1)
+    private var nextRec: WarcRecord = _
+    private var done = false
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !done) nextRec = advance()
+      nextRec != null
+    }
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("WarcRecordReader")
+      val r = nextRec; nextRec = null; r
+    }
+
+    override def close(): Unit = { done = true; try in.close() catch { case _: Exception => () } }
+
+    /** null => clean end (EOF or tolerated malformation); the stream is
+      * closed as soon as the walk ends so fully-consumed iterators never
+      * hold a descriptor. */
+    private def ended(): WarcRecord = { close(); null }
+
+    /** null => clean end (EOF or tolerated malformation). */
+    private def advance(): WarcRecord =
+      try {
+        // records are separated by CRLFCRLF; tolerate any \r\n run (a
+        // version line never starts with either, so greedy skip is safe)
+        var c = in.read()
+        while (c == '\r' || c == '\n') c = in.read()
+        if (c < 0) return ended()
+        in.unread(c)
+
+        val version = readLine()
+        if (version == null || !version.startsWith("WARC/")) return ended()
+
+        var headerBytes = version.length
+        var headers = Map.empty[String, String]
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          headerBytes += line.length + 2
+          if (headerBytes > maxHeaderBytes) return ended()
+          val colon = line.indexOf(':')
+          if (colon > 0)
+            headers += (line.substring(0, colon).trim.toLowerCase ->
+              line.substring(colon + 1).trim)
+          line = readLine()
+        }
+        if (line == null) return ended() // EOF inside headers
+
+        val len = headers.get("content-length").flatMap(v =>
+          try Some(v.toLong) catch { case _: NumberFormatException => None })
+        len match {
+          case Some(l) if l >= 0 && l <= maxBodyBytes =>
+            val body = readFully(l.toInt)
+            if (body == null) ended() // truncated body: drop, stop
+            else WarcRecord(headers, body, l)
+          case Some(l) if l > maxBodyBytes =>
+            if (!skipFully(l)) ended()
+            else WarcRecord(headers, null, l) // oversize: skipped, surfaced
+          case _ => ended() // missing/invalid length
+        }
+      } catch {
+        // corrupt gzip tail / truncated member / any stream fault: the
+        // complete prefix stands, the walk ends
+        case _: EOFException => ended()
+        case scala.util.control.NonFatal(_) => ended()
+      }
+
+    /** CRLF (or bare-LF) line as ISO-8859-1, without the terminator; null
+      * on EOF-before-any-byte; capped at maxHeaderBytes. */
+    private def readLine(): String = {
+      val sb = new java.io.ByteArrayOutputStream(96)
+      var c = in.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') {
+        sb.write(c)
+        if (sb.size > maxHeaderBytes) return null
+        c = in.read()
+      }
+      val b = sb.toByteArray
+      val n = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      new String(b, 0, n, ISO_8859_1)
+    }
+
+    /** exactly n bytes or null (EOF first). */
+    private def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var at = 0
+      while (at < n) {
+        val r = in.read(buf, at, n - at)
+        if (r < 0) return null
+        at += r
+      }
+      buf
+    }
+
+    /** discard exactly n bytes; false on EOF first. */
+    private def skipFully(n: Long): Boolean = {
+      var left = n
+      val buf = new Array[Byte](64 << 10)
+      while (left > 0) {
+        val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r < 0) return false
+        left -= r
+      }
+      true
+    }
+  }
+
+  /** response-record pages from a stream; `gz = true` wraps one
+    * GZIPInputStream (concatenated members consumed transparently).
+    * Oversize-skipped records surface as pages with `html = null`. */
+  def pageIterator(raw: InputStream, gz: Boolean,
+      maxBodyBytes: Int = 256 << 20): Iterator[WarcPage] = {
+    val in = if (gz) new GZIPInputStream(raw, 64 << 10) else raw
+    new WarcRecordReader(in, maxBodyBytes = maxBodyBytes).flatMap { rec =>
+      if (!rec.headers.get("warc-type").contains("response")) Iterator.empty
+      else {
+        val page =
+          if (rec.body == null) null
+          else {
+            // HTTP response: page bytes follow the first CRLFCRLF
+            val split = indexOfCrlfCrlf(rec.body, 0, rec.body.length)
+            if (split < 0) rec.body
+            else java.util.Arrays.copyOfRange(rec.body, split + 4, rec.body.length)
+          }
+        Iterator.single(WarcPage(rec.headers.getOrElse("warc-target-uri", ""),
+          rec.headers.getOrElse("warc-date", ""), page))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ file source
+
+  /** pages from a directory/glob of `.warc` / `.warc.gz` files: the ingest
+    * front door. One streamed file per task row (bounded memory regardless
+    * of file size); files are distributed across `spark` default
+    * parallelism. Columns: warc_file, uri, warc_date, html (BINARY, null
+    * when a record body exceeded `maxBodyBytes` — the per-row error
+    * channel), n_bytes. */
+  def readWarcFiles(spark: SparkSession, pathOrGlob: String,
+      maxBodyBytes: Int = 256 << 20): DataFrame = {
+    import spark.implicits._
+    val files = listWarcFiles(spark, pathOrGlob)
+    // largest-first round-robin: a segment's few big files can't pile onto
+    // one task wave (the file is the scale unit — gzip is unsplittable)
+    val slots = math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism * 2))
+    val assigned = files.sortBy(-_._2).zipWithIndex
+      .map { case ((p, _), i) => (i % slots, p) }
+    val cap = maxBodyBytes
+    spark.createDataset(assigned)
+      .repartition(slots, col("_1"))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        // the reader closes its stream at walk end (ended()); the task
+        // listener covers early exits (limit/take) so no descriptor leaks
+        val open = new java.util.ArrayList[InputStream]()
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          open.forEach(s => try s.close() catch { case _: Exception => () })
+        }
+        it.flatMap { case (_, pathStr) =>
+          val path = new org.apache.hadoop.fs.Path(pathStr)
+          val fs = path.getFileSystem(conf)
+          val stream: InputStream = fs.open(path)
+          open.add(stream)
+          val gz = pathStr.endsWith(".gz")
+          pageIterator(stream, gz, cap).map { pg =>
+            (pathStr, pg.uri, pg.date, pg.html,
+              if (pg.html == null) 0L else pg.html.length.toLong)
+          }
+        }
+      }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes")
+  }
+
+  /** [[readWarcFiles]] adapted to [[ExtractJob]]'s pages schema
+    * (url, warc_ts, html): `.warc.gz files -> ExtractJob.run` is the
+    * end-to-end crawl ingest path. Unparseable WARC-Dates yield null
+    * warc_ts (counted by the job's error channel, never a task failure). */
+  def warcPages(spark: SparkSession, pathOrGlob: String): DataFrame =
+    readWarcFiles(spark, pathOrGlob)
+      .select(col("uri").as("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
+        col("html"))
+
+  private def listWarcFiles(spark: SparkSession, pathOrGlob: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(pathOrGlob)
+    val fs = p.getFileSystem(conf)
+    val matches =
+      if (fs.isDirectory(p)) fs.globStatus(new org.apache.hadoop.fs.Path(p, "*"))
+      else fs.globStatus(p)
+    if (matches == null) Seq.empty
+    else matches.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+      .filter { case (name, _) =>
+        name.endsWith(".warc") || name.endsWith(".warc.gz")
+      }.sortBy(_._1)
+  }
+
+  // -------------------------------------------------------------- synthesis
 
   def pagesPerWarc(id: Long): Int = 1 + (id % 3).toInt
 
@@ -35,6 +278,11 @@ object WarcOps extends Serializable {
     * records with full HTTP framing. */
   def synthWarc(id: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
+    writeWarcRecords(out, id)
+    out.toByteArray
+  }
+
+  private def writeWarcRecords(out: java.io.OutputStream, id: Long): Unit = {
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     def record(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
       w("WARC/1.0\r\n")
@@ -54,18 +302,25 @@ object WarcOps extends Serializable {
         "WARC-Target-URI" -> pageUri(id, p),
         "WARC-Date" -> f"2025-01-01T00:00:${p % 60}%02dZ"), http)
     }
-    out.toByteArray
   }
 
   /** per-record gzip members, concatenated — the `.warc.gz` layout
     * Common Crawl ships (each record its own member so readers can seek).
-    * java.util.zip.GZIPInputStream consumes concatenated members
-    * transparently. */
+    * One GZIPInputStream consumes concatenated members transparently. */
   def synthWarcGz(id: Long): Array[Byte] = {
     val raw = synthWarc(id)
-    // split at record boundaries: re-walk via the version-line scan so
-    // each record becomes its own member (like a real CC writer)
     val out = new java.io.ByteArrayOutputStream(raw.length)
+    gzipPerRecord(raw, out)
+    out.toByteArray
+  }
+
+  /** split `raw` at record boundaries (version-line scan) and gzip each
+    * record as its own member into `out`. close() (not just finish())
+    * releases each member's native Deflater immediately — finalization
+    * backlogs of pending Deflaters were a measured chunk of q_warc's
+    * round-5 cost. Closing a GZIPOutputStream closes the underlying
+    * stream too, which is a no-op for the byte sinks used here. */
+  private def gzipPerRecord(raw: Array[Byte], out: java.io.OutputStream): Unit = {
     var at = 0
     while (at < raw.length) {
       var next = at + 1
@@ -79,26 +334,57 @@ object WarcOps extends Serializable {
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(raw, at, end - at)
       gz.finish()
+      gz.close()
       at = end
     }
-    out.toByteArray
   }
 
+  /** deterministic `.warc.gz` FILE directory for the documents table:
+    * `docsPerFile` docs per file (ids sorted within a file, per-record
+    * gzip members), written distributed (one shuffle groups ids to their
+    * file) and idempotently (temp + rename, content a pure function of the
+    * ids). Returns the directory; reuses it when the marker for this doc
+    * count is already present. */
+  def synthWarcDir(spark: SparkSession, sfDir: String,
+      docsPerFile: Int = 16, baseDir: String = "/tmp/graft_warc_src"): String = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val dir = s"$baseDir/n$n-d$docsPerFile-v6"
+    val marker = new java.io.File(s"$dir/_GRAFT_OK")
+    if (marker.isFile) return dir
+    new java.io.File(dir).mkdirs()
+    val written = docs.select(col("doc_id")).as[Long]
+      .groupByKey(_ / docsPerFile)
+      .flatMapGroups { (g, it) =>
+        val ids = it.toArray.sorted
+        val raw = new java.io.ByteArrayOutputStream(4096)
+        ids.foreach(writeWarcRecords(raw, _))
+        val fileBytes = new java.io.ByteArrayOutputStream(raw.size)
+        gzipPerRecord(raw.toByteArray, fileBytes)
+        val tmp = java.nio.file.Paths.get(dir, f".tmp-part-$g%05d")
+        val fin = java.nio.file.Paths.get(dir, f"part-$g%05d.warc.gz")
+        java.nio.file.Files.write(tmp, fileBytes.toByteArray)
+        java.nio.file.Files.move(tmp, fin,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Iterator.single(ids.length)
+      }.reduce(_ + _)
+    require(written == n, s"synthWarcDir wrote $written of $n docs")
+    java.nio.file.Files.write(marker.toPath, "ok".getBytes(ISO_8859_1))
+    dir
+  }
+
+  // --------------------------------------------------------- buffer entries
+
   /** [[parseWarc]] over a gzip'd buffer (multi-member tolerated); null /
-    * non-gzip input yields an empty list, never a throw. */
+    * non-gzip input yields an empty list, never a throw. Streams through
+    * [[WarcRecordReader]] — no whole-buffer inflate, no size cliff. */
   def parseWarcGz(bytes: Array[Byte]): Seq[WarcPage] = {
     if (bytes == null || bytes.length < 2 ||
       (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B) return Nil
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 8192)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      parseWarc(out.toByteArray)
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    try pageIterator(new ByteArrayInputStream(bytes), gz = true).toVector
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** magic-byte dispatch: gzip'd or plain WARC bytes. */
@@ -121,69 +407,46 @@ object WarcOps extends Serializable {
     * Content-Length framing, case-insensitive headers; stops at the first
     * malformed record (keeping the good prefix). */
   def parseWarc(bytes: Array[Byte]): Seq[WarcPage] = {
-    val out = Seq.newBuilder[WarcPage]
-    if (bytes == null) return out.result()
-    try {
-      var at = 0
-      var going = true
-      while (going && at + 10 <= bytes.length) {
-        // record start: the WARC version line
-        if (!new String(bytes, at, math.min(6, bytes.length - at), ISO_8859_1).startsWith("WARC/")) {
-          going = false
-        } else {
-          val hdrEnd = indexOfCrlfCrlf(bytes, at, bytes.length)
-          if (hdrEnd < 0) going = false
-          else {
-            val headerBlock = new String(bytes, at, hdrEnd - at, ISO_8859_1)
-            val headers: Map[String, String] = headerBlock.split("\r\n").iterator
-              .drop(1) // version line
-              .flatMap { line =>
-                val c = line.indexOf(':')
-                if (c <= 0) None
-                else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
-              }.toMap
-            val len = headers.get("content-length").flatMap(v =>
-              try Some(v.toLong) catch { case _: NumberFormatException => None })
-            len match {
-              case Some(l) if l >= 0 && hdrEnd + 4L + l <= bytes.length =>
-                val body = hdrEnd + 4
-                val end = body + l.toInt
-                if (headers.get("warc-type").contains("response")) {
-                  // HTTP response: page bytes follow the first CRLFCRLF
-                  val split = indexOfCrlfCrlf(bytes, body, end)
-                  val page =
-                    if (split < 0) java.util.Arrays.copyOfRange(bytes, body, end)
-                    else java.util.Arrays.copyOfRange(bytes, split + 4, end)
-                  out += WarcPage(headers.getOrElse("warc-target-uri", ""),
-                    headers.getOrElse("warc-date", ""), page)
-                }
-                // records are separated by CRLFCRLF after the block
-                var nxt = end
-                while (nxt < bytes.length &&
-                  (bytes(nxt) == '\r' || bytes(nxt) == '\n')) nxt += 1
-                at = nxt
-              case _ => going = false // missing/overrunning length: stop
-            }
-          }
-        }
-      }
-      out.result()
-    } catch { case scala.util.control.NonFatal(_) => out.result() }
+    if (bytes == null) return Nil
+    try pageIterator(new ByteArrayInputStream(bytes), gz = false).toVector
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
-  /** deterministic WARC pipeline over the documents table: synthesize a
-    * real WARC file per row, parse its records per partition, run the
-    * CRAWL-profile main-content extraction over each page body — every
-    * output column closed-form for the DuckDB oracle. */
-  def warcTable(spark: SparkSession, sfDir: String): DataFrame = {
+  // -------------------------------------------------------------- gate rows
+
+  /** q_warc's bytes column, pre-materialized once per (doc count) under
+    * /tmp: the gate row then measures READ + PARSE + EXTRACT, not per-trial
+    * gzip synthesis (round-5 verdict: q_warc's bench number was
+    * synthesis-dominated). Contents are a pure function of doc_id, so
+    * reuse across sessions is exact; the version tag guards staleness. */
+  private def warcBytesPath(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").as[Long])
-      .mapPartitions { it =>
-        it.map { id =>
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val dir = s"/tmp/graft_warc_bytes/n$n-v6"
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
           // odd ids ship as .warc.gz (per-record gzip members, the real
           // CC layout); even ids plain — one dispatch entry handles both
           val bytes = if (id % 2 == 1) synthWarcGz(id) else synthWarc(id)
+          (id, bytes)
+        }.toDF("doc_id", "warc")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** deterministic WARC pipeline over the documents table: a real WARC
+    * byte buffer per row (pre-materialized, see [[warcBytesPath]]), parsed
+    * per partition, CRAWL-profile main-content extraction over each page
+    * body — every output column closed-form for the DuckDB oracle. */
+  def warcTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(warcBytesPath(spark, sfDir))
+      .select(col("doc_id").as[Long], col("warc").as[Array[Byte]])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
           val pages = parseWarcAuto(bytes)
           val texts = pages.map { pg =>
             val t = Extractor.extractMainCrawlCodegen(pg.html)
@@ -194,5 +457,16 @@ object WarcOps extends Serializable {
             texts.mkString("|"))
         }
       }.toDF("doc_id", "n_pages", "uris", "texts")
+  }
+
+  /** the FILE-source pipeline: real multi-record `.warc.gz` files on disk
+    * (16 docs/file, per-record gzip members), read back through
+    * [[readWarcFiles]] (streamed, bounded memory), crawl-profile
+    * extraction per page — one row per page, closed-form for the oracle. */
+  def warcFileTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = synthWarcDir(spark, sfDir)
+    readWarcFiles(spark, dir)
+      .select(col("uri"),
+        call_function("extract_main_crawl", col("html")).as("main_txt"))
   }
 }
