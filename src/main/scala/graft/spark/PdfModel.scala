@@ -386,6 +386,13 @@ private[spark] object PdfModel {
     private val loading = mutable.HashSet.empty[Int] // cycle guard
     private val objStmCache = mutable.HashMap.empty[Int, (Lexer, Vector[(Int, Int)], Int)]
 
+    /** empty-user-password decryption (PDF 32000 §7.6): set AFTER the xref
+      * loads, so the xref phase and the /Encrypt dict itself (whose /O and
+      * /U strings are never encrypted) parse untouched. Null = plaintext
+      * document. Unsupported handlers/passwords throw — the caller's
+      * tolerant-scan fallback owns that row. */
+    private var fileKey: PdfCrypto.FileKey = null
+
     locally {
       val tail = math.max(0, bytes.length - 2048)
       val sx = lastIndexOf(bytes, "startxref", tail)
@@ -398,6 +405,24 @@ private[spark] object PdfModel {
       }
       loadXrefAt(off, mutable.HashSet.empty, 0)
       if (entries.isEmpty) fail("empty xref")
+      resolve(trailerDict.getOrElse("Encrypt", null)) match {
+        case enc: Map[_, _] =>
+          val id0 = resolve(trailerDict.getOrElse("ID", null)) match {
+            case v: Vector[_] if v.nonEmpty => v.head match {
+              case s: String => s.getBytes(ISO_8859_1)
+              case _ => Array.emptyByteArray
+            }
+            case _ => Array.emptyByteArray
+          }
+          fileKey = PdfCrypto.standardFileKey(
+            enc.asInstanceOf[Map[String, Any]], id0, resolve)
+          // objects parsed while deriving the key (the Encrypt dict chain)
+          // were loaded plaintext-correct, but any cached STREAM would have
+          // skipped decryption — drop the cache so re-loads decrypt
+          objCache.clear()
+          objStmCache.clear()
+        case _ => ()
+      }
     }
 
     def trailer: Map[String, Any] = trailerDict
@@ -505,8 +530,14 @@ private[spark] object PdfModel {
     private def parseIndirectAt(off: Int): Any = {
       if (off < 0 || off >= bytes.length) fail("offset out of range")
       val lx = new Lexer(bytes, off)
-      lx.skipWs(); lx.parseObject() // obj number (unchecked: tolerant)
-      lx.skipWs(); lx.parseObject() // generation
+      // num/gen kept for the per-object decryption key (otherwise tolerant:
+      // a mismatch with the xref slot is the file's problem, not ours)
+      lx.skipWs()
+      val numTok = lx.parseObject()
+      lx.skipWs()
+      val genTok = lx.parseObject()
+      val objNum = numTok match { case l: java.lang.Long => l.toInt; case _ => 0 }
+      val objGen = genTok match { case l: java.lang.Long => l.toInt; case _ => 0 }
       lx.skipWs()
       if (!lx.eat("obj")) fail("obj keyword missing")
       val o = lx.parseObject()
@@ -534,7 +565,14 @@ private[spark] object PdfModel {
             if (t > body && bytes(t - 1) == '\r') t -= 1
             t
         }
-        PStream(dict, java.util.Arrays.copyOfRange(bytes, body, end))
+        val raw = java.util.Arrays.copyOfRange(bytes, body, end)
+        // cross-reference streams are NEVER encrypted (PDF 32000 7.5.8.2);
+        // everything else (content, ObjStm, ToUnicode, ...) decrypts here,
+        // BEFORE decodeStream's filters — the spec's writer order reversed
+        val data =
+          if (fileKey == null || dict.get("Type").contains("XRef")) raw
+          else fileKey.decryptStream(objNum, objGen, raw)
+        PStream(dict, data)
       } else o
     }
 

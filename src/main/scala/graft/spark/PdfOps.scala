@@ -26,12 +26,14 @@ import scala.collection.mutable.ArrayBuffer
   *     emitted top-to-bottom then left-to-right (y desc, x asc) regardless
   *     of the order the content stream drew them.
   *
-  * Deterministic synthetic PDFs (four REAL structural variants by id%4:
+  * Deterministic synthetic PDFs (seven REAL structural variants by id%7:
   * classic Flate / classic raw / xref-stream+ObjStm+Predictor-12+quote /
-  * xref-stream+ASCII85-chain+hex+dquote, with a /ToUnicode'd Type0 font
-  * on the quote variant) make every output a closed-form function of the
-  * id — the DuckDB oracle recomputes the expected text independently.
-  * Per-row failure yields null, never a task failure. */
+  * xref-stream+ASCII85-chain+hex+dquote (with a /ToUnicode'd Type0 font
+  * on the quote variant) / encrypted RC4-128 R3 / encrypted AES-128 V4 /
+  * encrypted AES-256 V5 R6 with an encrypted ObjStm — the last three with
+  * inline images planted in the content) make every output a closed-form
+  * function of the id — the DuckDB oracle recomputes the expected text
+  * independently. Per-row failure yields null, never a task failure. */
 object PdfOps extends Serializable {
 
   // ---------- synthesis (a real, openable PDF) ----------
@@ -41,9 +43,14 @@ object PdfOps extends Serializable {
   /** structural variant: 0 = classic xref + Flate content, 1 = classic
     * xref + raw content, 2 = xref STREAM (/W [1 2 1], Predictor 12) +
     * ObjStm + `'` show operator, 3 = xref stream (/W [1 3 1]) + ObjStm +
-    * hex strings + `"` show operator. The EXTRACTED TEXT is identical
-    * across variants — the oracle stays closed-form in the id. */
-  def variantOf(id: Long): Int = (id % 4).toInt
+    * hex strings + `"` show operator, 4 = classic ENCRYPTED RC4-128
+    * (R3, empty passwords) + an inline image in the content, 5 = classic
+    * ENCRYPTED AES-128 (V4 /AESV2 crypt filter, R4) + inline image,
+    * 6 = modern xref-stream/ObjStm structure ENCRYPTED AES-256 (V5 R6,
+    * the hardened 2.B hash) — the encrypted-ObjStm case. The EXTRACTED
+    * TEXT is identical across variants — the oracle stays closed-form in
+    * the id. */
+  def variantOf(id: Long): Int = (id % 7).toInt
 
   /** the planted per-page text, in LAYOUT order (top then bottom). */
   def expectedPageText(id: Long, p: Int): String =
@@ -84,6 +91,17 @@ object PdfOps extends Serializable {
       s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET\n").getBytes(ISO_8859_1)
   }
 
+  /** [[pageContent]] preceded by an INLINE IMAGE whose 4-byte raw payload
+    * is exactly the operator bytes `ET(\xfe` — if the interpreter fails to
+    * skip BI..ID..EI as a unit, the stray `(` opens a string and the
+    * planted text corrupts, failing the oracle. */
+  private def pageContentWithImage(id: Long, p: Int): Array[Byte] = {
+    val pre = "q BI /W 2 /H 2 /CS /G /BPC 8 ID ".getBytes(ISO_8859_1) ++
+      Array[Byte]('E', 'T', '(', 0xFE.toByte) ++
+      " EI Q\n".getBytes(ISO_8859_1)
+    pre ++ pageContent(id, p)
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(raw); d.finish()
@@ -95,18 +113,50 @@ object PdfOps extends Serializable {
   }
 
   /** a complete PDF in the structural variant of [[variantOf]]: classic
-    * xref table (v0 Flate / v1 raw content) or post-2005 structure — xref
-    * stream + object stream (v2/v3). */
+    * xref table (v0 Flate / v1 raw content), post-2005 structure — xref
+    * stream + object stream (v2/v3) — or the ENCRYPTED tiers (v4 RC4,
+    * v5 AES-128, v6 AES-256 over the modern structure). */
   def synthPdf(id: Long): Array[Byte] = variantOf(id) match {
     case 2 => synthModernPdf(id, hexVariant = false)
     case 3 => synthModernPdf(id, hexVariant = true)
+    case 4 => synthClassicPdf(id, encrypt = 3)
+    case 5 => synthClassicPdf(id, encrypt = 4)
+    case 6 => synthModernPdf(id, hexVariant = false, encrypt256 = true)
     case _ => synthClassicPdf(id)
   }
 
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xFF}%02x").mkString + ">"
+
+  /** deterministic per-document first-/ID element (16 bytes). */
+  private def synthId0(id: Long): Array[Byte] =
+    PdfCrypto.md5(s"graft-pdf-id0-$id".getBytes(ISO_8859_1))
+
+  /** deterministic per-object AES IV for synthesis. */
+  private def synthIv(id: Long, obj: Int): Array[Byte] =
+    PdfCrypto.md5(s"graft-pdf-iv-$id-$obj".getBytes(ISO_8859_1))
+
   /** classic: catalog, page tree, one content stream per page (FlateDecode
-    * for v0, raw for v1), font, `xref` table, trailer. */
-  def synthClassicPdf(id: Long): Array[Byte] = {
+    * for v0, raw for v1), font, `xref` table, trailer. `encrypt` = 0 plain,
+    * 3 = RC4-128 R3, 4 = AES-128 V4 R4 — both with EMPTY user and owner
+    * passwords (the crawl norm: "encryption" as permission bits only);
+    * encrypted variants also plant an inline image (BI..ID..EI with
+    * operator bytes in the payload) in every content stream. */
+  def synthClassicPdf(id: Long, encrypt: Int = 0): Array[Byte] = {
     val np = pagesOf(id)
+    // encryption material (empty passwords): O, file key, U, Encrypt dict
+    val id0 = synthId0(id)
+    val fk: Array[Byte] =
+      if (encrypt == 0) null
+      else PdfCrypto.fileKeyR234(PdfCrypto.computeOwnerEntry(encrypt, 16), -44L,
+        id0, encrypt, 16, encryptMetadata = true)
+    def encBody(objNum: Int, plain: Array[Byte]): Array[Byte] = encrypt match {
+      case 0 => plain
+      case 3 => PdfCrypto.rc4(PdfCrypto.objectKey(fk, objNum, 0, aes = false), plain)
+      case _ => PdfCrypto.aesStreamEncrypt(
+        PdfCrypto.objectKey(fk, objNum, 0, aes = true), synthIv(id, objNum), plain)
+    }
+
     // objects in document order: dict source + optional stream body
     val objs = ArrayBuffer.empty[(String, Option[Array[Byte]])]
     val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
@@ -116,12 +166,28 @@ object PdfOps extends Serializable {
       val contentObj = 3 + 2 * p + 1
       objs += ((s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Contents $contentObj 0 R /Resources << /Font << /F1 ${3 + 2 * np} 0 R >> >> >>", None))
-      val raw = pageContent(id, p)
+      val raw =
+        if (encrypt == 0) pageContent(id, p) else pageContentWithImage(id, p)
       val (body, filter) =
-        if (variantOf(id) == 0) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+        if (variantOf(id) == 0 || encrypt > 0)
+          (encBody(contentObj, deflate(raw)), " /Filter /FlateDecode")
+        else (raw, "")
       objs += ((s"<< /Length ${body.length}$filter >>", Some(body)))
     }
     objs += (("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    if (encrypt > 0) {
+      val o = PdfCrypto.computeOwnerEntry(encrypt, 16)
+      val u = PdfCrypto.computeUserEntry(fk, id0, encrypt)
+      val dict =
+        if (encrypt == 3)
+          s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O ${hexStr(o)} " +
+            s"/U ${hexStr(u)} /P -44 >>"
+        else
+          s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+            s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+            s"/O ${hexStr(o)} /U ${hexStr(u)} /P -44 >>"
+      objs += ((dict, None))
+    }
 
     val out = new ByteArrayOutputStream(1024)
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
@@ -142,7 +208,10 @@ object PdfOps extends Serializable {
     w(s"xref\n0 ${objs.length + 1}\n")
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val encTrailer =
+      if (encrypt == 0) ""
+      else s" /Encrypt ${objs.length} 0 R /ID [${hexStr(id0)} ${hexStr(id0)}]"
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R$encTrailer >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 
@@ -195,13 +264,27 @@ object PdfOps extends Serializable {
     * Predictor 12 for the `'`-operator variant, plain `/W [1 3 1]` for the
     * hex-string/`"` variant. No classic trailer: the xref stream dict IS
     * the trailer (PDF 32000 7.5.8). */
-  def synthModernPdf(id: Long, hexVariant: Boolean): Array[Byte] = {
+  def synthModernPdf(id: Long, hexVariant: Boolean,
+      encrypt256: Boolean = false): Array[Byte] = {
     val np = pagesOf(id)
     val fontObj = 3 + 2 * np
     val font2Obj = 4 + 2 * np // Type0 font with /ToUnicode (in the ObjStm)
     val cmapObj = 5 + 2 * np  // the /ToUnicode CMap stream (top-level)
     val stmObj = 6 + 2 * np   // the ObjStm
     val xrefObj = 7 + 2 * np  // the XRef stream
+    val encObj = 8 + 2 * np   // the /Encrypt dict (NEVER inside the ObjStm)
+
+    // AES-256 V5 R6 (hardened 2.B hash), empty user password: every stream
+    // except the xref stream encrypts with the FILE key (V5 has no
+    // per-object derivation) — including the ObjStm, the case where a
+    // non-decrypting reader cannot even locate the catalog
+    val fileKey: Array[Byte] =
+      if (!encrypt256) null
+      else PdfCrypto.md5(s"graft-k1-$id".getBytes(ISO_8859_1)) ++
+        PdfCrypto.md5(s"graft-k2-$id".getBytes(ISO_8859_1))
+    def enc(objNum: Int, plain: Array[Byte]): Array[Byte] =
+      if (!encrypt256) plain
+      else PdfCrypto.aesStreamEncrypt(fileKey, synthIv(id, objNum), plain)
 
     // --- objects packed into the ObjStm: catalog, pages, page dicts, fonts
     val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
@@ -222,7 +305,7 @@ object PdfOps extends Serializable {
     val first = header.getBytes(ISO_8859_1).length
     val objStmRaw = header.getBytes(ISO_8859_1) ++
       bodies.flatMap(b => b :+ ' '.toByte)
-    val objStmBody = deflate(objStmRaw)
+    val objStmBody0 = deflate(objStmRaw)
 
     val out = new ByteArrayOutputStream(1024)
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
@@ -237,7 +320,7 @@ object PdfOps extends Serializable {
       val raw = if (hexVariant) pageContentHex(id, p) else pageContentQuote(id, p)
       val (body, filter) =
         if (hexVariant) (ascii85(deflate(raw)), "[/ASCII85Decode /FlateDecode]")
-        else (deflate(raw), "/FlateDecode")
+        else (enc(4 + 2 * p, deflate(raw)), "/FlateDecode")
       contentOff(p) = out.size()
       w(s"${4 + 2 * p} 0 obj\n<< /Length ${body.length} /Filter $filter >>\nstream\n")
       out.write(body)
@@ -262,18 +345,36 @@ object PdfOps extends Serializable {
       "1 beginbfchar\n<0070> <0070>\nendbfchar\n" +
       "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
       .getBytes(ISO_8859_1)
-    val cmapBody = deflate(cmapRaw)
+    val cmapBody = enc(cmapObj, deflate(cmapRaw))
     val cmapOff = out.size()
     w(s"$cmapObj 0 obj\n<< /Length ${cmapBody.length} /Filter /FlateDecode >>\nstream\n")
     out.write(cmapBody)
     w("\nendstream\nendobj\n")
 
-    // --- the ObjStm
+    // --- the ObjStm (encrypted when the V5 tier is on)
+    val objStmBody = enc(stmObj, objStmBody0)
     val objStmOff = out.size()
     w(s"$stmObj 0 obj\n<< /Type /ObjStm /N ${packed.length} /First $first " +
       s"/Length ${objStmBody.length} /Filter /FlateDecode >>\nstream\n")
     out.write(objStmBody)
     w("\nendstream\nendobj\n")
+
+    // --- the /Encrypt dict: a TOP-LEVEL object (PDF 32000 7.5.7 forbids
+    // it inside an object stream — readers must parse it before any
+    // decryption exists). /O and /OE are placeholders: empty-user-password
+    // opening never consults the owner entries.
+    val encOff = out.size()
+    if (encrypt256) {
+      val vsalt = java.util.Arrays.copyOf(
+        PdfCrypto.md5(s"graft-vs-$id".getBytes(ISO_8859_1)), 8)
+      val ksalt = java.util.Arrays.copyOf(
+        PdfCrypto.md5(s"graft-ks-$id".getBytes(ISO_8859_1)), 8)
+      val (u, ue) = PdfCrypto.computeUserEntryV5(fileKey, vsalt, ksalt, r = 6)
+      w(s"$encObj 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/O ${hexStr(new Array[Byte](48))} /OE ${hexStr(new Array[Byte](32))} " +
+        s"/U ${hexStr(u)} /UE ${hexStr(ue)} /P -44 >>\nendobj\n")
+    }
 
     // --- the XRef stream (entries for objects 0..xrefObj)
     val xrefOff = out.size()
@@ -302,15 +403,20 @@ object PdfOps extends Serializable {
           row(2, stmObj, 3 + np), // font F2 (/ToUnicode)
           row(1, cmapOff, 0), // the CMap stream
           row(1, objStmOff, 0), // the ObjStm itself
-          row(1, xrefOff, 0)) // this XRef stream
+          row(1, xrefOff, 0)) ++ // this XRef stream
+        (if (encrypt256) Seq(row(1, encOff, 0)) else Nil) // the Encrypt dict
     val (xrefData, parms) =
       if (hexVariant) (rows.flatten.toArray, "")
       else (pngUpEncode(rows),
         s" /DecodeParms << /Predictor 12 /Columns ${w123._1 + w123._2 + w123._3} >>")
     val xrefBody = deflate(xrefData)
     val (w1, w2, w3) = w123
-    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /W [$w1 $w2 $w3] " +
-      s"/Root 1 0 R /Length ${xrefBody.length} /Filter /FlateDecode$parms >>\nstream\n")
+    val size = if (encrypt256) encObj + 1 else xrefObj + 1
+    val encEntry =
+      if (encrypt256) s" /Encrypt $encObj 0 R /ID [${hexStr(synthId0(id))} ${hexStr(synthId0(id))}]"
+      else ""
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [$w1 $w2 $w3] " +
+      s"/Root 1 0 R$encEntry /Length ${xrefBody.length} /Filter /FlateDecode$parms >>\nstream\n")
     out.write(xrefBody)
     w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
@@ -375,6 +481,12 @@ object PdfOps extends Serializable {
   }
 
   private final case class Seg(stream: Int, y: Double, x: Double, text: String)
+
+  private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0 || b == '\f'
+  private def isWsOrDelim(b: Byte): Boolean =
+    isWsByte(b) || b == '(' || b == ')' || b == '<' || b == '>' || b == '[' ||
+      b == ']' || b == '{' || b == '}' || b == '/' || b == '%'
 
   /** a font's /ToUnicode mapping: code width in bytes (from the CMap's
     * codespace range) and code -> unicode string. */
@@ -595,6 +707,32 @@ object PdfOps extends Serializable {
           if (i < content.length) i += 1 // consume '>'
           push(sb.toString)
         }
+      } else if (c == 'B' && i + 1 < content.length && content(i + 1) == 'I' &&
+        (i == 0 || isWsOrDelim(content(i - 1))) &&
+        (i + 2 >= content.length || isWsByte(content(i + 2)) || content(i + 2) == '/')) {
+        // inline image (BI <dict> ID <binary> EI, PDF 32000 8.9.7): the
+        // payload is raw unescaped binary that can contain every text-
+        // operator byte — skip the whole construct or the operator walk
+        // desynchronizes (the same failure mode as unframed WARC payloads).
+        i += 2
+        var idEnd = -1 // the ws-delimited ID token closing the image dict
+        while (idEnd < 0 && i + 1 < content.length) {
+          if (content(i) == 'I' && content(i + 1) == 'D' && isWsByte(content(i - 1)) &&
+            (i + 2 >= content.length || isWsByte(content(i + 2)))) idEnd = i + 2
+          else i += 1
+        }
+        if (idEnd < 0) i = content.length
+        else {
+          i = idEnd + 1 // exactly ONE whitespace byte separates ID from data
+          var ei = -1 // payload ends at ws + EI + (ws | EOF)
+          while (ei < 0 && i + 1 < content.length) {
+            if (content(i) == 'E' && content(i + 1) == 'I' && isWsByte(content(i - 1)) &&
+              (i + 2 >= content.length || isWsByte(content(i + 2)))) ei = i + 2
+            else i += 1
+          }
+          i = if (ei < 0) content.length else ei
+        }
+        nums.clear()
       } else if (c == 'B' && i + 1 < content.length && content(i + 1) == 'T') {
         x = 0.0; y = 0.0; nums.clear(); parts.clear(); i += 2 // BT resets the text matrix
       } else if (c == 'E' && i + 1 < content.length && content(i + 1) == 'T') {
@@ -796,9 +934,9 @@ object PdfOps extends Serializable {
   }
 
   /** deterministic PDF pipeline over the documents table: synthesize a real
-    * PDF per row (structural variant by id%4: classic/xref-stream/ObjStm),
-    * extract text + page count per partition — every column closed-form
-    * for the DuckDB oracle. */
+    * PDF per row (structural variant by id%7: classic / xref-stream+ObjStm /
+    * encrypted RC4 / AES-128 / AES-256-R6), extract text + page count per
+    * partition — every column closed-form for the DuckDB oracle. */
   def pdfTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

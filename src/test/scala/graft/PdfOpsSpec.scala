@@ -20,16 +20,16 @@ class PdfOpsSpec extends AnyFunSuite {
   }
 
   test("both classic stream encodings decode: Flate (v0) and raw (v1)") {
-    val flate = PdfOps.synthPdf(4L) // id%4==0 -> classic + Flate
-    val raw = PdfOps.synthPdf(5L)   // id%4==1 -> classic + raw
+    val flate = PdfOps.synthPdf(0L) // id%7==0 -> classic + Flate
+    val raw = PdfOps.synthPdf(8L)   // id%7==1 -> classic + raw
     assert(new String(flate, "ISO-8859-1").contains("/FlateDecode"))
     assert(!new String(raw, "ISO-8859-1").contains("/FlateDecode"))
-    assert(PdfOps.extractPdfText(flate) == PdfOps.expectedText(4L))
-    assert(PdfOps.extractPdfText(raw) == PdfOps.expectedText(5L))
+    assert(PdfOps.extractPdfText(flate) == PdfOps.expectedText(0L))
+    assert(PdfOps.extractPdfText(raw) == PdfOps.expectedText(8L))
   }
 
   test("modern variants are REAL post-2005 structure: xref stream + ObjStm, no classic table") {
-    for (id <- Seq(2L, 3L, 6L, 7L, 10L, 11L)) {
+    for (id <- Seq(2L, 3L, 9L, 10L, 16L, 17L)) {
       val s = new String(PdfOps.synthPdf(id), "ISO-8859-1")
       assert(s.contains("/Type /XRef"), s"id=$id")
       assert(s.contains("/Type /ObjStm"), s"id=$id")
@@ -48,7 +48,7 @@ class PdfOpsSpec extends AnyFunSuite {
   test("v2: the ' operator's leading advance is load-bearing for layout order") {
     // the bottom line is drawn FIRST via (str) ' after 40 TL — if ' failed
     // to move down, layout sort could not put the top line first
-    for (id <- Seq(2L, 6L, 10L)) {
+    for (id <- Seq(2L, 9L, 16L)) {
       val t = PdfOps.extractPdfText(PdfOps.synthPdf(id))
       assert(t == PdfOps.expectedText(id), s"id=$id got '$t'")
       assert(t.split("\n")(0).endsWith("top (x)"), s"id=$id")
@@ -56,7 +56,7 @@ class PdfOpsSpec extends AnyFunSuite {
   }
 
   test("v3: hex strings <..> Tj and the \" operator decode") {
-    for (id <- Seq(3L, 7L, 11L)) {
+    for (id <- Seq(3L, 10L, 17L)) {
       val s = new String(PdfOps.synthPdf(id), "ISO-8859-1")
       val t = PdfOps.extractPdfText(PdfOps.synthPdf(id))
       assert(t == PdfOps.expectedText(id), s"id=$id got '$t'")
@@ -224,6 +224,60 @@ class PdfOpsSpec extends AnyFunSuite {
       "stream\nZZZZ\nendstream\nendobj\n").getBytes("ISO-8859-1")
     assert(PdfOps.extractPdfText(bogus) != null)
     assert(PdfOps.pageCount(null) == 0)
+  }
+
+  test("encrypted variants REALLY encrypt: planted text invisible in raw bytes, still extracts") {
+    // v4 = RC4-128 R3, v5 = AES-128 V4, v6 = AES-256 V5 R6 (encrypted ObjStm)
+    for (id <- Seq(4L, 11L, 18L, 5L, 12L, 19L, 6L, 13L, 20L)) {
+      val bytes = PdfOps.synthPdf(id)
+      val s = new String(bytes, "ISO-8859-1")
+      assert(s.contains("/Encrypt"), s"id=$id")
+      // the planted text must not appear in the file: streams are Flate'd
+      // AND ciphered, so even the deflate of the plaintext is absent
+      assert(!s.contains(s"d$id p0"), s"id=$id leaks plaintext")
+      assert(PdfOps.extractPdfText(bytes) == PdfOps.expectedText(id), s"id=$id")
+      assert(PdfOps.pageCount(bytes) == PdfOps.pagesOf(id), s"id=$id")
+    }
+    // v6's catalog lives inside the ENCRYPTED ObjStm: invisible to a scan
+    assert(!new String(PdfOps.synthPdf(6L), "ISO-8859-1").contains("/Type /Catalog"))
+    // scheme witness strings
+    assert(new String(PdfOps.synthPdf(4L), "ISO-8859-1").contains("/V 2 /R 3"))
+    assert(new String(PdfOps.synthPdf(5L), "ISO-8859-1").contains("/CFM /AESV2"))
+    assert(new String(PdfOps.synthPdf(6L), "ISO-8859-1").contains("/CFM /AESV3"))
+  }
+
+  test("a NON-empty user password degrades per-row (no text), never throws") {
+    // tamper the /U validation bytes: the empty-password check must fail,
+    // the structured path bows out, and the scan sees only ciphertext
+    for (id <- Seq(4L, 5L, 6L)) {
+      val bytes = PdfOps.synthPdf(id)
+      val s = new String(bytes, "ISO-8859-1")
+      val uAt = s.indexOf("/U <")
+      assert(uAt > 0)
+      val t = bytes.clone()
+      t(uAt + 4) = (if (t(uAt + 4) == 'f') '0' else 'f').toByte // corrupt hex
+      t(uAt + 5) = (if (t(uAt + 5) == 'f') '0' else 'f').toByte
+      val got = PdfOps.extractPdfText(t) // must not throw
+      assert(got != PdfOps.expectedText(id), s"id=$id decrypted with a bad /U?")
+    }
+  }
+
+  test("inline image payloads (BI..ID..EI) never desynchronize the operator walk") {
+    def pdf(content: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length + " >>\nstream\n" + content +
+        "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    // payload carries ET, (, Tj bytes — interpreting any of them corrupts
+    val evil = "q BI /W 2 /H 2 /CS /G /BPC 8 ID  ET(Tj þ EI Q BT 72 700 Td (after) Tj ET"
+    assert(PdfOps.extractPdfText(pdf(evil)) == "after")
+    // ID missing: tolerated (rest of stream skipped), no throw
+    val noId = "BI /W 2 /H 2 BT 72 700 Td (lost) Tj ET"
+    assert(PdfOps.extractPdfText(pdf(noId)) != null)
+    // EI missing: payload runs to end of stream, no throw
+    val noEi = "BT 72 700 Td (kept) Tj ET BI /W 1 /H 1 ID  "
+    assert(PdfOps.extractPdfText(pdf(noEi)) == "kept")
+    // BI as a substring of a name must NOT trigger the skip
+    val fake = "BT 72 700 Td /XBI 1 Tf (named) Tj ET"
+    assert(PdfOps.extractPdfText(pdf(fake)) == "named")
   }
 
   test("octal and control escapes in PDF strings") {
