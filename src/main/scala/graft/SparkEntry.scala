@@ -936,7 +936,7 @@ object SparkEntry {
         "'''>x</li>|', CAST(doc_id % 7 + 1 AS INT)), '|') AS snippets " +
         "FROM documents ORDER BY doc_id"),
     "q_media_real" ->
-      ("WITH f AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS fmt, " +
+      ("WITH f AS (SELECT doc_id, CAST(((doc_id * 37 + 11) % 101) % 7 AS INT) AS fmt, " +
         "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END AS fps " +
         "FROM documents) " +
         "SELECT doc_id AS media_id, " +

@@ -31,6 +31,11 @@ final class Arena(initialNodes: Int = 256) {
   final val COMMENT: Byte = 4
   final val CDATA: Byte = 5
   final val DOCTYPE: Byte = 6
+  /** crawl-mode stray close-tag bytes (`</body>` matching an implied or
+    * re-enterable element): render-only raw span, invisible to text
+    * extraction and selectors — keeps re-render byte-identical when
+    * content follows the close and re-enters the element. */
+  final val RAWSPAN: Byte = 7
 
   // ---- element flags ----
   final val F_SELF_CLOSED: Int = 1 // written as `<x/>`
@@ -618,6 +623,7 @@ final class Arena(initialNodes: Int = 256) {
     case CDATA =>
       out.append("<![CDATA["); appendSpanTo(textOff(id), textLen(id), out); out.append("]]>")
     case DOCTYPE => appendSpanTo(textOff(id), textLen(id), out) // raw incl. <! >
+    case RAWSPAN => appendSpanTo(textOff(id), textLen(id), out) // stray close tag, verbatim
     case ROOT => renderInner(id, out, encodeContent)
     case ELEM if (flags(id) & F_IMPLIED) != 0 =>
       // an implied (parser-synthesized) element has no source OPEN tag:

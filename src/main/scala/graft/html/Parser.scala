@@ -472,6 +472,7 @@ object Parser {
       val nlen = nameEnd - nameStart
       // html5Tree: arrange implied parents / auto-closes BEFORE the alloc
       // so `cur` is the spec insertion point
+      val spBeforeH5 = sp
       val h5Slot = if (opts.html5Tree) h5Pre(nameStart, nlen) else 0
       // fused: link into the tree at alloc (appendChild overwrites fold away);
       // nothing between here and the old link point reads sibling structure
@@ -510,6 +511,12 @@ object Parser {
         if (h5Slot == 1) htmlId = id
         else if (h5Slot == 2) headId = id
         else if (h5Slot == 3) bodyId = id
+      } else if (h5Slot != 0 && selfClosed) {
+        // the slot was claimed BEFORE selfClosed was knowable: h5Pre's
+        // popToHtml must not stand for what ends up an ordinary leaf —
+        // restore the stack (entries above sp are untouched: a leaf alloc
+        // pushes nothing), so open elements stay open
+        sp = spBeforeH5
       }
       if (selfClosed) {
         a.flags(id) |= a.F_SELF_CLOSED
@@ -614,6 +621,7 @@ object Parser {
     }
 
     private def endTag(): Unit = {
+      val tagStart = i
       i += 2 // '</'
       val nameStart = i
       while (i < len && isNameChar(buf(i))) i += 1
@@ -646,8 +654,48 @@ object Parser {
       } else {
         if (match_ != sp - 1 && !opts.autoFixUnclosedTag)
           err(s"unclosed tag <${a.lowerName(stack(sp - 1))}>")
-        a.flags(stack(match_)) |= a.F_END_TAG
+        val m = stack(match_)
+        if (opts.html5Tree && (m == htmlId || m == headId || m == bodyId)) {
+          // crawl mode: the html/head/body close tag becomes a RAWSPAN
+          // child holding its exact source bytes — content arriving later
+          // re-enters the element AFTER it, so re-render stays
+          // byte-identical ('<p>a</body>b' keeps b after the close; the
+          // F_END_TAG flag would render it before)
+          val raw = a.allocChild(a.RAWSPAN, m)
+          a.textOff(raw) = tagStart; a.textLen(raw) = i - tagStart
+        } else a.flags(m) |= a.F_END_TAG
+        // formatting reconstruction LITE (crawl mode): a mismatched
+        // formatting close (<b><i></b>text) pops the inner formatting
+        // elements; re-open them as IMPLIED clones (transparent render =
+        // byte identity kept) so following content keeps its formatting
+        // ancestry — the common-case approximation of the HTML5 adoption
+        // agency. Only when EVERYTHING popped through is formatting, and
+        // bounded (8) against pathological nesting bombs.
+        var reopen: List[Int] = Nil
+        if (opts.html5Tree && isFormatting(m) && match_ < sp - 1 && sp - match_ - 1 <= 8) {
+          var s = match_ + 1
+          var all = true
+          while (s < sp && all) { if (!isFormatting(stack(s))) all = false; s += 1 }
+          if (all) reopen = (match_ + 1 until sp).map(stack(_)).toList
+        }
         sp = match_
+        reopen.foreach { orig =>
+          val c = a.allocChild(a.ELEM, cur)
+          a.nameOff(c) = a.nameOff(orig); a.nameLen(c) = a.nameLen(orig)
+          a.flags(c) = a.F_IMPLIED
+          var at = a.attrHead(orig) // clones keep the attributes (selectors)
+          while (at >= 0) {
+            if (!a.aRemoved(at)) {
+              val na = a.allocAttr()
+              a.aKeyOff(na) = a.aKeyOff(at); a.aKeyLen(na) = a.aKeyLen(at)
+              a.aValOff(na) = a.aValOff(at); a.aValLen(na) = a.aValLen(at)
+              a.aQuote(na) = a.aQuote(at)
+              a.appendAttr(c, na)
+            }
+            at = a.aNext(at)
+          }
+          if (sp < maxDepth) push(c)
+        }
       }
     }
 

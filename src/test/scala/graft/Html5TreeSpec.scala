@@ -172,4 +172,63 @@ class Html5TreeSpec extends AnyFunSuite {
     assert(body.text() == "firstsecondonetwo")
     assert(root.find("head > title").text() == "T")
   }
+
+  test("content after </body> re-renders byte-identical (close tag is a RAWSPAN child)") {
+    // round-5 advice: the re-entered content used to render BEFORE the
+    // close tag ('<p>a</body>b' -> '<p>ab</body>')
+    val cases = Seq(
+      "<p>a</body>b",
+      "<body>x</body>y",
+      "<html><body><p>one</body><p>two</html>",
+      "<p>a</body>b</body>c", // multiple stray closes, all kept in place
+      "<head><title>t</title></head><p>x")
+    cases.foreach { src =>
+      assert(crawl(src).doc.sourceCode == src, s"render diverged for: $src")
+    }
+    // and the re-entered content is really IN the body
+    val root = crawl("<p>a</body>b")
+    assert(root.find("body").text() == "ab")
+    assert(root.find("body > p").length == 1)
+  }
+
+  test("misnested formatting reconstructs: <b><i></b>text keeps text inside an i") {
+    val root = crawl("<b><i></b>after")
+    // adoption-agency lite: the popped <i> re-opens as an implied clone
+    assert(root.find("i").length == 2)
+    assert(root.find("i").length == 2)
+    assert(root.find("body").text() == "after")
+    // the clone carries the text; the original stays empty
+    assert(root.find("b > i").text() == "")
+    assert(root.find("body > i").text() == "after")
+    // transparent clone render: byte identity holds
+    assert(root.doc.sourceCode == "<b><i></b>after")
+  }
+
+  test("reconstructed formatting clones keep their attributes (selector-visible)") {
+    val src = "<i><b class=\"x\"></i>t"
+    val root = crawl(src)
+    assert(root.find("b.x").length == 2)
+    assert(root.find("body > b.x").text() == "t")
+    assert(root.doc.sourceCode == src)
+  }
+
+  test("a mismatched close through a NON-formatting element does not reconstruct") {
+    val root = crawl("<b><div></b>after")
+    // div is not formatting: no clone re-opens (lite scope), no throw
+    assert(root.find("b").length == 1)
+    assert(root.doc != null)
+  }
+
+  test("self-closed <head/>/<body/> never claims the slot nor pops open elements") {
+    // round-5 advice: h5Pre ran popToHtml before selfClosed was known
+    val root = crawl("<html><head><body/><meta charset=\"u\">x")
+    // the <body/> stays an ordinary leaf; meta lands in the still-open head
+    assert(root.find("head > meta").length == 1)
+    assert(root.find("body").length == 2) // leaf + implied body for x
+    assert(root.find("html").length == 1)
+    val r2 = crawl("<head/><title>t</title>")
+    assert(r2.doc.sourceCode == "<head/><title>t</title>")
+    assert(r2.find("head").length == 2) // the leaf + the implied head
+    assert(r2.find("head > title").text() == "t")
+  }
 }

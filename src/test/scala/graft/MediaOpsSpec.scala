@@ -240,6 +240,20 @@ class MediaOpsSpec extends AnyFunSuite {
     }
     prog(sofAt + 1) = 0xC2.toByte
     assert(MediaOps.decodeJpeg(prog) != null)
+    // MULTI-SCAN (progressive) file: the payload span must end at the
+    // FIRST non-stuffing/non-restart marker (here a DHT opening scan 2),
+    // not run through later tables and scans to the final EOI
+    val eoiAt = d0.payloadOff + d0.payloadLen // points at FF D9
+    val scan2 = j.take(eoiAt) ++
+      Array(0xFF.toByte, 0xC4.toByte, 0x00.toByte, 0x04.toByte, 1.toByte, 2.toByte) ++ // DHT
+      Array(0xFF.toByte, 0xDA.toByte, 0x00.toByte, 0x02.toByte) ++ // SOS #2
+      Array(9.toByte, 9.toByte, 9.toByte) ++ // scan-2 entropy bytes
+      j.drop(eoiAt) // FF D9 EOI
+    val dm = MediaOps.decodeJpeg(scan2)
+    assert(dm != null)
+    assert(dm.payloadOff == d0.payloadOff)
+    assert(dm.payloadLen == d0.payloadLen,
+      s"span ran past scan 1: ${dm.payloadLen} vs ${d0.payloadLen}")
   }
 
   test("REAL MP3 parser: ID3 skip, frame walk, true frame offsets") {
@@ -310,7 +324,9 @@ class MediaOpsSpec extends AnyFunSuite {
     val df = MediaOps.realMediaFeatures(spark, "/root/testdata/sf0.001").orderBy("media_id")
     df.collect().foreach { r =>
       val id = r.getLong(0)
-      (id % 7) match {
+      // format comes from the SCRAMBLED hash (decoupled from the id cycle
+      // so the magic-byte dispatch is what routes each row)
+      (((id * 37 + 11) % 101) % 7) match {
         case 0 | 3 | 4 => // BMP / PNG / JPEG
           assert(r.getString(1) == "image")
           assert(r.getLong(2) == MediaOps.widthOf(id).toLong)
