@@ -95,12 +95,13 @@ object PdfOps extends Serializable {
     * is exactly the operator bytes `ET(\xfe` — if the interpreter fails to
     * skip BI..ID..EI as a unit, the stray `(` opens a string and the
     * planted text corrupts, failing the oracle. */
-  private def pageContentWithImage(id: Long, p: Int): Array[Byte] = {
-    val pre = "q BI /W 2 /H 2 /CS /G /BPC 8 ID ".getBytes(ISO_8859_1) ++
+  private def inlineImageOps: Array[Byte] =
+    "q BI /W 2 /H 2 /CS /G /BPC 8 ID ".getBytes(ISO_8859_1) ++
       Array[Byte]('E', 'T', '(', 0xFE.toByte) ++
       " EI Q\n".getBytes(ISO_8859_1)
-    pre ++ pageContent(id, p)
-  }
+
+  private def pageContentWithImage(id: Long, p: Int): Array[Byte] =
+    inlineImageOps ++ pageContent(id, p)
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
@@ -317,7 +318,10 @@ object PdfOps extends Serializable {
     // uses) for the hex-string variant
     val contentOff = new Array[Int](np)
     for (p <- 0 until np) {
-      val raw = if (hexVariant) pageContentHex(id, p) else pageContentQuote(id, p)
+      val raw0 = if (hexVariant) pageContentHex(id, p) else pageContentQuote(id, p)
+      // the encrypted modern tier also plants an inline image, so the
+      // BI..ID..EI skip is exercised under the ObjStm+AES-256 structure too
+      val raw = if (encrypt256) inlineImageOps ++ raw0 else raw0
       val (body, filter) =
         if (hexVariant) (ascii85(deflate(raw)), "[/ASCII85Decode /FlateDecode]")
         else (enc(4 + 2 * p, deflate(raw)), "/FlateDecode")

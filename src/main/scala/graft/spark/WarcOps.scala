@@ -44,6 +44,27 @@ import java.util.zip.GZIPInputStream
   * oracle recomputes. */
 object WarcOps extends Serializable {
 
+  /** serializable snapshot of a Hadoop Configuration for broadcast to
+    * tasks (Spark's own SerializableConfiguration is private[spark]):
+    * Configuration is a Writable, so its props round-trip through Java
+    * serialization hooks. Tasks must see the SESSION's conf — s3a
+    * credentials, custom schemes, spark.hadoop.* — or opens fail where
+    * the driver's listing succeeded. */
+  private final class ConfSnapshot(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+    def value: org.apache.hadoop.conf.Configuration = conf
+  }
+
   final case class WarcPage(uri: String, date: String, html: Array[Byte])
 
   /** one parsed record: lowercase header map + body (null when the body
@@ -201,11 +222,15 @@ object WarcOps extends Serializable {
   // ------------------------------------------------------------ file source
 
   /** pages from a directory/glob of `.warc` / `.warc.gz` files: the ingest
-    * front door. One streamed file per task row (bounded memory regardless
-    * of file size); files are distributed across `spark` default
-    * parallelism. Columns: warc_file, uri, warc_date, html (BINARY, null
-    * when a record body exceeded `maxBodyBytes` — the per-row error
-    * channel), n_bytes. */
+    * front door. One streamed file per task (bounded memory regardless of
+    * file size), files packed largest-first round-robin into slot groups —
+    * one group per partition (row-count round-robin `repartition(n)` on
+    * exactly n rows places one group per task, so the LPT-ish assignment
+    * is preserved exactly; a hash repartition would scramble it). Columns:
+    * warc_file, uri, warc_date, html (BINARY, null when a record body
+    * exceeded `maxBodyBytes` — the per-row error channel), n_bytes. A
+    * corrupt/empty gzip file yields zero pages (crawl tolerance), never a
+    * task failure. */
   def readWarcFiles(spark: SparkSession, pathOrGlob: String,
       maxBodyBytes: Int = 256 << 20): DataFrame = {
     import spark.implicits._
@@ -213,27 +238,50 @@ object WarcOps extends Serializable {
     // largest-first round-robin: a segment's few big files can't pile onto
     // one task wave (the file is the scale unit — gzip is unsplittable)
     val slots = math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism * 2))
-    val assigned = files.sortBy(-_._2).zipWithIndex
-      .map { case ((p, _), i) => (i % slots, p) }
+    val groups: Seq[Seq[String]] = files.sortBy(-_._2).zipWithIndex
+      .groupBy(_._2 % slots).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1._1))
     val cap = maxBodyBytes
-    spark.createDataset(assigned)
-      .repartition(slots, col("_1"))
+    // executors must open files under the SESSION's hadoop conf (s3a creds,
+    // custom schemes, spark.hadoop.*) — a fresh Configuration() on the task
+    // side would list on the driver and then fail every open
+    val confBc = spark.sparkContext.broadcast(
+      new ConfSnapshot(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(groups)
+      .repartition(groups.length)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        // the reader closes its stream at walk end (ended()); the task
-        // listener covers early exits (limit/take) so no descriptor leaks
+        val conf = confBc.value.value
+        // every stream CHAIN (gzip wrapper included) registers for close:
+        // the reader closes at walk end, the task listener covers early
+        // exits (limit/take) — no descriptor or native-Inflater leaks
         val open = new java.util.ArrayList[InputStream]()
         val ctx = org.apache.spark.TaskContext.get()
         if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
           open.forEach(s => try s.close() catch { case _: Exception => () })
         }
-        it.flatMap { case (_, pathStr) =>
-          val path = new org.apache.hadoop.fs.Path(pathStr)
-          val fs = path.getFileSystem(conf)
-          val stream: InputStream = fs.open(path)
-          open.add(stream)
-          val gz = pathStr.endsWith(".gz")
-          pageIterator(stream, gz, cap).map { pg =>
+        it.flatten.flatMap { pathStr =>
+          val pages =
+            try {
+              val path = new org.apache.hadoop.fs.Path(pathStr)
+              val fs = path.getFileSystem(conf)
+              val base: InputStream = fs.open(path)
+              // the gzip header is read EAGERLY by the constructor: a
+              // truncated/empty file throws here — tolerated per file
+              val in: InputStream =
+                try {
+                  if (pathStr.endsWith(".gz")) new GZIPInputStream(base, 64 << 10)
+                  else base
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    try base.close() catch { case _: Exception => () }
+                    throw e
+                }
+              open.add(in)
+              pageIterator(in, gz = false, cap)
+            } catch {
+              case scala.util.control.NonFatal(_) => Iterator.empty[WarcPage]
+            }
+          pages.map { pg =>
             (pathStr, pg.uri, pg.date, pg.html,
               if (pg.html == null) 0L else pg.html.length.toLong)
           }
@@ -351,9 +399,16 @@ object WarcOps extends Serializable {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
     val dir = s"$baseDir/n$n-d$docsPerFile-v6"
-    val marker = new java.io.File(s"$dir/_GRAFT_OK")
-    if (marker.isFile) return dir
-    new java.io.File(dir).mkdirs()
+    // everything goes through the Hadoop FS API (executor writes, marker,
+    // listing) so the path works on ANY filesystem — java.nio on executors
+    // would scatter files across worker-local disks on a real cluster
+    val driverFs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerPath = new org.apache.hadoop.fs.Path(dir, "_GRAFT_OK")
+    if (driverFs.exists(markerPath)) return dir
+    driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val confBc = spark.sparkContext.broadcast(
+      new ConfSnapshot(spark.sparkContext.hadoopConfiguration))
     val written = docs.select(col("doc_id")).as[Long]
       .groupByKey(_ / docsPerFile)
       .flatMapGroups { (g, it) =>
@@ -362,16 +417,20 @@ object WarcOps extends Serializable {
         ids.foreach(writeWarcRecords(raw, _))
         val fileBytes = new java.io.ByteArrayOutputStream(raw.size)
         gzipPerRecord(raw.toByteArray, fileBytes)
-        val tmp = java.nio.file.Paths.get(dir, f".tmp-part-$g%05d")
-        val fin = java.nio.file.Paths.get(dir, f"part-$g%05d.warc.gz")
-        java.nio.file.Files.write(tmp, fileBytes.toByteArray)
-        java.nio.file.Files.move(tmp, fin,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(confBc.value.value)
+        val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp-part-$g%05d")
+        val fin = new org.apache.hadoop.fs.Path(dir, f"part-$g%05d.warc.gz")
+        val out = fs.create(tmp, true)
+        try out.write(fileBytes.toByteArray) finally out.close()
+        fs.delete(fin, false) // rename target must not exist (HDFS contract)
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"rename $tmp -> $fin failed")
         Iterator.single(ids.length)
       }.reduce(_ + _)
     require(written == n, s"synthWarcDir wrote $written of $n docs")
-    java.nio.file.Files.write(marker.toPath, "ok".getBytes(ISO_8859_1))
+    val mo = driverFs.create(markerPath, true)
+    try mo.write("ok".getBytes(ISO_8859_1)) finally mo.close()
     dir
   }
 
