@@ -167,6 +167,13 @@ private[spark] object PdfCrypto {
   def hash2B(salt: Array[Byte], r6: Boolean): Array[Byte] = {
     var k = sha("SHA-256", salt)
     if (!r6) return k
+    // the loop runs >=64 rounds: hoist the JCE service lookups (Cipher +
+    // the three digests) out of it — getInstance per round dominated the
+    // R6 derivation cost (~2 ms/doc measured), the AES itself is microseconds
+    val cipher = Cipher.getInstance("AES/CBC/NoPadding")
+    val sha256 = MessageDigest.getInstance("SHA-256")
+    val sha384 = MessageDigest.getInstance("SHA-384")
+    val sha512 = MessageDigest.getInstance("SHA-512")
     var e: Array[Byte] = null
     var round = 0
     while (round < 64 || (e(e.length - 1) & 0xFF) > round - 32) {
@@ -174,16 +181,19 @@ private[spark] object PdfCrypto {
       val k1 = new Array[Byte](k.length * 64)
       var i = 0
       while (i < 64) { System.arraycopy(k, 0, k1, i * k.length, k.length); i += 1 }
-      e = aesCbcRaw(java.util.Arrays.copyOf(k, 16),
-        java.util.Arrays.copyOfRange(k, 16, 32), k1, encrypt = true)
+      cipher.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(java.util.Arrays.copyOf(k, 16), "AES"),
+        new IvParameterSpec(java.util.Arrays.copyOfRange(k, 16, 32)))
+      e = cipher.doFinal(k1)
       var sum = 0
       i = 0
       while (i < 16) { sum += e(i) & 0xFF; i += 1 }
-      k = sum % 3 match {
-        case 0 => sha("SHA-256", e)
-        case 1 => sha("SHA-384", e)
-        case _ => sha("SHA-512", e)
+      val d = sum % 3 match {
+        case 0 => sha256
+        case 1 => sha384
+        case _ => sha512
       }
+      d.reset(); d.update(e); k = d.digest()
       round += 1
     }
     java.util.Arrays.copyOf(k, 32)
