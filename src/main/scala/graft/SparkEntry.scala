@@ -452,6 +452,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16f. charset sniff + transcode (the layer between raw crawl
+    //      payload bytes and the engine's UTF-8 contract): 8 encoding
+    //      variants — UTF-8 plain/BOM, cp1252 via Content-Type header,
+    //      cp1251 via <meta charset>, Shift_JIS via http-equiv, GBK via
+    //      a gb2312 header label, UNDECLARED cp1252 (content heuristic),
+    //      UTF-16LE BOM — sniffed by charset_of, transcoded by
+    //      decode_html, and the decoded bytes extracted by extract_text;
+    //      the oracle recomputes both columns closed-form via chr() ----
+    "q_charset" -> ((s, dir) => {
+      import s.implicits._
+      def enc(t: String, cs: String) = t.getBytes(java.nio.charset.Charset.forName(cs))
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val (html, ct) = ((id % 8).toInt: @unchecked) match {
+          case 0 => (enc(s"<p>héllo w$id</p>", "UTF-8"), null)
+          case 1 => (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            enc(s"<p>bom w$id</p>", "UTF-8"), null)
+          case 2 => (enc(s"<p>café w$id</p>", "windows-1252"),
+            "text/html; charset=iso-8859-1")
+          case 3 => (enc(s"<meta charset=windows-1251><p>привет w$id</p>", "windows-1251"), null)
+          case 4 => (enc("<meta http-equiv=content-type content=\"text/html; charset=shift_jis\">" +
+            s"<p>日本 w$id</p>", "windows-31j"), null)
+          case 5 => (enc(s"<p>中文 w$id</p>", "GBK"),
+            "text/html; charset=gb2312")
+          case 6 => (enc(s"<p>naïve w$id</p>", "windows-1252"), null)
+          case 7 => (Array(0xFF.toByte, 0xFE.toByte) ++
+            enc(s"<p>wide w$id</p>", "UTF-16LE"), null)
+        }
+        (id, html, ct)
+      }.toDF("doc_id", "html", "ct")
+        .select(col("doc_id"),
+          call_function("charset_of", col("html"), col("ct")).as("cs"),
+          call_function("extract_text",
+            call_function("decode_html", col("html"), col("ct")), lit("p")).as("txt"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16d. WARC source parsing (ISO 28500 — the container Common
     //      Crawl actually ships): real records with Content-Length
     //      framing + HTTP splitting, page bodies through the crawl-mode
@@ -877,6 +913,23 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)) AS body_text, " +
         "CAST(1 AS BIGINT) AS b_src " +
         "FROM documents ORDER BY doc_id"),
+    "q_charset" ->
+      // ASCII-only SQL: non-ASCII expectations built with chr() so the
+      // oracle text survives any driver-side JSON/encoding handling
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS v FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1251' " +
+        "WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'windows-1252' " +
+        "WHEN 7 THEN 'utf-16le' ELSE 'utf-8' END AS cs, " +
+        "CASE v WHEN 0 THEN 'h' || chr(233) || 'llo w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'bom w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'caf' || chr(233) || ' w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN chr(1087) || chr(1088) || chr(1080) || chr(1074) || chr(1077) || chr(1090) || ' w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 4 THEN chr(26085) || chr(26412) || ' w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 5 THEN chr(20013) || chr(25991) || ' w' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 6 THEN 'na' || chr(239) || 've w' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'wide w' || CAST(doc_id AS VARCHAR) END AS txt " +
+        "FROM t ORDER BY doc_id"),
     "q_warc" -> {
       def uri(p: Int) = s"'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p$p'"
       def txt(p: Int) = s"'w' || CAST(doc_id AS VARCHAR) || ' body $p'"

@@ -298,5 +298,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("extract_html", 2, "(html, selector)")(children)
         ExtractHtml(children(0), children(1))
       }))
+    // charset_of / decode_html take an OPTIONAL content_type second arg
+    val nullCt = org.apache.spark.sql.catalyst.expressions.Literal(null, StringType)
+    def arity12(name: String)(children: Seq[Expression]): Expression = {
+      if (children.size < 1 || children.size > 2)
+        throw new IllegalArgumentException(
+          s"$name expects 1 or 2 arguments: $name(html[, content_type]), got ${children.size}")
+      if (children.size == 2) children(1) else nullCt
+    }
+    ext.injectFunction((
+      FunctionIdentifier("charset_of"),
+      new ExpressionInfo(classOf[CharsetOf].getName, "charset_of"),
+      (children: Seq[Expression]) => {
+        val ct = arity12("charset_of")(children) // validates size first
+        CharsetOf(children.head, ct)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("decode_html"),
+      new ExpressionInfo(classOf[DecodeHtml].getName, "decode_html"),
+      (children: Seq[Expression]) => {
+        val ct = arity12("decode_html")(children)
+        DecodeHtml(children.head, ct)
+      }))
   }
 }

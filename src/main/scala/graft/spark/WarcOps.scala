@@ -65,7 +65,11 @@ object WarcOps extends Serializable {
     def value: org.apache.hadoop.conf.Configuration = conf
   }
 
-  final case class WarcPage(uri: String, date: String, html: Array[Byte])
+  /** `contentType` is the HTTP `Content-Type` header value (null when the
+    * response carried none) — the transport-layer charset signal
+    * [[CharsetOps]] sniffing starts from. */
+  final case class WarcPage(uri: String, date: String, html: Array[Byte],
+      contentType: String = null)
 
   /** one parsed record: lowercase header map + body (null when the body
     * exceeded `maxBodyBytes` and was skipped — the error channel, not a
@@ -205,18 +209,60 @@ object WarcOps extends Serializable {
     new WarcRecordReader(in, maxBodyBytes = maxBodyBytes).flatMap { rec =>
       if (!rec.headers.get("warc-type").contains("response")) Iterator.empty
       else {
-        val page =
-          if (rec.body == null) null
+        var page: Array[Byte] = null
+        var contentType: String = null
+        if (rec.body != null) {
+          // HTTP response: page bytes follow the first CRLFCRLF; the
+          // header block before it carries Content-Type (the charset
+          // transport signal CharsetOps sniffing starts from)
+          val split = indexOfCrlfCrlf(rec.body, 0, rec.body.length)
+          if (split < 0) page = rec.body
           else {
-            // HTTP response: page bytes follow the first CRLFCRLF
-            val split = indexOfCrlfCrlf(rec.body, 0, rec.body.length)
-            if (split < 0) rec.body
-            else java.util.Arrays.copyOfRange(rec.body, split + 4, rec.body.length)
+            page = java.util.Arrays.copyOfRange(rec.body, split + 4, rec.body.length)
+            contentType = httpHeader(rec.body, split, "content-type")
           }
+        }
         Iterator.single(WarcPage(rec.headers.getOrElse("warc-target-uri", ""),
-          rec.headers.getOrElse("warc-date", ""), page))
+          rec.headers.getOrElse("warc-date", ""), page, contentType))
       }
     }
+  }
+
+  /** value of `name` (lowercase) in the HTTP header block `b[0, limit)`,
+    * null when absent. Case-insensitive, first occurrence wins, CRLF or
+    * bare-LF line ends. */
+  private def httpHeader(b: Array[Byte], limit: Int, name: String): String = {
+    var i = 0
+    // skip the status line
+    while (i < limit && b(i) != '\n') i += 1
+    i += 1
+    while (i < limit) {
+      var j = i
+      while (j < limit && b(j) != '\n') j += 1
+      val end = if (j > i && b(j - 1) == '\r') j - 1 else j
+      val colon = {
+        var c = i
+        while (c < end && b(c) != ':') c += 1
+        c
+      }
+      if (colon < end && colon - i == name.length) {
+        var k = 0
+        var eq = true
+        while (eq && k < name.length) {
+          val ch = b(i + k)
+          val lc = if (ch >= 'A' && ch <= 'Z') ch + 32 else ch.toInt
+          if (lc != name.charAt(k)) eq = false
+          k += 1
+        }
+        if (eq) {
+          var v = colon + 1
+          while (v < end && (b(v) == ' ' || b(v) == '\t')) v += 1
+          return new String(b, v, end - v, ISO_8859_1)
+        }
+      }
+      i = j + 1
+    }
+    null
   }
 
   // ------------------------------------------------------------ file source
@@ -283,21 +329,34 @@ object WarcOps extends Serializable {
             }
           pages.map { pg =>
             (pathStr, pg.uri, pg.date, pg.html,
-              if (pg.html == null) 0L else pg.html.length.toLong)
+              if (pg.html == null) 0L else pg.html.length.toLong,
+              pg.contentType)
           }
         }
-      }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes")
+      }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes", "content_type")
   }
 
   /** [[readWarcFiles]] adapted to [[ExtractJob]]'s pages schema
     * (url, warc_ts, html): `.warc.gz files -> ExtractJob.run` is the
     * end-to-end crawl ingest path. Unparseable WARC-Dates yield null
-    * warc_ts (counted by the job's error channel, never a task failure). */
-  def warcPages(spark: SparkSession, pathOrGlob: String): DataFrame =
-    readWarcFiles(spark, pathOrGlob)
-      .select(col("uri").as("url"),
-        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
-        col("html"))
+    * warc_ts (counted by the job's error channel, never a task failure).
+    *
+    * `decode = true` (the default) transcodes each payload to UTF-8 via
+    * [[CharsetOps]] (WHATWG sniff: BOM > the response's Content-Type
+    * charset > meta prescan > content heuristic) — the extraction engine's
+    * contract is UTF-8 bytes, and real crawl HTML is only ~95% UTF-8. The
+    * dominant already-UTF-8 path is zero-copy, so decode costs one
+    * validity scan per page. */
+  def warcPages(spark: SparkSession, pathOrGlob: String,
+      decode: Boolean = true): DataFrame = {
+    val raw = readWarcFiles(spark, pathOrGlob)
+    val html =
+      if (decode) call_function("decode_html", col("html"), col("content_type")).as("html")
+      else col("html")
+    raw.select(col("uri").as("url"),
+      to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
+      html)
+  }
 
   private def listWarcFiles(spark: SparkSession, pathOrGlob: String): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -94,4 +94,42 @@ class WarcOpsSpec extends AnyFunSuite {
     val pages = WarcOps.parseWarc(rec2.getBytes("ISO-8859-1"))
     assert(pages.length == 1 && pages.head.uri == "u2")
   }
+
+  test("HTTP Content-Type surfaces on the page (the charset transport signal)") {
+    def rec(httpHeaders: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$httpHeaders\r\n".getBytes("ISO-8859-1")
+      val http = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val p1 = WarcOps.parseWarc(rec(
+      "Content-Type: text/html; charset=windows-1251\r\nServer: x\r\n",
+      "<p>ok</p>".getBytes("ISO-8859-1"))).head
+    assert(p1.contentType == "text/html; charset=windows-1251")
+    // case-insensitive name, missing header -> null
+    val p2 = WarcOps.parseWarc(rec("CONTENT-TYPE: text/plain\r\n",
+      "x".getBytes)).head
+    assert(p2.contentType == "text/plain")
+    val p3 = WarcOps.parseWarc(rec("Server: y\r\n", "x".getBytes)).head
+    assert(p3.contentType == null)
+    // headerless response (no CRLFCRLF): whole body is the page, ct null
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\n" +
+      "abc\r\n\r\n").getBytes("ISO-8859-1")
+    assert(WarcOps.parseWarc(raw).head.contentType == null)
+  }
+
+  test("non-UTF-8 WARC page decodes through CharsetOps via the Content-Type") {
+    val text = "<p>привет мир</p>"
+    val body = text.getBytes("windows-1251")
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1251\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val http = head ++ body
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val pg = WarcOps.parseWarc(rec).head
+    val utf8 = graft.spark.CharsetOps.toUtf8(pg.html, pg.contentType)
+    assert(new String(utf8, "UTF-8") == text)
+  }
 }
