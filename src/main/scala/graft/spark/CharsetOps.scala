@@ -136,10 +136,13 @@ object CharsetOps {
   /** every canonical name the label table can produce. */
   private[graft] def canonicalNames: Set[String] = Label.values.toSet
 
-  /** raw charset label -> canonical name, null when unrecognized. */
+  /** raw charset label -> canonical name, null when unrecognized. Label
+    * folding is Locale.ROOT — a default-locale toLowerCase would turn
+    * "SHIFT_JIS"/"ISO-…" into dotless-ı garbage on tr/az-locale executor
+    * JVMs and silently drop every declared encoding. */
   def normalizeLabel(label: String): String = {
     if (label == null) return null
-    val l = label.trim.toLowerCase
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
     // tolerate quoted labels and trailing ; garbage seen in real headers
     val clean = l.stripPrefix("\"").stripSuffix("\"").stripPrefix("'")
       .stripSuffix("'").trim
@@ -147,21 +150,39 @@ object CharsetOps {
   }
 
   /** the `charset=` parameter of a Content-Type value, raw (not yet
-    * normalized); null when absent. Case-insensitive, tolerates quotes. */
+    * normalized); null when absent. Case-insensitive (Locale.ROOT — see
+    * [[normalizeLabel]]), tolerates quotes, and keeps searching past
+    * charset-prefixed tokens without '=' ("charsetx; charset=gbk") as the
+    * WHATWG "get an encoding from a string" loop does. */
   def charsetParam(contentType: String): String = {
     if (contentType == null) return null
-    val lower = contentType.toLowerCase
-    val at = lower.indexOf("charset")
-    if (at < 0) return null
-    var i = at + "charset".length
-    while (i < contentType.length && (contentType(i) == ' ' || contentType(i) == '\t')) i += 1
-    if (i >= contentType.length || contentType(i) != '=') return null
-    i += 1
-    while (i < contentType.length && (contentType(i) == ' ' || contentType(i) == '\t')) i += 1
-    var end = i
-    while (end < contentType.length && contentType(end) != ';' &&
-      contentType(end) != ' ' && contentType(end) != '\t') end += 1
-    if (end <= i) null else contentType.substring(i, end)
+    // ASCII-only fold: same length as the input by construction (even
+    // Locale.ROOT toLowerCase can change length, e.g. U+0130 -> "i"+dot),
+    // so indices into `lower` index `contentType` identically
+    val lower = {
+      val a = contentType.toCharArray
+      var i = 0
+      while (i < a.length) {
+        if (a(i) >= 'A' && a(i) <= 'Z') a(i) = (a(i) + 32).toChar
+        i += 1
+      }
+      new String(a)
+    }
+    var at = lower.indexOf("charset")
+    while (at >= 0) {
+      var i = at + "charset".length
+      while (i < contentType.length && (contentType(i) == ' ' || contentType(i) == '\t')) i += 1
+      if (i < contentType.length && contentType(i) == '=') {
+        i += 1
+        while (i < contentType.length && (contentType(i) == ' ' || contentType(i) == '\t')) i += 1
+        var end = i
+        while (end < contentType.length && contentType(end) != ';' &&
+          contentType(end) != ' ' && contentType(end) != '\t') end += 1
+        return if (end <= i) null else contentType.substring(i, end)
+      }
+      at = lower.indexOf("charset", at + 1)
+    }
+    null
   }
 
   // ------------------------------------------------------------- prescan
@@ -329,23 +350,34 @@ object CharsetOps {
     * `contentType` is the HTTP `Content-Type` value, may be null. */
   def sniff(html: Array[Byte], contentType: String): String = {
     if (html == null) return null
+    val (name, _) = sniffEx(html, contentType)
+    name
+  }
+
+  /** validity verdict piggybacked on the sniff so transcode callers don't
+    * re-scan: UNKNOWN when the heuristic never ran. */
+  private final val ValidityUnknown = 0
+  private final val ValidUtf8 = 1
+  private final val InvalidUtf8 = 2
+
+  private def sniffEx(html: Array[Byte], contentType: String): (String, Int) = {
     val n = html.length
     if (n >= 3 && (html(0) & 0xFF) == 0xEF && (html(1) & 0xFF) == 0xBB &&
-      (html(2) & 0xFF) == 0xBF) return "utf-8"
+      (html(2) & 0xFF) == 0xBF) return ("utf-8", ValidityUnknown)
     if (n >= 2 && (html(0) & 0xFF) == 0xFF && (html(1) & 0xFF) == 0xFE)
-      return "utf-16le"
+      return ("utf-16le", ValidityUnknown)
     if (n >= 2 && (html(0) & 0xFF) == 0xFE && (html(1) & 0xFF) == 0xFF)
-      return "utf-16be"
+      return ("utf-16be", ValidityUnknown)
     val fromHeader = normalizeLabel(charsetParam(contentType))
-    if (fromHeader != null) return fromHeader
+    if (fromHeader != null) return (fromHeader, ValidityUnknown)
     val fromMeta = normalizeLabel(prescanMeta(html)) match {
       // HTML5 14.2.3.2: utf-16 from a meta tag is read as utf-8 (the
       // prescan saw ASCII-compatible bytes, so the label is a lie)
       case "utf-16le" | "utf-16be" => "utf-8"
       case other => other
     }
-    if (fromMeta != null) return fromMeta
-    if (isValidUtf8(html)) "utf-8" else "windows-1252"
+    if (fromMeta != null) return (fromMeta, ValidityUnknown)
+    if (isValidUtf8(html)) ("utf-8", ValidUtf8) else ("windows-1252", InvalidUtf8)
   }
 
   // ----------------------------------------------------------- transcode
@@ -365,40 +397,56 @@ object CharsetOps {
     * heuristic, null stays null. */
   def toUtf8(html: Array[Byte], contentType: String): Array[Byte] = {
     if (html == null) return null
-    val name = sniff(html, contentType)
-    toUtf8As(html, name)
+    val (name, validity) = sniffEx(html, contentType)
+    transcode(html, name, validity)
   }
 
   /** transcode with an already-sniffed canonical name (lets callers
     * surface the charset column without sniffing twice). */
   def toUtf8As(html: Array[Byte], canonicalName: String): Array[Byte] = {
     if (html == null) return null
+    transcode(html, canonicalName, ValidityUnknown)
+  }
+
+  /** `validity` carries the sniff heuristic's verdict when it ran, so the
+    * dominant undeclared-UTF-8 path costs exactly ONE whole-buffer scan
+    * end to end (sniff + transcode), not two. */
+  private def transcode(html: Array[Byte], canonicalName: String, validity: Int): Array[Byte] = {
     val n = html.length
+    def utf8Valid: Boolean =
+      if (validity == ValidityUnknown) isValidUtf8(html) else validity == ValidUtf8
     canonicalName match {
       case "utf-8" =>
         val bom = n >= 3 && (html(0) & 0xFF) == 0xEF &&
           (html(1) & 0xFF) == 0xBB && (html(2) & 0xFF) == 0xBF
-        if (!bom && isValidUtf8(html)) html // zero-copy fast path
+        if (!bom && utf8Valid) html // zero-copy fast path
         else {
           val off = if (bom) 3 else 0
           decodeWith(html, off, "UTF-8").getBytes(StandardCharsets.UTF_8)
         }
       case "utf-16le" | "utf-16be" =>
-        val off = if (n >= 2 && ((html(0) & 0xFF) == 0xFF || (html(0) & 0xFF) == 0xFE)) 2 else 0
-        val jdk = if (canonicalName == "utf-16le") "UTF-16LE" else "UTF-16BE"
-        decodeWith(html, off, jdk).getBytes(StandardCharsets.UTF_8)
+        // strip only the exact BOM PAIR for the chosen endianness: a
+        // BOM-less UTF-16LE body starting with U+00FF is FF 00, and
+        // first-byte-only stripping would eat its first character
+        val le = canonicalName == "utf-16le"
+        val bom = n >= 2 &&
+          (if (le) (html(0) & 0xFF) == 0xFF && (html(1) & 0xFF) == 0xFE
+           else (html(0) & 0xFF) == 0xFE && (html(1) & 0xFF) == 0xFF)
+        val off = if (bom) 2 else 0
+        decodeWith(html, off, if (le) "UTF-16LE" else "UTF-16BE")
+          .getBytes(StandardCharsets.UTF_8)
       case other =>
         val jdk = JdkName.getOrElse(other, null)
         if (jdk == null) {
           // unrecognized: content heuristic
-          if (isValidUtf8(html)) html
+          if (utf8Valid) html
           else decodeWith(html, 0, "windows-1252").getBytes(StandardCharsets.UTF_8)
         } else {
           try decodeWith(html, 0, jdk).getBytes(StandardCharsets.UTF_8)
           catch {
             case _: java.nio.charset.UnsupportedCharsetException |
                  _: java.nio.charset.IllegalCharsetNameException =>
-              if (isValidUtf8(html)) html
+              if (utf8Valid) html
               else decodeWith(html, 0, "windows-1252").getBytes(StandardCharsets.UTF_8)
           }
         }

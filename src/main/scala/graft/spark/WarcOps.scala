@@ -351,8 +351,15 @@ object WarcOps extends Serializable {
       decode: Boolean = true): DataFrame = {
     val raw = readWarcFiles(spark, pathOrGlob)
     val html =
-      if (decode) call_function("decode_html", col("html"), col("content_type")).as("html")
-      else col("html")
+      if (!decode) col("html")
+      // the codegen expression when the graft extensions are registered;
+      // a CharsetOps UDF otherwise — warcPages is a public entry point
+      // and must not acquire a silent spark.sql.extensions precondition
+      else if (spark.catalog.functionExists("decode_html"))
+        call_function("decode_html", col("html"), col("content_type")).as("html")
+      else
+        udf((b: Array[Byte], ct: String) => CharsetOps.toUtf8(b, ct))
+          .apply(col("html"), col("content_type")).as("html")
     raw.select(col("uri").as("url"),
       to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
       html)

@@ -49,6 +49,21 @@ class CharsetSpec extends AnyFunSuite {
     assert(CharsetOps.charsetParam("text/html") == null)
     assert(CharsetOps.charsetParam("text/html; charset=") == null)
     assert(CharsetOps.charsetParam(null) == null)
+    // WHATWG loop: a charset-prefixed token without '=' must not end the
+    // search before the real parameter
+    assert(CharsetOps.charsetParam("text/html; charsetx; charset=gbk") == "gbk")
+    assert(CharsetOps.charsetParam("text/html; charsetcharset=big5") == "big5")
+  }
+
+  test("label folding is locale-independent (tr dotless-i hazard)") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(CharsetOps.normalizeLabel("SHIFT_JIS") == "shift_jis")
+      assert(CharsetOps.normalizeLabel("ISO-8859-1") == "windows-1252")
+      assert(CharsetOps.charsetParam("text/html; CHARSET=UTF-8") == "UTF-8")
+      assert(CharsetOps.sniff(utf8("x"), "text/html; CHARSET=KOI8-R") == "koi8-r")
+    } finally java.util.Locale.setDefault(saved)
   }
 
   // ---------------------------------------------------------------- prescan
@@ -152,6 +167,17 @@ class CharsetSpec extends AnyFunSuite {
     assert(str(CharsetOps.toUtf8(le, null)) == "héllo")
     val be = Array(0xFE.toByte, 0xFF.toByte) ++ "日本".getBytes(StandardCharsets.UTF_16BE)
     assert(str(CharsetOps.toUtf8(be, null)) == "日本")
+  }
+
+  test("toUtf8: BOM-less UTF-16 starting with U+00FF/U+00FE keeps its first char") {
+    // declared utf-16le, body begins 'ÿ' = FF 00: only the exact BOM pair
+    // (FF FE) may be stripped — first-byte-only stripping ate a character
+    val le = "ÿes".getBytes(StandardCharsets.UTF_16LE)
+    assert(str(CharsetOps.toUtf8(le, "text/html; charset=utf-16")) == "ÿes")
+    // utf-16be body beginning U+FE30 (︰): bytes FE 30 — FE-first but not
+    // the FE FF pair, must survive intact
+    val be = "︰x".getBytes(StandardCharsets.UTF_16BE)
+    assert(str(CharsetOps.toUtf8As(be, "utf-16be")) == "︰x")
   }
 
   test("toUtf8: legacy single-byte and CJK pages transcode correctly") {
