@@ -488,6 +488,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16g. URL tier (RFC 3986 over the link graph): extract_links
+    //      resolves every a[href] against the page's effective base
+    //      (first <base href> wins, itself resolved against the page
+    //      URL) and normalizes to crawl identity; 6 variants cover
+    //      path-relative + dot segments, <base href>, protocol-relative,
+    //      query-only, absolute-with-default-port + fragment-only, RFC
+    //      §5.4 abnormal refs, and entity-encoded hrefs; scalar columns
+    //      pin url_host / url_domain / url_normalize / url_resolve ----
+    "q_url_links" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val pageUrl = s"https://EX$id.Example.COM/dir/page.html"
+        val body = ((id % 6).toInt: @unchecked) match {
+          case 0 => """<a href="../up.html">u</a><a href="sub/x.html">s</a>"""
+          case 1 => s"""<base href="https://cdn$id.example.net/assets/">""" +
+            """<a href="img/i.png">i</a><a href=" /root.css">r</a>"""
+          case 2 => s"""<a href="//other$id.example.org/p">o</a><a href="?x=$id">q</a>"""
+          case 3 => """<a href="HTTPS://WWW.Example.COM:443/A/./B/%7Euser">n</a>""" +
+            """<a href="#frag">f</a>"""
+          case 4 => """<a href="../../../g">g</a><a href="g;x=1/../y">y</a>"""
+          case 5 => s"""<a href="/s?a=$id&amp;b=2">e</a><a href="g?y/./x">q</a>"""
+        }
+        (id, s"<p>$body</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8), pageUrl)
+      }.toDF("doc_id", "html", "page_url")
+        .select(col("doc_id"),
+          concat_ws("|", call_function("extract_links",
+            col("html"), col("page_url"))).as("links"),
+          call_function("url_host", col("page_url")).as("p_host"),
+          call_function("url_domain",
+            concat(lit("https://sub.team"), col("doc_id").cast("string"), lit(".co.uk/x"))).as("p_dom"),
+          call_function("url_normalize",
+            concat(lit("HTTP://Ex"), col("doc_id").cast("string"), lit(".COM:80/a/../b%2f?x=%41"))).as("p_norm"),
+          call_function("url_resolve", col("page_url"), lit("g#s")).as("res"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16d. WARC source parsing (ISO 28500 — the container Common
     //      Crawl actually ships): real records with Content-Length
     //      framing + HTTP splitting, page bodies through the crawl-mode
@@ -929,6 +965,25 @@ object SparkEntry {
         "WHEN 5 THEN chr(20013) || chr(25991) || ' w' || CAST(doc_id AS VARCHAR) " +
         "WHEN 6 THEN 'na' || chr(239) || 've w' || CAST(doc_id AS VARCHAR) " +
         "ELSE 'wide w' || CAST(doc_id AS VARCHAR) END AS txt " +
+        "FROM t ORDER BY doc_id"),
+    "q_url_links" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d, " +
+        "'https://ex' || CAST(doc_id AS VARCHAR) || '.example.com' AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v " +
+        "WHEN 0 THEN h || '/up.html|' || h || '/dir/sub/x.html' " +
+        "WHEN 1 THEN 'https://cdn' || d || '.example.net/assets/img/i.png|' || " +
+        "'https://cdn' || d || '.example.net/root.css' " +
+        "WHEN 2 THEN 'https://other' || d || '.example.org/p|' || h || '/dir/page.html?x=' || d " +
+        "WHEN 3 THEN 'https://www.example.com/A/B/~user|' || h || '/dir/page.html' " +
+        "WHEN 4 THEN h || '/g|' || h || '/dir/y' " +
+        "ELSE h || '/s?a=' || d || '&b=2|' || h || '/dir/g?y/./x' END AS links, " +
+        "'ex' || d || '.example.com' AS p_host, " +
+        "'team' || d || '.co.uk' AS p_dom, " +
+        "'http://ex' || d || '.com/b%2F?x=A' AS p_norm, " +
+        "'https://EX' || d || '.Example.COM/dir/g#s' AS res " +
         "FROM t ORDER BY doc_id"),
     "q_warc" -> {
       def uri(p: Int) = s"'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p$p'"

@@ -320,5 +320,41 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         val ct = arity12("decode_html")(children)
         DecodeHtml(children.head, ct)
       }))
+    // URL tier (UrlOps / UrlExpr): RFC 3986 scalars + link extraction
+    ext.injectFunction((
+      FunctionIdentifier("url_resolve"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
+      (children: Seq[Expression]) => {
+        arity("url_resolve", 2, "(base, ref)")(children)
+        UrlResolve(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
+      (children: Seq[Expression]) => {
+        arity("url_normalize", 1, "(url)")(children)
+        UrlNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
+      (children: Seq[Expression]) => {
+        arity("url_host", 1, "(url)")(children)
+        UrlHost(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("url_domain"),
+      new ExpressionInfo(classOf[UrlDomain].getName, "url_domain"),
+      (children: Seq[Expression]) => {
+        arity("url_domain", 1, "(url)")(children)
+        UrlDomain(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_links"),
+      new ExpressionInfo(classOf[ExtractLinks].getName, "extract_links"),
+      (children: Seq[Expression]) => {
+        arity("extract_links", 2, "(html, base_url)")(children)
+        ExtractLinks(children(0), children(1))
+      }))
   }
 }

@@ -598,4 +598,54 @@ object Extractor extends Serializable {
           graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel).length.toLong)
     }
   }
+
+  /** `extract_links(html, base_url)` static entries: every `a[href]` in
+    * document order, resolved per RFC 3986 against the page's effective
+    * base and normalized to crawl identity ([[UrlOps.normalize]]). The
+    * effective base is the first `base[href]` element resolved against
+    * `base_url` (HTML's document-base rule — one base per document,
+    * first wins), else `base_url` itself. Unresolvable / unnormalizable
+    * hrefs are skipped (crawl tolerance); parse failure yields null. */
+  def extractLinksCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (html == null) null else extractLinksCodegenBinary(html.getBytes, base)
+
+  /** byte-native BINARY path: parseBytes, only hrefs materialize as
+    * Strings. */
+  def extractLinksCodegenBinary(html: Array[Byte],
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || base == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val pageUrl = base.toString
+      // attr() returns raw source bytes (reference parity); links are the
+      // one place the HTML-level value matters, so decode entities here
+      // (href="?a=1&amp;b=2" means &) without touching attr() semantics
+      val baseHrefs = extractAttrsFrom(doc, "base[href]", "href")
+      val effBase = {
+        val b =
+          if (baseHrefs != null && baseHrefs.nonEmpty)
+            UrlOps.resolve(pageUrl, graft.dom.Entities.decode(baseHrefs(0)))
+          else null
+        if (b != null) b else pageUrl
+      }
+      val hrefs = extractAttrsFrom(doc, "a[href]", "href")
+      if (hrefs == null) return null
+      val out = new scala.collection.mutable.ArrayBuffer[String](hrefs.length)
+      var i = 0
+      while (i < hrefs.length) {
+        val r = UrlOps.resolve(effBase, graft.dom.Entities.decode(hrefs(i)))
+        if (r != null) {
+          val n = UrlOps.normalize(r)
+          if (n != null) out += n
+        }
+        i += 1
+      }
+      attrsToArrayData(out.toArray)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null // row degrades, task survives (see first belt note)
+    }
+  }
 }

@@ -1,0 +1,280 @@
+package graft.spark
+
+/** URL handling for the crawl tier: RFC 3986 reference resolution
+  * (§5.2 — the algorithm browsers and crawlers share), syntax-based
+  * normalization (§6.2.2-3), and host extraction. Pure functions over
+  * strings — no java.net.URL (which does network-class lookups and
+  * rejects many crawl-real URLs) and no exceptions on malformed input:
+  * every entry returns null rather than throwing, because at crawl scale
+  * some fraction of hrefs is always garbage.
+  *
+  * Scope notes:
+  *  - `resolve` implements §5.2.2 strict mode (a same-scheme reference
+  *    with its own authority/path replaces, it does not merge), §5.2.3
+  *    path merge, and §5.2.4 remove_dot_segments — validated against the
+  *    RFC's own §5.4 normal + abnormal example tables in UrlSpec.
+  *  - `normalize` applies §6.2.2 syntax normalization (lowercase scheme
+  *    and host, uppercase percent-encoding hex, decode unreserved
+  *    octets, remove dot segments) plus §6.2.3 scheme defaults (drop
+  *    :80 for http / :443 for https, empty path -> "/"). The fragment is
+  *    dropped — crawl identity never includes it.
+  *  - `host` returns the raw (bracketless for IPv6) lowercase host. */
+object UrlOps {
+
+  /** (scheme, authority, path, query, fragment) — each null when absent,
+    * per RFC 3986 §3's component grammar. Never throws. */
+  private[graft] def split(uri: String): (String, String, String, String, String) = {
+    var rest = uri
+    var fragment: String = null
+    val h = rest.indexOf('#')
+    if (h >= 0) { fragment = rest.substring(h + 1); rest = rest.substring(0, h) }
+    var query: String = null
+    val q = rest.indexOf('?')
+    if (q >= 0) { query = rest.substring(q + 1); rest = rest.substring(0, q) }
+    var scheme: String = null
+    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) followed by ':'
+    val c = rest.indexOf(':')
+    if (c > 0) {
+      var ok = isAlpha(rest.charAt(0))
+      var i = 1
+      while (ok && i < c) {
+        val ch = rest.charAt(i)
+        ok = isAlpha(ch) || (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.'
+        i += 1
+      }
+      if (ok) { scheme = rest.substring(0, c); rest = rest.substring(c + 1) }
+    }
+    var authority: String = null
+    if (rest.startsWith("//")) {
+      var end = 2
+      while (end < rest.length && rest.charAt(end) != '/' &&
+        rest.charAt(end) != '?' && rest.charAt(end) != '#') end += 1
+      authority = rest.substring(2, end)
+      rest = rest.substring(end)
+    }
+    (scheme, authority, rest, query, fragment)
+  }
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private[graft] def removeDotSegments(path: String): String = {
+    if (path == null || path.isEmpty) return path
+    val out = new java.lang.StringBuilder(path.length)
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { popSegment(out); in = "/" + in.substring(4) }
+      else if (in == "/..") { popSegment(out); in = "/" }
+      else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (through the char before the next '/')
+        var end = if (in.charAt(0) == '/') 1 else 0
+        while (end < in.length && in.charAt(end) != '/') end += 1
+        out.append(in, 0, end)
+        in = in.substring(end)
+      }
+    }
+    out.toString
+  }
+
+  private def popSegment(out: java.lang.StringBuilder): Unit = {
+    var i = out.length - 1
+    while (i >= 0 && out.charAt(i) != '/') i -= 1
+    out.setLength(math.max(i, 0))
+  }
+
+  /** RFC 3986 §5.3 recomposition. */
+  private def recompose(scheme: String, authority: String, path: String,
+      query: String, fragment: String): String = {
+    val sb = new java.lang.StringBuilder(64)
+    if (scheme != null) { sb.append(scheme).append(':') }
+    if (authority != null) { sb.append("//").append(authority) }
+    sb.append(if (path == null) "" else path)
+    if (query != null) { sb.append('?').append(query) }
+    if (fragment != null) { sb.append('#').append(fragment) }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.2 transform-references (strict): resolve `ref`
+    * against absolute `base`. Null when base is unusable (no scheme) or
+    * inputs are null. Protocol-relative ("//host/x"), root-relative,
+    * path-relative, query-only, and fragment-only references all land in
+    * the right branch of the algorithm. */
+  def resolve(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    val b = split(base.trim)
+    if (b._1 == null) return null // base must be absolute
+    val r = split(ref.trim)
+    var scheme: String = null; var authority: String = null
+    var path: String = null; var query: String = null
+    if (r._1 != null) {
+      scheme = r._1; authority = r._2
+      path = removeDotSegments(r._3); query = r._4
+    } else {
+      if (r._2 != null) {
+        authority = r._2; path = removeDotSegments(r._3); query = r._4
+      } else {
+        if (r._3 == null || r._3.isEmpty) {
+          path = b._3
+          query = if (r._4 != null) r._4 else b._4
+        } else {
+          path =
+            if (r._3.startsWith("/")) removeDotSegments(r._3)
+            else removeDotSegments(mergePaths(b._2, b._3, r._3))
+          query = r._4
+        }
+        authority = b._2
+      }
+      scheme = b._1
+    }
+    recompose(scheme, authority, path, query, r._5)
+  }
+
+  /** RFC 3986 §5.2.3 merge. */
+  private def mergePaths(baseAuthority: String, basePath: String, refPath: String): String = {
+    if (baseAuthority != null && (basePath == null || basePath.isEmpty)) "/" + refPath
+    else {
+      val slash = basePath.lastIndexOf('/')
+      if (slash < 0) refPath else basePath.substring(0, slash + 1) + refPath
+    }
+  }
+
+  // ---------------------------------------------------------- normalization
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def isUnreserved(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** §6.2.2.1-2: uppercase percent hex; decode %XX for unreserved
+    * octets. Malformed escapes pass through untouched (crawl tolerance). */
+  private[graft] def normalizeEscapes(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      if (a(i) >= 'A' && a(i) <= 'Z') a(i) = (a(i) + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** crawl-identity normalization: §6.2.2 syntax normalization + §6.2.3
+    * scheme defaults, fragment dropped. Null for null/unparseable (no
+    * scheme) input — a crawl URL table wants absolute, canonical keys. */
+  def normalize(url: String): String = {
+    if (url == null) return null
+    val (scheme0, auth0, path0, query0, _) = split(url.trim)
+    if (scheme0 == null) return null
+    val scheme = asciiLower(scheme0)
+    var authority = auth0
+    if (authority != null) {
+      // userinfo@host:port — host is case-insensitive; default ports drop
+      val at = authority.lastIndexOf('@')
+      val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+      var hostPort = if (at >= 0) authority.substring(at + 1) else authority
+      // bracketed IPv6 literals carry no case and ':' inside brackets is
+      // not a port separator
+      val colon =
+        if (hostPort.startsWith("[")) {
+          val close = hostPort.indexOf(']')
+          if (close >= 0) hostPort.indexOf(':', close) else -1
+        } else hostPort.lastIndexOf(':')
+      var port = ""
+      if (colon >= 0) { port = hostPort.substring(colon); hostPort = hostPort.substring(0, colon) }
+      if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443") ||
+        port == ":") port = ""
+      authority = userinfo + normalizeEscapes(asciiLower(hostPort)) + port
+    }
+    var path = removeDotSegments(normalizeEscapes(path0))
+    if (authority != null && (path == null || path.isEmpty)) path = "/"
+    recompose(scheme, authority, path, normalizeEscapes(query0), null)
+  }
+
+  /** lowercase host of an absolute URL (IPv6 brackets stripped), null
+    * when absent/unparseable. */
+  def host(url: String): String = {
+    if (url == null) return null
+    val (_, auth, _, _, _) = split(url.trim)
+    if (auth == null || auth.isEmpty) return null
+    val at = auth.lastIndexOf('@')
+    var hp = if (at >= 0) auth.substring(at + 1) else auth
+    if (hp.startsWith("[")) {
+      val close = hp.indexOf(']')
+      if (close > 0) hp = hp.substring(1, close)
+    } else {
+      val colon = hp.lastIndexOf(':')
+      if (colon >= 0) hp = hp.substring(0, colon)
+    }
+    if (hp.isEmpty) null else asciiLower(hp)
+  }
+
+  /** registrable-domain approximation for grouping/skew keys: the last
+    * two labels, or last three when the 2nd-level label is a well-known
+    * generic SLD under a ccTLD (co.uk, com.au, ...). NOT the full public
+    * suffix list (which is a moving dataset, not an algorithm) — this is
+    * the standard embedded approximation; exact PSL handling can swap in
+    * behind the same function. IP literals return as-is. */
+  def registrableDomain(url: String): String = {
+    val h = host(url)
+    if (h == null) return null
+    if (h.indexOf(':') >= 0) return h // IPv6
+    val labels = h.split('.')
+    if (labels.length <= 2) return h
+    if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9'))) return h // IPv4
+    val tld = labels(labels.length - 1)
+    val sld = labels(labels.length - 2)
+    val generic = Set("co", "com", "net", "org", "gov", "edu", "ac", "mil")
+    val n = if (tld.length == 2 && generic(sld) && labels.length >= 3) 3 else 2
+    labels.takeRight(n).mkString(".")
+  }
+
+  // ------------------------------------------------- codegen static entries
+  // called from generated code (UrlExpr); null in -> null out, never throws.
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def wrap(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  def resolveCodegen(base: UTF8String, ref: UTF8String): UTF8String =
+    if (base == null || ref == null) null
+    else wrap(resolve(base.toString, ref.toString))
+
+  def normalizeCodegen(url: UTF8String): UTF8String =
+    if (url == null) null else wrap(normalize(url.toString))
+
+  def hostCodegen(url: UTF8String): UTF8String =
+    if (url == null) null else wrap(host(url.toString))
+
+  def domainCodegen(url: UTF8String): UTF8String =
+    if (url == null) null else wrap(registrableDomain(url.toString))
+}

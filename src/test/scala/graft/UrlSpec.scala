@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query.Vis
+import graft.spark.{Extractor, UrlOps}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL tier (UrlOps + extract_links): RFC 3986 §5.2 reference resolution
+  * validated against the RFC's own §5.4 example tables, §6.2.2-3
+  * normalization, host / registrable-domain extraction, and link
+  * extraction honoring `<base href>` with entity-decoded hrefs. */
+class UrlSpec extends AnyFunSuite {
+
+  // ------------------------------------------ RFC 3986 §5.4 example tables
+
+  private val Base = "http://a/b/c/d;p?q"
+
+  private val normalExamples = Seq(
+    "g:h" -> "g:h",
+    "g" -> "http://a/b/c/g",
+    "./g" -> "http://a/b/c/g",
+    "g/" -> "http://a/b/c/g/",
+    "/g" -> "http://a/g",
+    "//g" -> "http://g",
+    "?y" -> "http://a/b/c/d;p?y",
+    "g?y" -> "http://a/b/c/g?y",
+    "#s" -> "http://a/b/c/d;p?q#s",
+    "g#s" -> "http://a/b/c/g#s",
+    "g?y#s" -> "http://a/b/c/g?y#s",
+    ";x" -> "http://a/b/c/;x",
+    "g;x" -> "http://a/b/c/g;x",
+    "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+    "" -> "http://a/b/c/d;p?q",
+    "." -> "http://a/b/c/",
+    "./" -> "http://a/b/c/",
+    ".." -> "http://a/b/",
+    "../" -> "http://a/b/",
+    "../g" -> "http://a/b/g",
+    "../.." -> "http://a/",
+    "../../" -> "http://a/",
+    "../../g" -> "http://a/g")
+
+  private val abnormalExamples = Seq(
+    "../../../g" -> "http://a/g",
+    "../../../../g" -> "http://a/g",
+    "/./g" -> "http://a/g",
+    "/../g" -> "http://a/g",
+    "g." -> "http://a/b/c/g.",
+    ".g" -> "http://a/b/c/.g",
+    "g.." -> "http://a/b/c/g..",
+    "..g" -> "http://a/b/c/..g",
+    "./../g" -> "http://a/b/g",
+    "./g/." -> "http://a/b/c/g/",
+    "g/./h" -> "http://a/b/c/g/h",
+    "g/../h" -> "http://a/b/c/h",
+    "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+    "g;x=1/../y" -> "http://a/b/c/y",
+    "g?y/./x" -> "http://a/b/c/g?y/./x",
+    "g?y/../x" -> "http://a/b/c/g?y/../x",
+    "g#s/./x" -> "http://a/b/c/g#s/./x",
+    "g#s/../x" -> "http://a/b/c/g#s/../x",
+    "http:g" -> "http:g") // strict mode
+
+  test("resolve matches every RFC 3986 §5.4.1 normal example") {
+    normalExamples.foreach { case (ref, want) =>
+      assert(UrlOps.resolve(Base, ref) == want, s"ref <$ref>")
+    }
+  }
+
+  test("resolve matches every RFC 3986 §5.4.2 abnormal example") {
+    abnormalExamples.foreach { case (ref, want) =>
+      assert(UrlOps.resolve(Base, ref) == want, s"ref <$ref>")
+    }
+  }
+
+  test("resolve edge contract: null / relative base / trim") {
+    assert(UrlOps.resolve(null, "g") == null)
+    assert(UrlOps.resolve(Base, null) == null)
+    assert(UrlOps.resolve("/just/a/path", "g") == null) // base must be absolute
+    assert(UrlOps.resolve(Base, "  g  ") == "http://a/b/c/g") // HTML strips ws
+    // authority-less base (mailto-style): merge per §5.2.3 first branch
+    assert(UrlOps.resolve("mailto:x@y", "") == "mailto:x@y")
+  }
+
+  // ------------------------------------------------------ §6.2 normalization
+
+  test("normalize: case, default ports, dot segments, percent-encoding") {
+    assert(UrlOps.normalize("HTTP://Ex.COM:80/a/../b%2f?x=%41") == "http://ex.com/b%2F?x=A")
+    assert(UrlOps.normalize("https://EX.com:443/") == "https://ex.com/")
+    assert(UrlOps.normalize("https://ex.com:8443/p") == "https://ex.com:8443/p") // non-default kept
+    assert(UrlOps.normalize("http://ex.com") == "http://ex.com/") // empty path -> "/"
+    assert(UrlOps.normalize("http://ex.com/p#frag") == "http://ex.com/p") // fragment dropped
+    assert(UrlOps.normalize("http://u:p@Ex.com/q") == "http://u:p@ex.com/q") // userinfo kept
+    assert(UrlOps.normalize("http://ex.com/%7euser") == "http://ex.com/~user") // unreserved decodes
+    assert(UrlOps.normalize("http://ex.com/a%ZZb") == "http://ex.com/a%ZZb") // malformed escape passes
+    assert(UrlOps.normalize("no-scheme/path") == null)
+    assert(UrlOps.normalize(null) == null)
+    // bracketed IPv6: ':' inside brackets is not a port separator
+    assert(UrlOps.normalize("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+  }
+
+  test("host and registrableDomain") {
+    assert(UrlOps.host("https://WWW.Example.COM:8080/p") == "www.example.com")
+    assert(UrlOps.host("https://u@host.io/p") == "host.io")
+    assert(UrlOps.host("https://[2001:DB8::1]/p") == "2001:db8::1")
+    assert(UrlOps.host("/relative") == null)
+    assert(UrlOps.host(null) == null)
+    assert(UrlOps.registrableDomain("https://a.b.example.com/x") == "example.com")
+    assert(UrlOps.registrableDomain("https://sub.team.co.uk/x") == "team.co.uk")
+    assert(UrlOps.registrableDomain("https://example.org/") == "example.org")
+    assert(UrlOps.registrableDomain("https://192.168.0.1:8080/x") == "192.168.0.1")
+    assert(UrlOps.registrableDomain("https://[2001:db8::1]/x") == "2001:db8::1")
+  }
+
+  // --------------------------------------------------------- extract_links
+
+  private def links(html: String, base: String): Seq[String] = {
+    val ad = Extractor.extractLinksCodegenBinary(
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (base == null) null else UTF8String.fromString(base))
+    if (ad == null) null
+    else ad.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+  }
+
+  test("extract_links resolves + normalizes in document order") {
+    val html = """<p><a href="../up.html">u</a><a href="sub/x.html">s</a>
+                 |<a href="//other.org/p">o</a><a href="?x=1">q</a></p>""".stripMargin
+    assert(links(html, "https://EX.Example.COM/dir/page.html") == Seq(
+      "https://ex.example.com/up.html",
+      "https://ex.example.com/dir/sub/x.html",
+      "https://other.org/p",
+      "https://ex.example.com/dir/page.html?x=1"))
+  }
+
+  test("extract_links honors the first <base href> (document-base rule)") {
+    val html = """<head><base href="https://cdn.net/assets/"><base href="https://ignored.net/"></head>
+                 |<body><a href="img/i.png">i</a><a href="/root.css">r</a></body>""".stripMargin
+    assert(links(html, "https://ex.com/dir/page.html") == Seq(
+      "https://cdn.net/assets/img/i.png",
+      "https://cdn.net/root.css"))
+    // relative base href resolves against the page URL first
+    val html2 = """<base href="sub/"><a href="x">x</a>"""
+    assert(links(html2, "https://ex.com/dir/page.html") == Seq(
+      "https://ex.com/dir/sub/x"))
+  }
+
+  test("extract_links decodes entities in hrefs without touching attr()") {
+    val html = """<a href="/s?a=1&amp;b=2">x</a>"""
+    assert(links(html, "https://ex.com/") == Seq("https://ex.com/s?a=1&b=2"))
+    // attr() itself stays raw-source (reference parity)
+    val root = Vis.loadOrThrow(html)
+    assert(root.find("a").attr("href").get.value == "/s?a=1&amp;b=2")
+  }
+
+  test("extract_links tolerance: fragments fold, garbage skips, null base") {
+    val html = """<a href="#top">t</a><a href="mailto:a@b.c">m</a><a href="x">x</a>"""
+    assert(links(html, "https://ex.com/p") == Seq(
+      "https://ex.com/p", "mailto:a@b.c", "https://ex.com/x"))
+    assert(links(html, null) == null)
+    // relative base URL: nothing resolves -> empty, not null
+    assert(links("""<a href="x">x</a>""", "not-absolute") == Seq())
+  }
+}
