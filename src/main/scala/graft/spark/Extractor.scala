@@ -632,10 +632,13 @@ object Extractor extends Serializable {
       }
       val hrefs = extractAttrsFrom(doc, "a[href]", "href")
       if (hrefs == null) return null
+      // split the base ONCE per page, not per href (pages carry
+      // thousands of links at crawl scale)
+      val bSplit = UrlOps.split(UrlOps.preClean(effBase))
       val out = new scala.collection.mutable.ArrayBuffer[String](hrefs.length)
       var i = 0
       while (i < hrefs.length) {
-        val r = UrlOps.resolve(effBase, graft.dom.Entities.decode(hrefs(i)))
+        val r = UrlOps.resolveParsed(bSplit, graft.dom.Entities.decode(hrefs(i)))
         if (r != null) {
           val n = UrlOps.normalize(r)
           if (n != null) out += n

@@ -58,6 +58,30 @@ object UrlOps {
   private def isAlpha(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** WHATWG URL pre-parse: ASCII tab and newline are stripped ANYWHERE
+    * (real HTML wraps long hrefs across source lines), leading/trailing
+    * C0 controls and space trimmed. */
+  private[graft] def preClean(s: String): String = {
+    var hasJunk = false
+    var i = 0
+    while (i < s.length && !hasJunk) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') hasJunk = true
+      i += 1
+    }
+    val t = if (!hasJunk) s else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (c != '\t' && c != '\n' && c != '\r') sb.append(c)
+        j += 1
+      }
+      sb.toString
+    }
+    t.trim
+  }
+
   /** RFC 3986 §5.2.4 remove_dot_segments. */
   private[graft] def removeDotSegments(path: String): String = {
     if (path == null || path.isEmpty) return path
@@ -88,12 +112,15 @@ object UrlOps {
     out.setLength(math.max(i, 0))
   }
 
-  /** RFC 3986 §5.3 recomposition. */
+  /** RFC 3986 §5.3 recomposition. A path beginning "//" with no
+    * authority would re-parse as an authority — the WHATWG serializer's
+    * "/." guard keeps the round-trip meaning-preserving. */
   private def recompose(scheme: String, authority: String, path: String,
       query: String, fragment: String): String = {
     val sb = new java.lang.StringBuilder(64)
     if (scheme != null) { sb.append(scheme).append(':') }
     if (authority != null) { sb.append("//").append(authority) }
+    else if (path != null && path.startsWith("//")) sb.append("/.")
     sb.append(if (path == null) "" else path)
     if (query != null) { sb.append('?').append(query) }
     if (fragment != null) { sb.append('#').append(fragment) }
@@ -101,21 +128,32 @@ object UrlOps {
   }
 
   /** RFC 3986 §5.2.2 transform-references (strict): resolve `ref`
-    * against absolute `base`. Null when base is unusable (no scheme) or
-    * inputs are null. Protocol-relative ("//host/x"), root-relative,
-    * path-relative, query-only, and fragment-only references all land in
-    * the right branch of the algorithm. */
+    * against absolute `base`. A ref carrying its own scheme is
+    * self-sufficient and resolves even when the base is null/relative/
+    * garbage (§5.2.2 never consults the base for it); all other refs
+    * yield null without an absolute base. Protocol-relative
+    * ("//host/x"), root-relative, path-relative, query-only, and
+    * fragment-only references all land in the right branch. */
   def resolve(base: String, ref: String): String = {
-    if (base == null || ref == null) return null
-    val b = split(base.trim)
-    if (b._1 == null) return null // base must be absolute
-    val r = split(ref.trim)
+    if (ref == null) return null
+    resolveParsed(if (base == null) null else split(preClean(base)), ref)
+  }
+
+  /** resolve against an already-split base — the per-page fast path for
+    * extract_links (one base parse per page, not per href). A ref with
+    * its own scheme never consults the base (§5.2.2), so it resolves
+    * even when the base is null/relative/garbage. */
+  private[graft] def resolveParsed(
+      b: (String, String, String, String, String), ref: String): String = {
+    if (ref == null) return null
+    val r = split(preClean(ref))
     var scheme: String = null; var authority: String = null
     var path: String = null; var query: String = null
     if (r._1 != null) {
       scheme = r._1; authority = r._2
       path = removeDotSegments(r._3); query = r._4
     } else {
+      if (b == null || b._1 == null) return null // base must be absolute
       if (r._2 != null) {
         authority = r._2; path = removeDotSegments(r._3); query = r._4
       } else {
@@ -187,12 +225,38 @@ object UrlOps {
     new String(a)
   }
 
+  private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** host canonicalization, one pass: unreserved %XX octets decode and
+    * case-fold (so "ex%41mple.com" and "example.com" share one crawl
+    * identity), reserved escapes keep uppercase hex, everything else
+    * ASCII-lowercases. Decode-before-fold ordering matters — folding
+    * first would leave decoded uppercase letters behind. */
+  private[graft] def canonHost(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(lower(v.toChar))
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(lower(c)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** crawl-identity normalization: §6.2.2 syntax normalization + §6.2.3
     * scheme defaults, fragment dropped. Null for null/unparseable (no
     * scheme) input — a crawl URL table wants absolute, canonical keys. */
   def normalize(url: String): String = {
     if (url == null) return null
-    val (scheme0, auth0, path0, query0, _) = split(url.trim)
+    val (scheme0, auth0, path0, query0, _) = split(preClean(url))
     if (scheme0 == null) return null
     val scheme = asciiLower(scheme0)
     var authority = auth0
@@ -212,7 +276,7 @@ object UrlOps {
       if (colon >= 0) { port = hostPort.substring(colon); hostPort = hostPort.substring(0, colon) }
       if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443") ||
         port == ":") port = ""
-      authority = userinfo + normalizeEscapes(asciiLower(hostPort)) + port
+      authority = userinfo + canonHost(hostPort) + port
     }
     var path = removeDotSegments(normalizeEscapes(path0))
     if (authority != null && (path == null || path.isEmpty)) path = "/"
@@ -223,7 +287,7 @@ object UrlOps {
     * when absent/unparseable. */
   def host(url: String): String = {
     if (url == null) return null
-    val (_, auth, _, _, _) = split(url.trim)
+    val (_, auth, _, _, _) = split(preClean(url))
     if (auth == null || auth.isEmpty) return null
     val at = auth.lastIndexOf('@')
     var hp = if (at >= 0) auth.substring(at + 1) else auth
@@ -234,7 +298,7 @@ object UrlOps {
       val colon = hp.lastIndexOf(':')
       if (colon >= 0) hp = hp.substring(0, colon)
     }
-    if (hp.isEmpty) null else asciiLower(hp)
+    if (hp.isEmpty) null else canonHost(hp)
   }
 
   /** registrable-domain approximation for grouping/skew keys: the last
@@ -243,6 +307,13 @@ object UrlOps {
     * suffix list (which is a moving dataset, not an algorithm) — this is
     * the standard embedded approximation; exact PSL handling can swap in
     * behind the same function. IP literals return as-is. */
+  // hoisted: url_domain runs once per row at crawl scale
+  private val GenericSlds: java.util.HashSet[String] = {
+    val m = new java.util.HashSet[String]()
+    Seq("co", "com", "net", "org", "gov", "edu", "ac", "mil").foreach(m.add)
+    m
+  }
+
   def registrableDomain(url: String): String = {
     val h = host(url)
     if (h == null) return null
@@ -252,8 +323,7 @@ object UrlOps {
     if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9'))) return h // IPv4
     val tld = labels(labels.length - 1)
     val sld = labels(labels.length - 2)
-    val generic = Set("co", "com", "net", "org", "gov", "edu", "ac", "mil")
-    val n = if (tld.length == 2 && generic(sld) && labels.length >= 3) 3 else 2
+    val n = if (tld.length == 2 && GenericSlds.contains(sld) && labels.length >= 3) 3 else 2
     labels.takeRight(n).mkString(".")
   }
 

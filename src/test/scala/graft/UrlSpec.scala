@@ -81,6 +81,15 @@ class UrlSpec extends AnyFunSuite {
     assert(UrlOps.resolve(Base, "  g  ") == "http://a/b/c/g") // HTML strips ws
     // authority-less base (mailto-style): merge per §5.2.3 first branch
     assert(UrlOps.resolve("mailto:x@y", "") == "mailto:x@y")
+    // a scheme-ful ref never consults the base (§5.2.2): it resolves
+    // even against a garbage/relative/null base
+    assert(UrlOps.resolve("not-absolute", "http://x.com/a/../b") == "http://x.com/b")
+    assert(UrlOps.resolve(null, "https://x.com/y") == "https://x.com/y")
+    // WHATWG pre-parse: tab/CR/LF strip ANYWHERE (hrefs wrap in source)
+    assert(UrlOps.resolve(Base, "lo\nng/pa\tth") == "http://a/b/c/long/path")
+    // §5.3 "//" guard: authority-less path starting "//" must not
+    // re-parse as an authority
+    assert(UrlOps.resolve("mailto:a/b", "..//c") == "mailto:/.//c")
   }
 
   // ------------------------------------------------------ §6.2 normalization
@@ -98,6 +107,9 @@ class UrlSpec extends AnyFunSuite {
     assert(UrlOps.normalize(null) == null)
     // bracketed IPv6: ':' inside brackets is not a port separator
     assert(UrlOps.normalize("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    // host escapes decode BEFORE case folding: one crawl identity
+    assert(UrlOps.normalize("http://ex%41mple.com/") == "http://example.com/")
+    assert(UrlOps.normalize("http://ex\tample.com/a\nb") == "http://example.com/ab")
   }
 
   test("host and registrableDomain") {
@@ -106,6 +118,7 @@ class UrlSpec extends AnyFunSuite {
     assert(UrlOps.host("https://[2001:DB8::1]/p") == "2001:db8::1")
     assert(UrlOps.host("/relative") == null)
     assert(UrlOps.host(null) == null)
+    assert(UrlOps.host("https://ex%41mple.com/x") == "example.com") // canon matches normalize
     assert(UrlOps.registrableDomain("https://a.b.example.com/x") == "example.com")
     assert(UrlOps.registrableDomain("https://sub.team.co.uk/x") == "team.co.uk")
     assert(UrlOps.registrableDomain("https://example.org/") == "example.org")
@@ -158,7 +171,11 @@ class UrlSpec extends AnyFunSuite {
     assert(links(html, "https://ex.com/p") == Seq(
       "https://ex.com/p", "mailto:a@b.c", "https://ex.com/x"))
     assert(links(html, null) == null)
-    // relative base URL: nothing resolves -> empty, not null
+    // relative base URL: relative hrefs drop, but scheme-ful hrefs are
+    // self-sufficient and survive (the link graph keeps absolute links
+    // even when the record's own URL is garbage)
     assert(links("""<a href="x">x</a>""", "not-absolute") == Seq())
+    assert(links("""<a href="x">x</a><a href="https://x.com/y">y</a>""",
+      "not-absolute") == Seq("https://x.com/y"))
   }
 }
