@@ -524,6 +524,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16i. canonical + meta-refresh URLs (the dedup-cluster key and
+    //      the client-side redirect edge): rel token-list matching,
+    //      base-tag interplay, WHATWG refresh content grammar with
+    //      quotes/case variants; decoy link/meta elements planted ----
+    "q_url_meta" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val pageUrl = s"https://m$id.ex.com/p.html"
+        val decoys = """<link rel="stylesheet" href="/s.css">""" +
+          """<meta http-equiv="content-type" content="text/html">"""
+        val body = ((id % 4).toInt: @unchecked) match {
+          case 0 => s"""<link rel="canonical" href="/c/$id">"""
+          case 1 => s"""<base href="https://b$id.ex.org/d/">""" +
+            """<link rel="alternate Canonical" href="x">"""
+          case 2 => s"""<meta http-equiv="Refresh" content="5; URL='/next/$id'">"""
+          case 3 => ""
+        }
+        (id, s"<head>$decoys$body</head><body><p>t</p></body>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), pageUrl)
+      }.toDF("doc_id", "html", "page_url")
+        .select(col("doc_id"),
+          coalesce(call_function("extract_canonical",
+            col("html"), col("page_url")), lit("-")).as("canon"),
+          coalesce(call_function("extract_refresh",
+            col("html"), col("page_url")), lit("-")).as("refr"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- 16h. link-graph rollup (the frontier aggregation every crawl
+    //      runs downstream of extract_links): per-page links explode,
+    //      url_domain collapses subdomain variants (www/cdn) onto one
+    //      registrable-domain key, and a hash-agg rollup counts
+    //      out-degree per domain — partial aggregation map-side, one
+    //      shuffle on the domain key ----
+    "q_link_graph" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val page = s"https://site${id % 50}.com/p/$id"
+        val sub = if (id % 2 == 0) "www" else "cdn"
+        val html = s"""<a href="https://$sub.hub${id % 7}.net/t">h</a>""" +
+          s"""<a href="/local/$id">l</a>"""
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8), page)
+      }.toDF("doc_id", "html", "page_url")
+        .select(explode(call_function("extract_links",
+          col("html"), col("page_url"))).as("link"))
+        .select(call_function("url_domain", col("link")).as("dom"))
+        .groupBy("dom").agg(count(lit(1)).as("cnt"))
+        .orderBy("dom")
+    }),
+
     // ---- 16d. WARC source parsing (ISO 28500 — the container Common
     //      Crawl actually ships): real records with Content-Length
     //      framing + HTTP splitting, page bodies through the crawl-mode
@@ -985,6 +1035,22 @@ object SparkEntry {
         "'http://ex' || d || '.com/b%2F?x=A' AS p_norm, " +
         "'https://EX' || d || '.Example.COM/dir/g#s' AS res " +
         "FROM t ORDER BY doc_id"),
+    "q_url_meta" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v WHEN 0 THEN 'https://m' || d || '.ex.com/c/' || d " +
+        "WHEN 1 THEN 'https://b' || d || '.ex.org/d/x' " +
+        "ELSE '-' END AS canon, " +
+        "CASE v WHEN 2 THEN 'https://m' || d || '.ex.com/next/' || d " +
+        "ELSE '-' END AS refr " +
+        "FROM t ORDER BY doc_id"),
+    "q_link_graph" ->
+      ("WITH l AS (" +
+        "SELECT 'hub' || CAST(doc_id % 7 AS VARCHAR) || '.net' AS dom FROM documents " +
+        "UNION ALL " +
+        "SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' FROM documents) " +
+        "SELECT dom, COUNT(*) AS cnt FROM l GROUP BY dom ORDER BY dom"),
     "q_warc" -> {
       def uri(p: Int) = s"'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p$p'"
       def txt(p: Int) = s"'w' || CAST(doc_id AS VARCHAR) || ' body $p'"

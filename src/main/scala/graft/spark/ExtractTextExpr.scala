@@ -356,5 +356,19 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("extract_links", 2, "(html, base_url)")(children)
         ExtractLinks(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_canonical"),
+      new ExpressionInfo(classOf[ExtractCanonical].getName, "extract_canonical"),
+      (children: Seq[Expression]) => {
+        arity("extract_canonical", 2, "(html, base_url)")(children)
+        ExtractCanonical(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_refresh"),
+      new ExpressionInfo(classOf[ExtractRefresh].getName, "extract_refresh"),
+      (children: Seq[Expression]) => {
+        arity("extract_refresh", 2, "(html, base_url)")(children)
+        ExtractRefresh(children(0), children(1))
+      }))
   }
 }

@@ -610,6 +610,20 @@ object Extractor extends Serializable {
       base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     if (html == null) null else extractLinksCodegenBinary(html.getBytes, base)
 
+  /** the page's effective base URL: HTML's document-base rule — the
+    * first `base[href]` element wins, itself resolved against the page
+    * URL; the page URL otherwise. Hrefs are entity-decoded here (attr()
+    * returns raw source bytes, reference parity — links are the one
+    * place the HTML-level value matters). */
+  private def effectiveBase(doc: VDoc, pageUrl: String): String = {
+    val baseHrefs = extractAttrsFrom(doc, "base[href]", "href")
+    val b =
+      if (baseHrefs != null && baseHrefs.nonEmpty)
+        UrlOps.resolve(pageUrl, graft.dom.Entities.decode(baseHrefs(0)))
+      else null
+    if (b != null) b else pageUrl
+  }
+
   /** byte-native BINARY path: parseBytes, only hrefs materialize as
     * Strings. */
   def extractLinksCodegenBinary(html: Array[Byte],
@@ -619,17 +633,7 @@ object Extractor extends Serializable {
       val doc = parseBytes(html)
       if (doc == null) return null
       val pageUrl = base.toString
-      // attr() returns raw source bytes (reference parity); links are the
-      // one place the HTML-level value matters, so decode entities here
-      // (href="?a=1&amp;b=2" means &) without touching attr() semantics
-      val baseHrefs = extractAttrsFrom(doc, "base[href]", "href")
-      val effBase = {
-        val b =
-          if (baseHrefs != null && baseHrefs.nonEmpty)
-            UrlOps.resolve(pageUrl, graft.dom.Entities.decode(baseHrefs(0)))
-          else null
-        if (b != null) b else pageUrl
-      }
+      val effBase = effectiveBase(doc, pageUrl)
       val hrefs = extractAttrsFrom(doc, "a[href]", "href")
       if (hrefs == null) return null
       // split the base ONCE per page, not per href (pages carry
@@ -650,5 +654,148 @@ object Extractor extends Serializable {
       case scala.util.control.NonFatal(_) => null
       case _: StackOverflowError => null // row degrades, task survives (see first belt note)
     }
+  }
+
+  /** `extract_canonical(html, base_url)`: the first
+    * `link[rel~=canonical][href]` (rel is a case-insensitive token
+    * list), resolved against the document base and normalized — the
+    * dedup-cluster key a crawl keeps per page. Null when absent. */
+  def extractCanonicalCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (html == null) null else extractCanonicalCodegenBinary(html.getBytes, base)
+
+  def extractCanonicalCodegenBinary(html: Array[Byte],
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null || base == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val url = findRelUrl(doc, base.toString)
+      if (url == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null
+    }
+  }
+
+  private def findRelUrl(doc: VDoc, pageUrl: String): String = {
+    val compiledSel = compiled("link[href]")
+    compiledSel match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        var i = 0
+        while (i < found.length) {
+          val el = new graft.query.Elems(doc, Array(found(i)))
+          val rel = el.attr("rel")
+          if (rel.isDefined && hasToken(rel.get.value, "canonical")) {
+            val href = el.attr("href")
+            if (href.isDefined) {
+              val r = UrlOps.resolve(effectiveBase(doc, pageUrl),
+                graft.dom.Entities.decode(href.get.value))
+              if (r != null) {
+                val n = UrlOps.normalize(r)
+                if (n != null) return n
+              }
+            }
+          }
+          i += 1
+        }
+        null
+    }
+  }
+
+  /** case-insensitive membership in an HTML space-separated token list
+    * (the rel attribute's grammar). */
+  private def hasToken(list: String, token: String): Boolean = {
+    var i = 0
+    val n = list.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(list.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(list.charAt(j))) j += 1
+      if (j - i == token.length && list.regionMatches(true, i, token, 0, token.length))
+        return true
+      i = j
+    }
+    false
+  }
+
+  /** `extract_refresh(html, base_url)`: the redirect target of a
+    * `meta[http-equiv=refresh]` (WHATWG content grammar:
+    * `delay [;,] [url=] TARGET`, quotes optional, all case-insensitive),
+    * resolved + normalized. Null when absent or the refresh has no URL
+    * part (self-refresh). */
+  def extractRefreshCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (html == null) null else extractRefreshCodegenBinary(html.getBytes, base)
+
+  def extractRefreshCodegenBinary(html: Array[Byte],
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (html == null || base == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val url = findRefreshUrl(doc, base.toString)
+      if (url == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null
+    }
+  }
+
+  private def findRefreshUrl(doc: VDoc, pageUrl: String): String = {
+    compiled("meta[http-equiv][content]") match {
+      case Left(_) => null
+      case Right(sel) =>
+        import scala.collection.mutable.ArrayBuffer
+        val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        var i = 0
+        while (i < found.length) {
+          val el = new graft.query.Elems(doc, Array(found(i)))
+          val he = el.attr("http-equiv")
+          if (he.isDefined && he.get.value.equalsIgnoreCase("refresh")) {
+            val content = el.attr("content")
+            if (content.isDefined) {
+              val target = parseRefreshContent(graft.dom.Entities.decode(content.get.value))
+              if (target != null) {
+                val r = UrlOps.resolve(effectiveBase(doc, pageUrl), target)
+                if (r != null) {
+                  val n = UrlOps.normalize(r)
+                  if (n != null) return n
+                }
+              }
+            }
+          }
+          i += 1
+        }
+        null
+    }
+  }
+
+  /** WHATWG meta-refresh content grammar, tolerantly: skip the delay,
+    * split at the first ';' or ',', strip an optional case-insensitive
+    * `url` `=` prefix and optional matching quotes. Null when no URL
+    * part follows the delay. */
+  private[spark] def parseRefreshContent(content: String): String = {
+    var i = 0
+    val n = content.length
+    while (i < n && content.charAt(i) != ';' && content.charAt(i) != ',') i += 1
+    if (i >= n) return null
+    var s = content.substring(i + 1).trim
+    if (s.length >= 4 && s.regionMatches(true, 0, "url", 0, 3)) {
+      var j = 3
+      while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+      if (j < s.length && s.charAt(j) == '=') {
+        j += 1
+        while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+        s = s.substring(j)
+      }
+    }
+    if (s.length >= 2 && ((s.charAt(0) == '"' && s.charAt(s.length - 1) == '"') ||
+      (s.charAt(0) == '\'' && s.charAt(s.length - 1) == '\'')))
+      s = s.substring(1, s.length - 1).trim
+    if (s.isEmpty) null else s
   }
 }

@@ -98,6 +98,73 @@ case class UrlResolve(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** shared shape of `extract_canonical` / `extract_refresh`:
+  * (html STRING|BINARY, base_url STRING) -> STRING, null-tolerant. */
+abstract class HtmlUrlExpr extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!(left.dataType == StringType || left.dataType == BinaryType || left.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: html must be STRING or BINARY, got ${left.dataType.sql}")
+    else if (!(right.dataType == StringType || right.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: base_url must be STRING, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  protected def htmlIsBinary: Boolean = left.dataType == BinaryType
+
+  /** static method pair on [[Extractor]]: `fn` / `fn`Binary. */
+  protected def fn: String
+
+  override def nullSafeEval(html: Any, base: Any): Any =
+    if (htmlIsBinary) callBinary(html.asInstanceOf[Array[Byte]], base.asInstanceOf[UTF8String])
+    else call(html.asInstanceOf[UTF8String], base.asInstanceOf[UTF8String])
+
+  protected def call(html: UTF8String, base: UTF8String): Any
+  protected def callBinary(html: Array[Byte], base: UTF8String): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (htmlIsBinary) fn + "Binary" else fn
+    nullSafeCodeGen(ctx, ev, (h, b) => {
+      s"""
+         |${ev.value} = graft.spark.Extractor.$m($h, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+}
+
+/** `extract_canonical(html, base_url)` — the first
+  * `link[rel~=canonical][href]` resolved against the document base and
+  * normalized: the dedup-cluster key a crawl keeps per page. */
+case class ExtractCanonical(left: Expression, right: Expression) extends HtmlUrlExpr {
+  override def prettyName: String = "extract_canonical"
+  override protected def fn: String = "extractCanonicalCodegen"
+  override protected def call(html: UTF8String, base: UTF8String): Any =
+    Extractor.extractCanonicalCodegen(html, base)
+  override protected def callBinary(html: Array[Byte], base: UTF8String): Any =
+    Extractor.extractCanonicalCodegenBinary(html, base)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `extract_refresh(html, base_url)` — the `meta[http-equiv=refresh]`
+  * redirect target (WHATWG content grammar), resolved + normalized:
+  * the client-side redirect edge of the crawl graph. */
+case class ExtractRefresh(left: Expression, right: Expression) extends HtmlUrlExpr {
+  override def prettyName: String = "extract_refresh"
+  override protected def fn: String = "extractRefreshCodegen"
+  override protected def call(html: UTF8String, base: UTF8String): Any =
+    Extractor.extractRefreshCodegen(html, base)
+  override protected def callBinary(html: Array[Byte], base: UTF8String): Any =
+    Extractor.extractRefreshCodegenBinary(html, base)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `extract_links(html, base_url)` — every `a[href]` of the page in
   * document order, resolved against the page's effective base (the first
   * `base[href]` element when present, itself resolved against base_url —

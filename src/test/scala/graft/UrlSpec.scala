@@ -178,4 +178,53 @@ class UrlSpec extends AnyFunSuite {
     assert(links("""<a href="x">x</a><a href="https://x.com/y">y</a>""",
       "not-absolute") == Seq("https://x.com/y"))
   }
+
+  private def canon(html: String, base: String): String = {
+    val r = Extractor.extractCanonicalCodegenBinary(
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (base == null) null else UTF8String.fromString(base))
+    if (r == null) null else r.toString
+  }
+
+  private def refresh(html: String, base: String): String = {
+    val r = Extractor.extractRefreshCodegenBinary(
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (base == null) null else UTF8String.fromString(base))
+    if (r == null) null else r.toString
+  }
+
+  test("extract_canonical: rel token list, base tag, first wins, decoys") {
+    val B = "https://m.ex.com/p.html"
+    assert(canon("""<link rel="canonical" href="/c/1">""", B) == "https://m.ex.com/c/1")
+    // rel is a case-insensitive token LIST
+    assert(canon("""<link rel="alternate Canonical" href="x">""", B) == "https://m.ex.com/x")
+    // first canonical wins; stylesheet decoy ignored
+    assert(canon("""<link rel="stylesheet" href="/s.css">""" +
+      """<link rel="canonical" href="/a"><link rel="canonical" href="/b">""", B) ==
+      "https://m.ex.com/a")
+    // base tag applies
+    assert(canon("""<base href="https://b.org/d/"><link rel="canonical" href="x">""", B) ==
+      "https://b.org/d/x")
+    assert(canon("""<p>no links</p>""", B) == null)
+    assert(canon("""<link rel="canonical" href="/c">""", null) == null)
+  }
+
+  test("extract_refresh: WHATWG content grammar variants") {
+    val B = "https://m.ex.com/p.html"
+    assert(refresh("""<meta http-equiv="Refresh" content="5; URL='/next/1'">""", B) ==
+      "https://m.ex.com/next/1")
+    assert(refresh("""<meta http-equiv="refresh" content="0;url=/n">""", B) ==
+      "https://m.ex.com/n")
+    assert(refresh("""<meta http-equiv="refresh" content="2 , url = /spaced">""", B) ==
+      "https://m.ex.com/spaced")
+    // bare target without url= prefix
+    assert(refresh("""<meta http-equiv="refresh" content="3; /bare">""", B) ==
+      "https://m.ex.com/bare")
+    // delay-only refresh carries no redirect edge
+    assert(refresh("""<meta http-equiv="refresh" content="30">""", B) == null)
+    // content-type decoy ignored
+    assert(refresh("""<meta http-equiv="content-type" content="text/html">""", B) == null)
+    assert(refresh("""<p>none</p>""", B) == null)
+  }
+
 }
