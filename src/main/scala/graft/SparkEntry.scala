@@ -524,6 +524,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16j. robots.txt evaluation (RFC 9309 — the fetch-side gate of
+    //      every crawl): group selection by product-token prefix,
+    //      longest-octet precedence with allow-wins ties, */$ patterns,
+    //      Crawl-delay + Sitemap extensions; 5 variants ----
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val (robots, p1, p2) = ((id % 5).toInt: @unchecked) match {
+          case 0 => ("User-agent: *\nDisallow: /private/",
+            s"/private/x$id", s"/pub/x$id")
+          case 1 => ("User-agent: *\nDisallow: /a\nAllow: /a/b",
+            s"/a/b/c$id", s"/a/z$id")
+          case 2 => ("User-agent: *\nDisallow: /*.pdf$",
+            s"/doc$id.pdf", s"/doc$id.pdfx")
+          case 3 => ("User-agent: graftbot\nDisallow: /priv\nUser-agent: *\nDisallow: /",
+            s"/priv/$id", s"/pub/$id")
+          case 4 => ("User-agent: *\nCrawl-delay: 2.5\nDisallow: /a\n" +
+            s"Sitemap: https://s$id.ex/m1.xml\nSitemap: https://s$id.ex/m2.xml",
+            s"/a$id", s"/b$id")
+        }
+        (id, robots, "GraftBot/1.0 (+https://graft.example)", p1, p2)
+      }.toDF("doc_id", "robots", "agent", "p1", "p2")
+        .select(col("doc_id"),
+          call_function("robots_allowed",
+            col("robots"), col("agent"), col("p1")).cast("int").as("a1"),
+          call_function("robots_allowed",
+            col("robots"), col("agent"), col("p2")).cast("int").as("a2"),
+          coalesce(call_function("robots_crawl_delay",
+            col("robots"), col("agent")), lit(-1.0)).as("delay"),
+          concat_ws("|", call_function("robots_sitemaps", col("robots"))).as("maps"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16i. canonical + meta-refresh URLs (the dedup-cluster key and
     //      the client-side redirect edge): rel token-list matching,
     //      base-tag interplay, WHATWG refresh content grammar with
@@ -1034,6 +1067,16 @@ object SparkEntry {
         "'team' || d || '.co.uk' AS p_dom, " +
         "'http://ex' || d || '.com/b%2F?x=A' AS p_norm, " +
         "'https://EX' || d || '.Example.COM/dir/g#s' AS res " +
+        "FROM t ORDER BY doc_id"),
+    "q_robots" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE v WHEN 1 THEN 1 ELSE 0 END AS INT) AS a1, " +
+        "CAST(CASE v WHEN 1 THEN 0 ELSE 1 END AS INT) AS a2, " +
+        "CAST(CASE v WHEN 4 THEN 2.5 ELSE -1.0 END AS DOUBLE) AS delay, " +
+        "CASE v WHEN 4 THEN 'https://s' || d || '.ex/m1.xml|https://s' || d || '.ex/m2.xml' " +
+        "ELSE '' END AS maps " +
         "FROM t ORDER BY doc_id"),
     "q_url_meta" ->
       ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +

@@ -370,5 +370,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("extract_refresh", 2, "(html, base_url)")(children)
         ExtractRefresh(children(0), children(1))
       }))
+    // robots tier (RobotsOps / RobotsExpr): RFC 9309 evaluation
+    ext.injectFunction((
+      FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      (children: Seq[Expression]) => {
+        arity("robots_allowed", 3, "(robots_txt, agent, path)")(children)
+        RobotsAllowed(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("robots_crawl_delay"),
+      new ExpressionInfo(classOf[RobotsCrawlDelay].getName, "robots_crawl_delay"),
+      (children: Seq[Expression]) => {
+        arity("robots_crawl_delay", 2, "(robots_txt, agent)")(children)
+        RobotsCrawlDelay(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("robots_sitemaps"),
+      new ExpressionInfo(classOf[RobotsSitemaps].getName, "robots_sitemaps"),
+      (children: Seq[Expression]) => {
+        arity("robots_sitemaps", 1, "(robots_txt)")(children)
+        RobotsSitemaps(children.head)
+      }))
   }
 }
