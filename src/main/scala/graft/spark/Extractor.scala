@@ -685,15 +685,18 @@ object Extractor extends Serializable {
       case Right(sel) =>
         import scala.collection.mutable.ArrayBuffer
         val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        // one base[href] scan per DOCUMENT, not per candidate link
+        lazy val effBase = effectiveBase(doc, pageUrl)
         var i = 0
         while (i < found.length) {
           val el = new graft.query.Elems(doc, Array(found(i)))
           val rel = el.attr("rel")
-          if (rel.isDefined && hasToken(rel.get.value, "canonical")) {
+          // rel matches on the HTML-level (entity-decoded) value, like
+          // href — attr() itself stays raw-source
+          if (rel.isDefined && hasToken(graft.dom.Entities.decode(rel.get.value), "canonical")) {
             val href = el.attr("href")
             if (href.isDefined) {
-              val r = UrlOps.resolve(effectiveBase(doc, pageUrl),
-                graft.dom.Entities.decode(href.get.value))
+              val r = UrlOps.resolve(effBase, graft.dom.Entities.decode(href.get.value))
               if (r != null) {
                 val n = UrlOps.normalize(r)
                 if (n != null) return n
@@ -751,16 +754,18 @@ object Extractor extends Serializable {
       case Right(sel) =>
         import scala.collection.mutable.ArrayBuffer
         val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+        lazy val effBase = effectiveBase(doc, pageUrl)
         var i = 0
         while (i < found.length) {
           val el = new graft.query.Elems(doc, Array(found(i)))
           val he = el.attr("http-equiv")
-          if (he.isDefined && he.get.value.equalsIgnoreCase("refresh")) {
+          if (he.isDefined &&
+            graft.dom.Entities.decode(he.get.value).equalsIgnoreCase("refresh")) {
             val content = el.attr("content")
             if (content.isDefined) {
               val target = parseRefreshContent(graft.dom.Entities.decode(content.get.value))
               if (target != null) {
-                val r = UrlOps.resolve(effectiveBase(doc, pageUrl), target)
+                val r = UrlOps.resolve(effBase, target)
                 if (r != null) {
                   val n = UrlOps.normalize(r)
                   if (n != null) return n
@@ -774,28 +779,46 @@ object Extractor extends Serializable {
     }
   }
 
-  /** WHATWG meta-refresh content grammar, tolerantly: skip the delay,
-    * split at the first ';' or ',', strip an optional case-insensitive
-    * `url` `=` prefix and optional matching quotes. Null when no URL
-    * part follows the delay. */
+  /** WHATWG shared-declarative-refresh steps: leading ws, REQUIRED delay
+    * digits (no digits = invalid, not a redirect), optional fraction,
+    * then a ws / ';' / ',' separator (plain whitespace is valid — no
+    * other char is), optional case-insensitive `url` `=` prefix, and a
+    * quoted target TRUNCATED at its close quote. Null when invalid or
+    * delay-only (self-refresh carries no redirect edge). */
   private[spark] def parseRefreshContent(content: String): String = {
-    var i = 0
     val n = content.length
-    while (i < n && content.charAt(i) != ';' && content.charAt(i) != ',') i += 1
-    if (i >= n) return null
-    var s = content.substring(i + 1).trim
-    if (s.length >= 4 && s.regionMatches(true, 0, "url", 0, 3)) {
-      var j = 3
-      while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
-      if (j < s.length && s.charAt(j) == '=') {
-        j += 1
-        while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
-        s = s.substring(j)
-      }
+    var i = 0
+    while (i < n && Character.isWhitespace(content.charAt(i))) i += 1
+    val digitStart = i
+    while (i < n && content.charAt(i) >= '0' && content.charAt(i) <= '9') i += 1
+    if (i == digitStart) return null
+    if (i < n && content.charAt(i) == '.') {
+      i += 1
+      while (i < n && content.charAt(i) >= '0' && content.charAt(i) <= '9') i += 1
     }
-    if (s.length >= 2 && ((s.charAt(0) == '"' && s.charAt(s.length - 1) == '"') ||
-      (s.charAt(0) == '\'' && s.charAt(s.length - 1) == '\'')))
-      s = s.substring(1, s.length - 1).trim
+    if (i >= n) return null
+    val sep = content.charAt(i)
+    if (!(Character.isWhitespace(sep) || sep == ';' || sep == ',')) return null
+    while (i < n && Character.isWhitespace(content.charAt(i))) i += 1
+    if (i < n && (content.charAt(i) == ';' || content.charAt(i) == ',')) i += 1
+    while (i < n && Character.isWhitespace(content.charAt(i))) i += 1
+    if (i >= n) return null
+    val mark = i
+    if (n - i >= 3 && content.regionMatches(true, i, "url", 0, 3)) {
+      var j = i + 3
+      while (j < n && Character.isWhitespace(content.charAt(j))) j += 1
+      if (j < n && content.charAt(j) == '=') {
+        j += 1
+        while (j < n && Character.isWhitespace(content.charAt(j))) j += 1
+        i = j
+      } else i = mark // "url" without '=' is part of the target itself
+    }
+    if (i >= n) return null
+    val q = content.charAt(i)
+    val s = (if (q == '"' || q == '\'') {
+      val close = content.indexOf(q, i + 1)
+      if (close >= 0) content.substring(i + 1, close) else content.substring(i + 1)
+    } else content.substring(i)).trim
     if (s.isEmpty) null else s
   }
 }

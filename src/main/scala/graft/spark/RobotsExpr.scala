@@ -9,13 +9,15 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType,
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst surface for [[RobotsOps]] (RFC 9309). `robots_allowed` is
-  * deliberately NON-null-short-circuiting: a missing robots.txt (SQL
-  * NULL) means "everything allowed" in crawl semantics, not "unknown" —
-  * so the expression always yields a concrete boolean. */
+  * deliberately NOT null-short-circuiting on robots_txt: a missing
+  * robots.txt (SQL NULL) means "everything allowed" in crawl semantics,
+  * not "unknown". A NULL agent/path with a PRESENT robots.txt is the
+  * caller's unknown and yields NULL — unparseable rows must not slip
+  * through the compliance gate as "allowed". */
 case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "robots_allowed"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -25,26 +27,31 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
       "robots_allowed: robots_txt, agent, and path must be STRING")
   }
 
-  override def eval(input: InternalRow): Any =
-    RobotsOps.allowedCodegen(
+  override def eval(input: InternalRow): Any = {
+    val b = RobotsOps.allowedCodegen(
       first.eval(input).asInstanceOf[UTF8String],
       second.eval(input).asInstanceOf[UTF8String],
       third.eval(input).asInstanceOf[UTF8String])
+    if (b == null) null else b.booleanValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val r = first.genCode(ctx)
     val a = second.genCode(ctx)
     val p = third.genCode(ctx)
+    val boxed = ctx.freshName("allowed")
     ev.copy(code =
       code"""
          |${r.code}
          |${a.code}
          |${p.code}
-         |boolean ${ev.value} = graft.spark.RobotsOps.allowedCodegen(
+         |java.lang.Boolean $boxed = graft.spark.RobotsOps.allowedCodegen(
          |  ${r.isNull} ? null : ${r.value},
          |  ${a.isNull} ? null : ${a.value},
          |  ${p.isNull} ? null : ${p.value});
-       """.stripMargin, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+         |boolean ${ev.isNull} = $boxed == null;
+         |boolean ${ev.value} = ${ev.isNull} ? false : $boxed.booleanValue();
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,

@@ -29,12 +29,18 @@ object RobotsOps {
   private val RobotsCacheCap = 256
   private val robotsCache = new ConcurrentHashMap[String, Robots]()
 
+  /** bodies above this size are parsed but never cached: the cache must
+    * not pin multi-megabyte robots.txt strings in executor heap (RFC
+    * 9309 only obliges crawlers to parse 500 KiB anyway). */
+  private val RobotsCacheMaxBody = 512 * 1024
+
   def parse(txt: String): Robots = {
     if (txt == null) return Robots(Array.empty, Array.empty)
     val hit = robotsCache.get(txt)
     if (hit != null) return hit
     val parsed = parseUncached(txt)
-    if (robotsCache.size < RobotsCacheCap) robotsCache.putIfAbsent(txt, parsed)
+    if (txt.length <= RobotsCacheMaxBody && robotsCache.size < RobotsCacheCap)
+      robotsCache.putIfAbsent(txt, parsed)
     parsed
   }
 
@@ -56,7 +62,11 @@ object RobotsOps {
       sawRules = false
     }
 
-    txt.linesIterator.foreach { raw =>
+    // files in the wild are often BOM-prefixed; trim() does not remove
+    // U+FEFF, so without this the first User-agent line parses as
+    // "﻿user-agent" and the whole first group silently drops
+    val body = if (txt.nonEmpty && txt.charAt(0) == '\uFEFF') txt.substring(1) else txt
+    body.linesIterator.foreach { raw =>
       val hash = raw.indexOf('#')
       val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
       if (line.nonEmpty) {
@@ -67,7 +77,10 @@ object RobotsOps {
           key match {
             case "user-agent" =>
               if (sawRules) flush()
-              agents += value.toLowerCase
+              // RFC 9309 requires a non-empty product token; an empty
+              // value would prefix-match EVERY crawler at specificity 0
+              // and turn a truncated line into a universal group
+              if (value.nonEmpty) agents += value.toLowerCase
             case "allow" =>
               if (agents.nonEmpty && value.nonEmpty) { rules += ((true, value)); sawRules = true }
               else sawRules = agents.nonEmpty // empty-path line still ends the UA run
@@ -176,7 +189,10 @@ object RobotsOps {
 
   /** RFC 9309 §2.2.2: the rule with the most matched octets (longest
     * pattern) wins; an allow/disallow tie at the same length goes to
-    * allow; no matching rule (or no matching group) means allowed. */
+    * allow; no matching rule (or no matching group) means allowed. A
+    * null robots.txt means "no restrictions" (allowed); null agent/path
+    * is the CALLER's unknown — the SQL surface maps it to NULL instead
+    * of letting unparseable rows through the compliance gate. */
   def allowed(robotsTxt: String, agent: String, path: String): Boolean = {
     if (robotsTxt == null || agent == null || path == null) return true
     val (rules, _) = selectRules(parse(robotsTxt), agent)
@@ -210,10 +226,15 @@ object RobotsOps {
 
   // ------------------------------------------------- codegen static entries
 
-  def allowedCodegen(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
-    allowed(if (robots == null) null else robots.toString,
-      if (agent == null) null else agent.toString,
-      if (path == null) null else path.toString)
+  /** boxed three-state result: TRUE when robots.txt is missing (no
+    * restrictions — allowed even for an unknown path), SQL NULL when
+    * agent/path is unknown but a robots.txt EXISTS (don't silently pass
+    * the compliance gate), the evaluation otherwise. */
+  def allowedCodegen(robots: UTF8String, agent: UTF8String, path: UTF8String): java.lang.Boolean = {
+    if (robots == null) return java.lang.Boolean.TRUE
+    if (agent == null || path == null) return null
+    java.lang.Boolean.valueOf(allowed(robots.toString, agent.toString, path.toString))
+  }
 
   /** boxed: SQL NULL when no delay is declared. */
   def crawlDelayCodegen(robots: UTF8String, agent: UTF8String): java.lang.Double = {

@@ -80,4 +80,23 @@ class RobotsSpec extends AnyFunSuite {
     // malformed delay ignored, group still selected
     assert(RobotsOps.crawlDelay("User-agent: *\nCrawl-delay: soon", "x").isNaN)
   }
+
+  test("review regressions: BOM prefix, empty UA, oversize body, NULL gate") {
+    // a UTF-8 BOM must not eat the first User-agent line
+    assert(!allowed("\uFEFF" + "User-agent: *\nDisallow: /", "/x", "Bot/1"))
+    // an empty User-agent value is invalid (RFC 9309 product token is
+    // non-empty) and must NOT become a universal wildcard group
+    assert(allowed("User-agent:\nDisallow: /", "/x", "Bot/1"))
+    // oversize bodies still parse correctly (just uncached)
+    val big = "User-agent: *\nDisallow: /no\n" + ("# pad\n" * 90000)
+    assert(big.length > 512 * 1024)
+    assert(!allowed(big, "/no/x", "Bot/1"))
+    assert(allowed(big, "/yes", "Bot/1"))
+    // SQL three-state: null robots -> TRUE; null path with robots -> NULL
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
+    assert(RobotsOps.allowedCodegen(null, u("a"), u("/x")) == java.lang.Boolean.TRUE)
+    assert(RobotsOps.allowedCodegen(u("User-agent: *\nDisallow: /"), u("a"), null) == null)
+    assert(RobotsOps.allowedCodegen(u("User-agent: *\nDisallow: /"), null, u("/x")) == null)
+  }
 }

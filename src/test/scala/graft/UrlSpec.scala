@@ -222,6 +222,17 @@ class UrlSpec extends AnyFunSuite {
       "https://m.ex.com/bare")
     // delay-only refresh carries no redirect edge
     assert(refresh("""<meta http-equiv="refresh" content="30">""", B) == null)
+    // plain whitespace is a valid separator after the delay (WHATWG)
+    assert(refresh("""<meta http-equiv="refresh" content="0 url=/ws">""", B) ==
+      "https://m.ex.com/ws")
+    // quoted target truncates at its CLOSE quote
+    assert(refresh("""<meta http-equiv="refresh" content="0; url='/a'x">""", B) ==
+      "https://m.ex.com/a")
+    // no delay digits = invalid declaration, not a redirect
+    assert(refresh("""<meta http-equiv="refresh" content=";url=/x">""", B) == null)
+    // entity-encoded rel/http-equiv values decode before matching
+    assert(canon("""<link rel="canonical&#32;alternate" href="/ec">""", B) ==
+      "https://m.ex.com/ec")
     // content-type decoy ignored
     assert(refresh("""<meta http-equiv="content-type" content="text/html">""", B) == null)
     assert(refresh("""<p>none</p>""", B) == null)
