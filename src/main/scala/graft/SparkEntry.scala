@@ -557,6 +557,64 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16k. sitemap parsing (sitemaps.org protocol 0.9): urlset /
+    //      sitemapindex / plain-text bodies, gz variant, entity + CDATA
+    //      + namespace-prefix locs, the location-scope rule, and a
+    //      non-sitemap decoy exercising the NULL channel ----
+    "q_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        def gz(txt: String): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(txt.getBytes("UTF-8")); g.close()
+          bo.toByteArray
+        }
+        val (body, smurl) = ((id % 6).toInt: @unchecked) match {
+          case 0 => (("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            s"<url><loc>https://s$id.ex/c/a</loc><lastmod>2025-01-01</lastmod>" +
+            "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+            s"<url><loc>https://s$id.ex/c/b</loc></url>" +
+            s"<url><loc>https://s$id.ex/other/x</loc></url></urlset>").getBytes("UTF-8"),
+            s"https://s$id.ex/c/sitemap.xml")
+          case 1 => (("<sitemapindex>" +
+            s"<sitemap><loc>https://i$id.ex/maps/m1.xml.gz</loc>" +
+            "<lastmod>2024-12-31T23:59:59+00:00</lastmod></sitemap>" +
+            s"<sitemap><loc>https://i$id.ex/maps/m2.xml</loc></sitemap>" +
+            "</sitemapindex>").getBytes("UTF-8"),
+            s"https://i$id.ex/sitemap_index.xml")
+          case 2 => (gz("<urlset>" +
+            s"<url><loc>https://g$id.ex/p1</loc><priority>0.5</priority></url>" +
+            s"<url><loc>https://g$id.ex/p2</loc><priority>0.5</priority></url>" +
+            "</urlset>"), s"https://g$id.ex/sitemap.xml.gz")
+          case 3 => ((s"https://t$id.ex/one\nnot a url line\n" +
+            s"http://t$id.ex/two\n\n").getBytes("UTF-8"),
+            s"https://t$id.ex/st.txt")
+          case 4 => (("<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            s"<sm:url><sm:loc>https://e$id.ex/p?a=1&amp;b=2</sm:loc>" +
+            "<sm:priority>0.9</sm:priority></sm:url>" +
+            s"<url><loc><![CDATA[https://e$id.ex/cd]]></loc></url>" +
+            "</sm:urlset>").getBytes("UTF-8"), s"https://e$id.ex/sitemap.xml")
+          case 5 => (s"<html><body><a href=/x>not a sitemap $id</a></body></html>"
+            .getBytes("UTF-8"), s"https://n$id.ex/sitemap.xml")
+        }
+        (id, body, smurl)
+      }.toDF("doc_id", "body", "smurl")
+        .selectExpr("doc_id", "smurl",
+          "sitemap_kind(body) AS kind0", "sitemap_entries(body) AS es")
+        .selectExpr("doc_id",
+          "coalesce(kind0, '-') AS kind",
+          "CAST(coalesce(size(es), -1) AS INT) AS n",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> e.loc))) AS locs",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.lastmod, '-')))) AS lms",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.changefreq, '-')))) AS frq",
+          "IF(es IS NULL, CAST(-1.0 AS DOUBLE), " +
+            "round(aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + coalesce(e.priority, CAST(0.0 AS DOUBLE))), 2)) AS pr",
+          "CAST(IF(es IS NULL, -1, size(filter(es, e -> sitemap_in_scope(smurl, e.loc)))) AS INT) AS scope")
+        .orderBy("doc_id")
+    }),
+
     // ---- 16i. canonical + meta-refresh URLs (the dedup-cluster key and
     //      the client-side redirect edge): rel token-list matching,
     //      base-tag interplay, WHATWG refresh content grammar with
@@ -1077,6 +1135,31 @@ object SparkEntry {
         "CAST(CASE v WHEN 4 THEN 2.5 ELSE -1.0 END AS DOUBLE) AS delay, " +
         "CASE v WHEN 4 THEN 'https://s' || d || '.ex/m1.xml|https://s' || d || '.ex/m2.xml' " +
         "ELSE '' END AS maps " +
+        "FROM t ORDER BY doc_id"),
+    "q_sitemap" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v WHEN 0 THEN 'urlset' WHEN 1 THEN 'index' WHEN 2 THEN 'urlset' " +
+        "WHEN 3 THEN 'text' WHEN 4 THEN 'urlset' ELSE '-' END AS kind, " +
+        "CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2 " +
+        "WHEN 4 THEN 2 ELSE -1 END AS INT) AS n, " +
+        "CASE v " +
+        "WHEN 0 THEN 'https://s' || d || '.ex/c/a|https://s' || d || '.ex/c/b|https://s' || d || '.ex/other/x' " +
+        "WHEN 1 THEN 'https://i' || d || '.ex/maps/m1.xml.gz|https://i' || d || '.ex/maps/m2.xml' " +
+        "WHEN 2 THEN 'https://g' || d || '.ex/p1|https://g' || d || '.ex/p2' " +
+        "WHEN 3 THEN 'https://t' || d || '.ex/one|http://t' || d || '.ex/two' " +
+        "WHEN 4 THEN 'https://e' || d || '.ex/p?a=1&b=2|https://e' || d || '.ex/cd' " +
+        "ELSE '-' END AS locs, " +
+        "CASE v WHEN 0 THEN '2025-01-01|-|-' " +
+        "WHEN 1 THEN '2024-12-31T23:59:59+00:00|-' " +
+        "WHEN 2 THEN '-|-' WHEN 3 THEN '-|-' WHEN 4 THEN '-|-' ELSE '-' END AS lms, " +
+        "CASE v WHEN 0 THEN 'daily|-|-' WHEN 1 THEN '-|-' WHEN 2 THEN '-|-' " +
+        "WHEN 3 THEN '-|-' WHEN 4 THEN '-|-' ELSE '-' END AS frq, " +
+        "CAST(CASE v WHEN 0 THEN 0.8 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 " +
+        "WHEN 3 THEN 0.0 WHEN 4 THEN 0.9 ELSE -1.0 END AS DOUBLE) AS pr, " +
+        "CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 1 " +
+        "WHEN 4 THEN 2 ELSE -1 END AS INT) AS scope " +
         "FROM t ORDER BY doc_id"),
     "q_url_meta" ->
       ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +

@@ -392,5 +392,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("robots_sitemaps", 1, "(robots_txt)")(children)
         RobotsSitemaps(children.head)
       }))
+    // sitemap tier (SitemapOps / SitemapExpr): sitemaps.org protocol
+    ext.injectFunction((
+      FunctionIdentifier("sitemap_kind"),
+      new ExpressionInfo(classOf[SitemapKind].getName, "sitemap_kind"),
+      (children: Seq[Expression]) => {
+        arity("sitemap_kind", 1, "(body)")(children)
+        SitemapKind(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sitemap_entries"),
+      new ExpressionInfo(classOf[SitemapEntries].getName, "sitemap_entries"),
+      (children: Seq[Expression]) => {
+        arity("sitemap_entries", 1, "(body)")(children)
+        SitemapEntries(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sitemap_in_scope"),
+      new ExpressionInfo(classOf[SitemapInScope].getName, "sitemap_in_scope"),
+      (children: Seq[Expression]) => {
+        arity("sitemap_in_scope", 2, "(sitemap_url, url)")(children)
+        SitemapInScope(children(0), children(1))
+      }))
   }
 }
