@@ -615,6 +615,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16l. page metadata (the per-page header record every crawl
+    //      keeps): title RCDATA rule, meta/OG/Twitter first-wins
+    //      matching on name OR property, document lang, JSON-LD
+    //      type-essence blocks; a no-metadata decoy for the null
+    //      channels ----
+    "q_meta" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val html = ((id % 5).toInt: @unchecked) match {
+          case 0 => s"""<html lang="en"><head><title> W&amp;T  $id </title>""" +
+            s"""<meta name="description" content="D $id">""" +
+            s"""<meta property="og:title" content="OT $id">""" +
+            s"""<meta property="og:url" content="https://m$id.ex/p">""" +
+            s"""<script type="application/ld+json">{"@id":$id}</script>""" +
+            "</head><body>x</body></html>"
+          case 1 => s"""<head><META NAME="Keywords" CONTENT=" k$id, k2 ">""" +
+            s"""<meta name="og:title" content="NT $id">""" +
+            """<meta name="twitter:card" content="summary_large_image">""" +
+            s"""<meta name="description" content="first $id">""" +
+            """<meta name="description" content="second"></head>"""
+          case 2 => s"<p>plain $id</p>"
+          case 3 => s"<title>A <i>B</i> $id</title>" +
+            s"""<meta property="og:image" content="https://i$id.ex/im.png">""" +
+            """<meta property="og:type" content="article">""" +
+            """<script type="application/ld+json">{"a":1}</script>""" +
+            s"""<script type=" application/LD+JSON; charset=utf-8 ">{"b":$id}</script>""" +
+            """<script type="text/javascript">no</script>"""
+          case 4 => """<html LANG="pt-BR"><head>""" +
+            """<meta http-equiv="refresh" content="0;url=/x">""" +
+            """<meta name="description" content="">""" +
+            s"""<meta name="description" content="late $id">""" +
+            "<title>T4</title></head></html>"
+        }
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "html")
+        .selectExpr("doc_id", "extract_meta(html) AS m",
+          "extract_title(html) AS t0", "extract_jsonld(html) AS ld0")
+        .selectExpr("doc_id",
+          "coalesce(t0, '-') AS title",
+          "coalesce(m.description, '-') AS descr",
+          "coalesce(m.keywords, '-') AS kw",
+          "coalesce(m.lang, '-') AS lang",
+          "concat_ws('|', coalesce(m.og_title, '-'), coalesce(m.og_url, '-'), " +
+            "coalesce(m.og_image, '-'), coalesce(m.og_type, '-')) AS og",
+          "coalesce(m.twitter_card, '-') AS tw",
+          "CAST(coalesce(size(ld0), -1) AS INT) AS nld",
+          "IF(ld0 IS NULL, '-', concat_ws('|', ld0)) AS ld")
+        .orderBy("doc_id")
+    }),
+
     // ---- 16i. canonical + meta-refresh URLs (the dedup-cluster key and
     //      the client-side redirect edge): rel token-list matching,
     //      base-tag interplay, WHATWG refresh content grammar with
@@ -1160,6 +1210,25 @@ object SparkEntry {
         "WHEN 3 THEN 0.0 WHEN 4 THEN 0.9 ELSE -1.0 END AS DOUBLE) AS pr, " +
         "CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 1 " +
         "WHEN 4 THEN 2 ELSE -1 END AS INT) AS scope " +
+        "FROM t ORDER BY doc_id"),
+    "q_meta" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v WHEN 0 THEN 'W&T ' || d WHEN 3 THEN 'A <i>B</i> ' || d " +
+        "WHEN 4 THEN 'T4' ELSE '-' END AS title, " +
+        "CASE v WHEN 0 THEN 'D ' || d WHEN 1 THEN 'first ' || d " +
+        "WHEN 4 THEN 'late ' || d ELSE '-' END AS descr, " +
+        "CASE v WHEN 1 THEN 'k' || d || ', k2' ELSE '-' END AS kw, " +
+        "CASE v WHEN 0 THEN 'en' WHEN 4 THEN 'pt-BR' ELSE '-' END AS lang, " +
+        "CASE v WHEN 0 THEN 'OT ' || d || '|https://m' || d || '.ex/p|-|-' " +
+        "WHEN 1 THEN 'NT ' || d || '|-|-|-' " +
+        "WHEN 3 THEN '-|-|https://i' || d || '.ex/im.png|article' " +
+        "ELSE '-|-|-|-' END AS og, " +
+        "CASE v WHEN 1 THEN 'summary_large_image' ELSE '-' END AS tw, " +
+        "CAST(CASE v WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS INT) AS nld, " +
+        "CASE v WHEN 0 THEN '{\"@id\":' || d || '}' " +
+        "WHEN 3 THEN '{\"a\":1}|{\"b\":' || d || '}' ELSE '' END AS ld " +
         "FROM t ORDER BY doc_id"),
     "q_url_meta" ->
       ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +

@@ -414,5 +414,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("sitemap_in_scope", 2, "(sitemap_url, url)")(children)
         SitemapInScope(children(0), children(1))
       }))
+    // page-metadata tier (MetaOps / MetaExpr): title / meta / OG / JSON-LD
+    ext.injectFunction((
+      FunctionIdentifier("extract_title"),
+      new ExpressionInfo(classOf[ExtractTitle].getName, "extract_title"),
+      (children: Seq[Expression]) => {
+        arity("extract_title", 1, "(html)")(children)
+        ExtractTitle(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_meta"),
+      new ExpressionInfo(classOf[ExtractMeta].getName, "extract_meta"),
+      (children: Seq[Expression]) => {
+        arity("extract_meta", 1, "(html)")(children)
+        ExtractMeta(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("extract_jsonld"),
+      new ExpressionInfo(classOf[ExtractJsonLd].getName, "extract_jsonld"),
+      (children: Seq[Expression]) => {
+        arity("extract_jsonld", 1, "(html)")(children)
+        ExtractJsonLd(children.head)
+      }))
   }
 }
