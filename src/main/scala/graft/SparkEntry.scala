@@ -665,6 +665,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16m. web feeds (RSS 2.0 / RDF / Atom — the freshness channel
+    //      of a crawl): field mapping per format, the Atom link-rel
+    //      rule, published-over-updated, CDATA/entities, gz variant,
+    //      and an HTML decoy for the NULL channel ----
+    "q_feed" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        def gz(txt: String): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(txt.getBytes("UTF-8")); g.close()
+          bo.toByteArray
+        }
+        val body = ((id % 5).toInt: @unchecked) match {
+          case 0 => (s"<rss version=\"2.0\"><channel><title>Chan $id</title>" +
+            s"<link>https://r$id.ex/</link>" +
+            s"<item><title>A $id</title><link>https://r$id.ex/a</link>" +
+            "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>" +
+            s"<guid isPermaLink=\"false\">g$id</guid></item>" +
+            "<item><title>B &amp; C</title></item>" +
+            "</channel></rss>").getBytes("UTF-8")
+          case 1 => (s"<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>AT $id</title>" +
+            "<link href=\"https://self.ex/\" rel=\"self\"/>" +
+            s"<entry><title>E1</title><link rel=\"self\" href=\"https://a$id.ex/e1.atom\"/>" +
+            s"<link rel=\"alternate\" href=\"https://a$id.ex/e1\"/>" +
+            s"<id>tag:e$id</id><published>2024-02-02T00:00:00Z</published>" +
+            "<updated>2024-03-03T00:00:00Z</updated></entry>" +
+            s"<entry><title>E2</title><link href=\"https://a$id.ex/e2\"/>" +
+            "<updated>2024-04-04T00:00:00Z</updated></entry>" +
+            "</feed>").getBytes("UTF-8")
+          case 2 => ("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+            "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+            s"<channel rdf:about=\"https://d$id.ex/\"><title>R $id</title></channel>" +
+            s"<item rdf:about=\"https://d$id.ex/x\"><title>X $id</title>" +
+            s"<link>https://d$id.ex/x</link><dc:date>2024-05-05</dc:date></item>" +
+            "</rdf:RDF>").getBytes("UTF-8")
+          case 3 => gz("<rss><channel>" +
+            s"<item><title><![CDATA[cd $id]]></title></item></channel></rss>")
+          case 4 => s"<html><body><p>not a feed $id</p></body></html>".getBytes("UTF-8")
+        }
+        (id, body)
+      }.toDF("doc_id", "body")
+        .selectExpr("doc_id", "feed_kind(body) AS kind0",
+          "feed_title(body) AS ft0", "feed_entries(body) AS es")
+        .selectExpr("doc_id",
+          "coalesce(kind0, '-') AS kind",
+          "coalesce(ft0, '-') AS ftitle",
+          "CAST(coalesce(size(es), -1) AS INT) AS n",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.title, '-')))) AS titles",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.link, '-')))) AS links",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.published, '-')))) AS pubs",
+          "IF(es IS NULL, '-', concat_ws('|', transform(es, e -> coalesce(e.id, '-')))) AS ids")
+        .orderBy("doc_id")
+    }),
+
     // ---- 16i. canonical + meta-refresh URLs (the dedup-cluster key and
     //      the client-side redirect edge): rel token-list matching,
     //      base-tag interplay, WHATWG refresh content grammar with
@@ -1229,6 +1284,27 @@ object SparkEntry {
         "CAST(CASE v WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS INT) AS nld, " +
         "CASE v WHEN 0 THEN '{\"@id\":' || d || '}' " +
         "WHEN 3 THEN '{\"a\":1}|{\"b\":' || d || '}' ELSE '' END AS ld " +
+        "FROM t ORDER BY doc_id"),
+    "q_feed" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE v WHEN 0 THEN 'rss' WHEN 1 THEN 'atom' WHEN 2 THEN 'rdf' " +
+        "WHEN 3 THEN 'rss' ELSE '-' END AS kind, " +
+        "CASE v WHEN 0 THEN 'Chan ' || d WHEN 1 THEN 'AT ' || d " +
+        "WHEN 2 THEN 'R ' || d ELSE '-' END AS ftitle, " +
+        "CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1 " +
+        "WHEN 3 THEN 1 ELSE -1 END AS INT) AS n, " +
+        "CASE v WHEN 0 THEN 'A ' || d || '|B & C' WHEN 1 THEN 'E1|E2' " +
+        "WHEN 2 THEN 'X ' || d WHEN 3 THEN 'cd ' || d ELSE '-' END AS titles, " +
+        "CASE v WHEN 0 THEN 'https://r' || d || '.ex/a|-' " +
+        "WHEN 1 THEN 'https://a' || d || '.ex/e1|https://a' || d || '.ex/e2' " +
+        "WHEN 2 THEN 'https://d' || d || '.ex/x' WHEN 3 THEN '-' ELSE '-' END AS links, " +
+        "CASE v WHEN 0 THEN 'Mon, 01 Jan 2024 00:00:00 GMT|-' " +
+        "WHEN 1 THEN '2024-02-02T00:00:00Z|2024-04-04T00:00:00Z' " +
+        "WHEN 2 THEN '2024-05-05' WHEN 3 THEN '-' ELSE '-' END AS pubs, " +
+        "CASE v WHEN 0 THEN 'g' || d || '|-' WHEN 1 THEN 'tag:e' || d || '|-' " +
+        "WHEN 2 THEN '-' WHEN 3 THEN '-' ELSE '-' END AS ids " +
         "FROM t ORDER BY doc_id"),
     "q_url_meta" ->
       ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +

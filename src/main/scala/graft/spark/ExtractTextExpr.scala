@@ -436,5 +436,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         arity("extract_jsonld", 1, "(html)")(children)
         ExtractJsonLd(children.head)
       }))
+    // feed tier (FeedOps / FeedExpr): RSS 2.0 / RDF / Atom
+    ext.injectFunction((
+      FunctionIdentifier("feed_kind"),
+      new ExpressionInfo(classOf[FeedKind].getName, "feed_kind"),
+      (children: Seq[Expression]) => {
+        arity("feed_kind", 1, "(body)")(children)
+        FeedKind(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("feed_title"),
+      new ExpressionInfo(classOf[FeedTitle].getName, "feed_title"),
+      (children: Seq[Expression]) => {
+        arity("feed_title", 1, "(body)")(children)
+        FeedTitle(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("feed_entries"),
+      new ExpressionInfo(classOf[FeedEntries].getName, "feed_entries"),
+      (children: Seq[Expression]) => {
+        arity("feed_entries", 1, "(body)")(children)
+        FeedEntries(children.head)
+      }))
   }
 }

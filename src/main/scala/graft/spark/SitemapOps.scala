@@ -238,7 +238,7 @@ object SitemapOps {
     * open tag's '>'): concatenated character data + CDATA sections up to
     * the next tag, entity-decoded and trimmed. Returns (text, posAfter)
     * where posAfter sits on the terminating '<' (or EOF). */
-  private def elementText(txt: String, from: Int): (String, Int) = {
+  private[spark] def elementText(txt: String, from: Int): (String, Int) = {
     val n = txt.length
     val sb = new java.lang.StringBuilder(64)
     var i = from
