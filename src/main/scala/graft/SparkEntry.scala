@@ -784,6 +784,12 @@ object SparkEntry {
     "q_warc_file" -> ((s, dir) =>
       graft.spark.WarcOps.warcFileTable(s, dir).orderBy("uri")),
 
+    // ---- 16n. WARC HTTP envelope (round 6): status code, redirect
+    //      Location (absolute + relative), content-type, and a record
+    //      with no HTTP framing at all (status stays null-channel -1) ----
+    "q_warc_http" -> ((s, dir) =>
+      graft.spark.WarcOps.warcHttpTable(s, dir).orderBy("doc_id")),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -1340,6 +1346,21 @@ object SparkEntry {
         "SELECT 'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS uri, " +
         "'w' || CAST(doc_id AS VARCHAR) || ' body ' || CAST(p AS VARCHAR) AS main_txt " +
         "FROM pg ORDER BY uri"),
+    "q_warc_http" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "'https://h' || d || CASE v WHEN 0 THEN '.ex/ok' WHEN 1 THEN '.ex/old' " +
+        "WHEN 2 THEN '.ex/tmp' ELSE '.ex/raw' END AS uri, " +
+        "CAST(CASE v WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302 " +
+        "ELSE -1 END AS INT) AS status, " +
+        "CASE v WHEN 1 THEN 'https://moved-' || d || '.ex/new' " +
+        "WHEN 2 THEN '/next/' || d ELSE '-' END AS redirect, " +
+        "CASE v WHEN 0 THEN 'text/html; charset=utf-8' WHEN 1 THEN 'text/html' " +
+        "ELSE '-' END AS ctype, " +
+        "CASE v WHEN 0 THEN '<p>ok ' || d || '</p>' WHEN 1 THEN '<p>moved</p>' " +
+        "WHEN 2 THEN '' ELSE '<p>raw ' || d || '</p>' END AS body " +
+        "FROM t ORDER BY doc_id"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

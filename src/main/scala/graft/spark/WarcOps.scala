@@ -67,9 +67,13 @@ object WarcOps extends Serializable {
 
   /** `contentType` is the HTTP `Content-Type` header value (null when the
     * response carried none) — the transport-layer charset signal
-    * [[CharsetOps]] sniffing starts from. */
+    * [[CharsetOps]] sniffing starts from. `status` is the HTTP status
+    * code (-1 when the record has no parseable HTTP framing) and
+    * `location` the raw `Location` header value (null when absent) — the
+    * 3xx redirect edge a crawl graph keeps; resolution against the
+    * request URI is downstream's `url_resolve`. */
   final case class WarcPage(uri: String, date: String, html: Array[Byte],
-      contentType: String = null)
+      contentType: String = null, status: Int = -1, location: String = null)
 
   /** one parsed record: lowercase header map + body (null when the body
     * exceeded `maxBodyBytes` and was skipped — the error channel, not a
@@ -211,21 +215,50 @@ object WarcOps extends Serializable {
       else {
         var page: Array[Byte] = null
         var contentType: String = null
+        var status = -1
+        var location: String = null
         if (rec.body != null) {
           // HTTP response: page bytes follow the first CRLFCRLF; the
           // header block before it carries Content-Type (the charset
-          // transport signal CharsetOps sniffing starts from)
+          // transport signal CharsetOps sniffing starts from), the status
+          // code, and Location (the 3xx redirect edge)
           val split = indexOfCrlfCrlf(rec.body, 0, rec.body.length)
           if (split < 0) page = rec.body
           else {
             page = java.util.Arrays.copyOfRange(rec.body, split + 4, rec.body.length)
             contentType = httpHeader(rec.body, split, "content-type")
+            status = httpStatus(rec.body, split)
+            location = httpHeader(rec.body, split, "location")
           }
         }
         Iterator.single(WarcPage(rec.headers.getOrElse("warc-target-uri", ""),
-          rec.headers.getOrElse("warc-date", ""), page, contentType))
+          rec.headers.getOrElse("warc-date", ""), page, contentType,
+          status, location))
       }
     }
+  }
+
+  /** status code of the HTTP status line at `b[0, ...)` — the 3-digit
+    * field after the first space of an `HTTP/x.y NNN ...` line; -1 when
+    * the line is not HTTP-shaped (crawl tolerance, never a throw). */
+  private def httpStatus(b: Array[Byte], limit: Int): Int = {
+    var end = 0
+    while (end < limit && b(end) != '\n') end += 1
+    if (end > 0 && b(end - 1) == '\r') end -= 1
+    if (end < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' || b(3) != 'P') return -1
+    var i = 4
+    while (i < end && b(i) != ' ') i += 1
+    i += 1 // past the space
+    if (i + 3 > end) return -1
+    var code = 0
+    var k = 0
+    while (k < 3) {
+      val c = b(i + k)
+      if (c < '0' || c > '9') return -1
+      code = code * 10 + (c - '0')
+      k += 1
+    }
+    code
   }
 
   /** value of `name` (lowercase) in the HTTP header block `b[0, limit)`,
@@ -274,7 +307,9 @@ object WarcOps extends Serializable {
     * exactly n rows places one group per task, so the LPT-ish assignment
     * is preserved exactly; a hash repartition would scramble it). Columns:
     * warc_file, uri, warc_date, html (BINARY, null when a record body
-    * exceeded `maxBodyBytes` — the per-row error channel), n_bytes. A
+    * exceeded `maxBodyBytes` — the per-row error channel), n_bytes,
+    * content_type, http_status (INT, null without HTTP framing) and
+    * redirect (the raw Location header — the 3xx crawl-graph edge). A
     * corrupt/empty gzip file yields zero pages (crawl tolerance), never a
     * task failure. */
   def readWarcFiles(spark: SparkSession, pathOrGlob: String,
@@ -330,10 +365,13 @@ object WarcOps extends Serializable {
           pages.map { pg =>
             (pathStr, pg.uri, pg.date, pg.html,
               if (pg.html == null) 0L else pg.html.length.toLong,
-              pg.contentType)
+              pg.contentType,
+              if (pg.status < 0) null else java.lang.Integer.valueOf(pg.status),
+              pg.location)
           }
         }
-      }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes", "content_type")
+      }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes", "content_type",
+        "http_status", "redirect")
   }
 
   /** [[readWarcFiles]] adapted to [[ExtractJob]]'s pages schema
@@ -582,6 +620,53 @@ object WarcOps extends Serializable {
             texts.mkString("|"))
         }
       }.toDF("doc_id", "n_pages", "uris", "texts")
+  }
+
+  /** WARC bytes exercising the HTTP envelope surface per id: a 200 with
+    * a body, a 301/302 with absolute/relative Location, and a record
+    * with no HTTP framing at all (raw payload — status must stay -1). */
+  def synthWarcHttp(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(512)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def record(uri: String, block: Array[Byte]): Unit = {
+      w("WARC/1.0\r\nWARC-Type: response\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w("WARC-Date: 2025-02-02T00:00:00Z\r\n")
+      w(s"Content-Length: ${block.length}\r\n\r\n")
+      out.write(block); w("\r\n\r\n")
+    }
+    def http(statusLine: String, headers: Seq[String], body: String): Array[Byte] =
+      (statusLine + "\r\n" + headers.map(_ + "\r\n").mkString + "\r\n" + body)
+        .getBytes(ISO_8859_1)
+    ((id % 4).toInt: @unchecked) match {
+      case 0 => record(s"https://h$id.ex/ok", http("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html; charset=utf-8"), s"<p>ok $id</p>"))
+      case 1 => record(s"https://h$id.ex/old", http("HTTP/1.1 301 Moved Permanently",
+        Seq("Location: https://moved-" + id + ".ex/new", "Content-Type: text/html"),
+        "<p>moved</p>"))
+      case 2 => record(s"https://h$id.ex/tmp", http("HTTP/1.0 302 Found",
+        Seq(s"Location: /next/$id"), ""))
+      case 3 => record(s"https://h$id.ex/raw",
+        s"<p>raw $id</p>".getBytes(ISO_8859_1)) // no HTTP framing
+    }
+    out.toByteArray
+  }
+
+  /** HTTP-envelope gate table: one synthesized response record per doc,
+    * parsed through the same [[pageIterator]] path as the file source —
+    * status / redirect Location / content-type all closed-form for the
+    * oracle. */
+  def warcHttpTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val pg = parseWarc(synthWarcHttp(id)).head
+        (id, pg.uri, pg.status,
+          if (pg.location == null) "-" else pg.location,
+          if (pg.contentType == null) "-" else pg.contentType,
+          if (pg.html == null) "" else new String(pg.html, ISO_8859_1))
+      }.toDF("doc_id", "uri", "status", "redirect", "ctype", "body")
   }
 
   /** the FILE-source pipeline: real multi-record `.warc.gz` files on disk

@@ -132,4 +132,32 @@ class WarcOpsSpec extends AnyFunSuite {
     val utf8 = graft.spark.CharsetOps.toUtf8(pg.html, pg.contentType)
     assert(new String(utf8, "UTF-8") == text)
   }
+
+  test("HTTP envelope: status code and Location surface on the page") {
+    def rec(http: String): Array[Byte] = {
+      val b = http.getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        b ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val ok = WarcOps.parseWarc(rec("HTTP/1.1 200 OK\r\n\r\n<p>x</p>")).head
+    assert(ok.status == 200 && ok.location == null)
+    val moved = WarcOps.parseWarc(rec(
+      "HTTP/1.1 301 Moved Permanently\r\nLocation: https://n.ex/v\r\n\r\n")).head
+    assert(moved.status == 301 && moved.location == "https://n.ex/v")
+    val rel = WarcOps.parseWarc(rec(
+      "HTTP/1.0 302 Found\r\nlocation: /rel\r\n\r\n")).head
+    assert(rel.status == 302 && rel.location == "/rel")
+    // no HTTP framing (no CRLFCRLF): whole body is the page, status -1
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 8\r\n\r\n" +
+      "<p>r</p>\r\n\r\n").getBytes("ISO-8859-1")
+    val rp = WarcOps.parseWarc(raw).head
+    assert(rp.status == -1 && rp.location == null && new String(rp.html) == "<p>r</p>")
+    // header block present but the status line is not HTTP-shaped
+    val odd = WarcOps.parseWarc(rec("ICY 200 OK\r\nA: b\r\n\r\nbody")).head
+    assert(odd.status == -1 && new String(odd.html) == "body")
+    // malformed digits never throw
+    val bad = WarcOps.parseWarc(rec("HTTP/1.1 2x0 Odd\r\n\r\nz")).head
+    assert(bad.status == -1)
+  }
 }
