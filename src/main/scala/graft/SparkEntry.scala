@@ -790,6 +790,21 @@ object SparkEntry {
     "q_warc_http" -> ((s, dir) =>
       graft.spark.WarcOps.warcHttpTable(s, dir).orderBy("doc_id")),
 
+    // ---- 16o. Redirect-chain resolution (round 6): bounded-hop
+    //      iterative join over synthesized chains (lengths 1-4) plus
+    //      2-cycles every 7th doc — exact-cap chains classify 'final',
+    //      cycles exhaust the budget and classify 'capped' ----
+    "q_redirects" -> ((s, dir) => {
+      import s.implicits._
+      val edges = docs(s, dir).select("doc_id").as[Long].flatMap { id =>
+        def u(j: Long) = s"https://r$id.ex/$j"
+        if (id % 7 == 0) Seq((u(0), u(1)), (u(1), u(0)))
+        else (0L until (id % 4 + 1)).map(j => (u(j), u(j + 1)))
+      }.toDF("src", "dst")
+      graft.spark.CrawlGraphOps.resolveRedirects(edges, maxHops = 4)
+        .orderBy("src")
+    }),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -1361,6 +1376,28 @@ object SparkEntry {
         "CASE v WHEN 0 THEN '<p>ok ' || d || '</p>' WHEN 1 THEN '<p>moved</p>' " +
         "WHEN 2 THEN '' ELSE '<p>raw ' || d || '</p>' END AS body " +
         "FROM t ORDER BY doc_id"),
+    "q_redirects" ->
+      ("WITH RECURSIVE " +
+        "ch AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS len FROM documents WHERE doc_id % 7 <> 0), " +
+        "cj AS (SELECT doc_id, UNNEST(range(0, len)) AS j FROM ch), " +
+        "e AS (" +
+        "SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.ex/' || CAST(j AS VARCHAR) AS src, " +
+        "'https://r' || CAST(doc_id AS VARCHAR) || '.ex/' || CAST(j + 1 AS VARCHAR) AS dst FROM cj " +
+        "UNION ALL " +
+        "SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.ex/0', " +
+        "'https://r' || CAST(doc_id AS VARCHAR) || '.ex/1' FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.ex/1', " +
+        "'https://r' || CAST(doc_id AS VARCHAR) || '.ex/0' FROM documents WHERE doc_id % 7 = 0), " +
+        "walk AS (" +
+        "SELECT src, dst AS cur, 1 AS hops FROM e " +
+        "UNION ALL " +
+        "SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON w.cur = e.src WHERE w.hops < 4) " +
+        "SELECT src, cur AS final_url, CAST(hops AS INT) AS hops, " +
+        "CASE WHEN cur IN (SELECT src FROM e) THEN 'capped' ELSE 'final' END AS terminal " +
+        "FROM walk w " +
+        "QUALIFY hops = max(hops) OVER (PARTITION BY src) " +
+        "ORDER BY src"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

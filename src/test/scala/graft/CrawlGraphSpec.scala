@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.CrawlGraphOps
+
+/** [[graft.spark.CrawlGraphOps]]: redirect-edge extraction from the WARC
+  * page surface and bounded-hop chain resolution (terminals, exact-cap
+  * chains, cycles, convergence, duplicate-successor determinism). */
+class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("crawlgraph-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftSparkExtensions")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def edges(pairs: (String, String)*) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def resolved(df: org.apache.spark.sql.DataFrame, maxHops: Int) =
+    CrawlGraphOps.resolveRedirects(df, maxHops).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getString(3))))
+      .toMap
+
+  test("chains resolve to the terminal with exact hop counts") {
+    val m = resolved(edges("a" -> "b", "b" -> "c", "c" -> "d"), 8)
+    assert(m("a") == (("d", 3, "final")))
+    assert(m("b") == (("d", 2, "final")))
+    assert(m("c") == (("d", 1, "final")))
+  }
+
+  test("a chain of exactly maxHops is final, one longer is capped") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val m4 = resolved(e, 4)
+    assert(m4("a") == (("e", 4, "final")))
+    val m3 = resolved(e, 3)
+    assert(m3("a") == (("d", 3, "capped")))
+    assert(m3("b") == (("e", 3, "final")))
+  }
+
+  test("cycles and self-loops exhaust the budget and classify capped") {
+    val m = resolved(edges("a" -> "b", "b" -> "a", "s" -> "s"), 4)
+    assert(m("a") == (("a", 4, "capped"))) // even budget lands back home
+    assert(m("s") == (("s", 4, "capped")))
+  }
+
+  test("convergent chains and duplicate successors are deterministic") {
+    // two entry points converge on t; x has two recorded successors —
+    // min(dst) wins so the result never depends on row order
+    val m = resolved(edges("p" -> "t", "q" -> "t", "x" -> "b", "x" -> "a"), 4)
+    assert(m("p") == (("t", 1, "final")) && m("q") == (("t", 1, "final")))
+    assert(m("x") == (("a", 1, "final")))
+  }
+
+  test("maxHops=1 degenerates to one-step classification") {
+    val m = resolved(edges("a" -> "b", "b" -> "c"), 1)
+    assert(m("a") == (("b", 1, "capped")))
+    assert(m("b") == (("c", 1, "final")))
+  }
+
+  test("redirectEdges: 3xx+Location rows only, resolved and normalized") {
+    val s = spark; import s.implicits._
+    val pages = Seq(
+      // relative Location resolves against the record URI
+      ("https://A.ex/a/page", Integer.valueOf(301), "../next"),
+      // absolute Location, un-normalized spelling collapses
+      ("https://b.ex/", Integer.valueOf(302), "HTTPS://B.EX:443/%7eu"),
+      // non-redirect statuses and missing Location drop out
+      ("https://c.ex/", Integer.valueOf(200), "/ignored"),
+      ("https://d.ex/", Integer.valueOf(301), null),
+      ("https://e.ex/", null, "/ignored")
+    ).toDF("uri", "http_status", "redirect")
+    val got = CrawlGraphOps.redirectEdges(pages).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "https://a.ex/a/page" -> "https://a.ex/next",
+      "https://b.ex/" -> "https://b.ex/~u"))
+  }
+
+  test("the WARC HTTP envelope feeds the graph end-to-end") {
+    val s = spark; import s.implicits._
+    // synthWarcHttp id%4==1 → 301 absolute, id%4==2 → 302 relative
+    val pages = Seq(1L, 2L).toDF("id").as[Long].map { id =>
+      val pg = graft.spark.WarcOps.parseWarc(graft.spark.WarcOps.synthWarcHttp(id)).head
+      (pg.uri, if (pg.status < 0) null else Integer.valueOf(pg.status), pg.location)
+    }.toDF("uri", "http_status", "redirect")
+    val m = resolved(CrawlGraphOps.redirectEdges(pages), 4)
+    assert(m("https://h1.ex/old") == (("https://moved-1.ex/new", 1, "final")))
+    assert(m("https://h2.ex/tmp") == (("https://h2.ex/next/2", 1, "final")))
+  }
+}
