@@ -805,6 +805,30 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16p. Crawl-frontier step (round 6): the tier composition —
+    //      extract_links → url_normalize identity → seen anti-join →
+    //      RFC 9309 robots gate (host with no robots.txt = allowed) →
+    //      per-host politeness cap (8, bites at every SF) ----
+    "q_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir).select("doc_id").as[Long].map { id =>
+        val h = id % 10
+        val html = s"""<a href="/keep/$id">k</a><a href="/private/$id">p</a>""" +
+          s"""<a href="https://s${(h + 1) % 10}.ex/keep/x$id">c</a>""" +
+          s"""<a href="/p/$id">self</a>"""
+        (html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"https://s$h.ex/p/$id")
+      }.toDF("html", "page_url")
+      val seen = pages.select(col("page_url").as("url"))
+      val robots = s.range(10).where(col("id") % 3 =!= 2)
+        .select(concat(lit("s"), col("id"), lit(".ex")).as("host"),
+          when(col("id") % 3 === 0, "User-agent: *\nDisallow: /private/")
+            .otherwise("User-agent: *\nDisallow: /keep").as("robots_txt"))
+      graft.spark.CrawlGraphOps
+        .frontier(pages, robots, "graftbot", seen, maxPerHost = 8)
+        .orderBy("url")
+    }),
+
     // ---- 17. closure/membership set ops + clone isolation + texts
     //      filters: filterIn/notIn/isBy/isIn/isAllIn/hasIn/map/containsEle/
     //      deepClone/htmls/textsBy/textsByRec + :submit/:only-of-type ----
@@ -1398,6 +1422,23 @@ object SparkEntry {
         "FROM walk w " +
         "QUALIFY hops = max(hops) OVER (PARTITION BY src) " +
         "ORDER BY src"),
+    "q_frontier" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS INT) AS h, " +
+        "CAST(doc_id AS VARCHAR) AS i FROM documents), " +
+        "cand AS (" +
+        "SELECT h AS hh, 'https://s' || CAST(h AS VARCHAR) || '.ex/keep/' || i AS url " +
+        "FROM d WHERE h % 3 <> 1 " +
+        "UNION ALL " +
+        "SELECT h, 'https://s' || CAST(h AS VARCHAR) || '.ex/private/' || i " +
+        "FROM d WHERE h % 3 <> 0 " +
+        "UNION ALL " +
+        "SELECT CAST((h+1)%10 AS INT), " +
+        "'https://s' || CAST((h+1)%10 AS VARCHAR) || '.ex/keep/x' || i " +
+        "FROM d WHERE ((h+1)%10) % 3 <> 1) " +
+        "SELECT 's' || CAST(hh AS VARCHAR) || '.ex' AS host, url " +
+        "FROM (SELECT DISTINCT hh, url FROM cand) " +
+        "QUALIFY row_number() OVER (PARTITION BY hh ORDER BY url) <= 8 " +
+        "ORDER BY url"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

@@ -83,4 +83,52 @@ object CrawlGraphOps extends Serializable {
           .as("terminal"))
     done.foldLeft(cap)(_ unionByName _)
   }
+
+  /** One crawl-frontier step: from fetched `pages (page_url, html)` to
+    * the deduped, robots-compliant, per-host-budgeted set of URLs to
+    * fetch next — the composition the individual tiers exist for:
+    * `extract_links` (document-base resolution) → `url_normalize`
+    * identity → anti-join against `seen (url)` → RFC 9309 gate against
+    * `robots (host, robots_txt)` → per-host politeness cap. Output
+    * `(host, url)`, at most `maxPerHost` rows per host (smallest URLs
+    * first — deterministic, and short URLs are hubs more often).
+    *
+    * Robots semantics: a host absent from `robots` is allowed (no
+    * robots.txt = no restrictions); a present robots.txt with a NULL
+    * verdict (unresolvable path) NEVER passes — compliance is not the
+    * place for silent defaults.
+    *
+    * Scale shape: the candidate set (links per page × pages) dominates;
+    * `seen` is the second giant — at crawl scale both are laid out
+    * bucketed by url so the anti-join co-locates (or a bloom pre-filter
+    * cuts the shuffle; Spark's InjectRuntimeFilter inserts one when
+    * stats justify it). The robots join and the politeness window BOTH
+    * key on `host`, so the window reuses the join's hash partitioning —
+    * one exchange, not two. `robots` (one row per host) is orders
+    * smaller than the candidates; AQE broadcast-converts it when it
+    * fits. */
+  def frontier(pages: DataFrame, robots: DataFrame, agent: String,
+      seen: DataFrame, maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost out of range: $maxPerHost")
+    val cand = pages
+      .select(explode(call_function("extract_links",
+        col("html"), col("page_url"))).as("url"))
+      .select(call_function("url_normalize", col("url")).as("url"))
+      .where(col("url").isNotNull)
+      .distinct()
+      .join(seen.select(call_function("url_normalize", col("url")).as("url")),
+        Seq("url"), "left_anti")
+      .select(call_function("url_host", col("url")).as("host"), col("url"))
+      .where(col("host").isNotNull)
+    val gated = cand
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left_outer")
+      .where(call_function("robots_allowed", col("robots_txt"), lit(agent),
+        call_function("url_path", col("url"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("url")
+    gated
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxPerHost)
+      .select("host", "url")
+  }
 }

@@ -350,6 +350,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         UrlDomain(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("url_path"),
+      new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
+      (children: Seq[Expression]) => {
+        arity("url_path", 1, "(url)")(children)
+        UrlPath(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("extract_links"),
       new ExpressionInfo(classOf[ExtractLinks].getName, "extract_links"),
       (children: Seq[Expression]) => {

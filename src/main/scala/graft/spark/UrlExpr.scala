@@ -69,6 +69,17 @@ case class UrlDomain(child: Expression) extends UrlUnaryExpr {
     copy(child = newChild)
 }
 
+/** `url_path(url)` — path + query of an absolute URL in robots
+  * match-target form (`"/"` when empty, `"?query"` kept, fragment
+  * dropped); NULL for authority-less refs. */
+case class UrlPath(child: Expression) extends UrlUnaryExpr {
+  override def prettyName: String = "url_path"
+  override protected def fn: String = "pathCodegen"
+  override protected def call(url: UTF8String): Any = UrlOps.pathCodegen(url)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `url_resolve(base, ref)` — RFC 3986 §5.2.2 strict reference
   * resolution, NULL when base is not absolute. */
 case class UrlResolve(left: Expression, right: Expression) extends BinaryExpression {

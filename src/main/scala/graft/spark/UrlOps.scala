@@ -327,6 +327,18 @@ object UrlOps {
     labels.takeRight(n).mkString(".")
   }
 
+  /** path + query of an absolute URL in the form robots matching targets
+    * (RFC 9309 §2.2.2 matches the path-with-query): `"/"` for an empty
+    * path, `"?query"` appended when present, fragment dropped, NULL when
+    * the URL has no authority (relative refs have no robots scope). */
+  def path(url: String): String = {
+    if (url == null) return null
+    val (_, auth, p, query, _) = split(preClean(url))
+    if (auth == null || auth.isEmpty) return null
+    val base = if (p.isEmpty) "/" else p
+    if (query == null) base else base + "?" + query
+  }
+
   // ------------------------------------------------- codegen static entries
   // called from generated code (UrlExpr); null in -> null out, never throws.
 
@@ -347,4 +359,7 @@ object UrlOps {
 
   def domainCodegen(url: UTF8String): UTF8String =
     if (url == null) null else wrap(registrableDomain(url.toString))
+
+  def pathCodegen(url: UTF8String): UTF8String =
+    if (url == null) null else wrap(path(url.toString))
 }

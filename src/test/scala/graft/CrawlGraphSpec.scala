@@ -90,6 +90,39 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://b.ex/" -> "https://b.ex/~u"))
   }
 
+  test("url_path: robots match-target form") {
+    import graft.spark.UrlOps
+    assert(UrlOps.path("https://a.ex/p/q?x=1#frag") == "/p/q?x=1")
+    assert(UrlOps.path("https://a.ex") == "/")
+    assert(UrlOps.path("https://a.ex?q=2") == "/?q=2")
+    assert(UrlOps.path("/relative/only") == null)
+    assert(UrlOps.path(null) == null)
+  }
+
+  test("frontier: seen anti-join, robots gate, missing-robots default, cap") {
+    val s = spark; import s.implicits._
+    val pages = Seq(
+      // a.ex has robots disallowing /private/; b.ex has NO robots.txt
+      ("""<a href="/keep/1">k</a><a href="/private/1">p</a>
+         |<a href="https://b.ex/n1">x</a><a href="/seen">s</a>""".stripMargin
+        .getBytes("UTF-8"), "https://a.ex/page"),
+      // duplicate link across pages dedups; b.ex link count exceeds cap=2
+      ("""<a href="https://b.ex/n1">x</a><a href="https://b.ex/n2">y</a>
+         |<a href="https://b.ex/n3">z</a>""".stripMargin
+        .getBytes("UTF-8"), "https://b.ex/page")
+    ).toDF("html", "page_url")
+    val robots = Seq(("a.ex", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "robots_txt")
+    val seen = Seq("https://a.ex/seen").toDF("url")
+    val got = graft.spark.CrawlGraphOps
+      .frontier(pages, robots, "graftbot", seen, maxPerHost = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a.ex", "https://a.ex/keep/1"),   // allowed
+      ("b.ex", "https://b.ex/n1"),       // no robots.txt → allowed; dedup'd
+      ("b.ex", "https://b.ex/n2")))      // cap=2 drops n3; /private/ gated
+  }
+
   test("the WARC HTTP envelope feeds the graph end-to-end") {
     val s = spark; import s.implicits._
     // synthWarcHttp id%4==1 → 301 absolute, id%4==2 → 302 relative
