@@ -805,6 +805,13 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16q. HTTP caching tier (round 6): RFC 9111 shared-cache
+    //      freshness (max-age/Age, no-store, s-maxage precedence,
+    //      Expires−Date, Last-Modified 10% heuristic) + RFC 9110
+    //      http_date over all three formats, via the WARC headers map ----
+    "q_http_cache" -> ((s, dir) =>
+      graft.spark.WarcOps.warcCacheTable(s, dir).orderBy("doc_id")),
+
     // ---- 16p. Crawl-frontier step (round 6): the tier composition —
     //      extract_links → url_normalize identity → seen anti-join →
     //      RFC 9309 robots gate (host with no robots.txt = allowed) →
@@ -1439,6 +1446,15 @@ object SparkEntry {
         "FROM (SELECT DISTINCT hh, url FROM cand) " +
         "QUALIFY row_number() OVER (PARTITION BY hh ORDER BY url) <= 8 " +
         "ORDER BY url"),
+    "q_http_cache" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS v FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE v WHEN 0 THEN 3600 + doc_id % 100 - doc_id % 50 " +
+        "WHEN 1 THEN 0 WHEN 2 THEN 600 WHEN 3 THEN 7200 " +
+        "WHEN 4 THEN 267840 ELSE -1 END AS BIGINT) AS fresh, " +
+        "CAST(CASE WHEN v IN (3, 4) THEN 1740787200 ELSE -1 END AS BIGINT) AS lm_epoch, " +
+        "CASE v WHEN 0 THEN '\"e' || CAST(doc_id AS VARCHAR) || '\"' ELSE '-' END AS etag " +
+        "FROM t ORDER BY doc_id"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

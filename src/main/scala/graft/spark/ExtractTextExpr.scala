@@ -350,6 +350,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         UrlDomain(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("http_date"),
+      new ExpressionInfo(classOf[HttpDate].getName, "http_date"),
+      (children: Seq[Expression]) => {
+        arity("http_date", 1, "(http_date_string)")(children)
+        HttpDate(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("http_fresh_seconds"),
+      new ExpressionInfo(classOf[HttpFreshSeconds].getName, "http_fresh_seconds"),
+      (children: Seq[Expression]) => {
+        arity("http_fresh_seconds", 5,
+          "(cache_control, age, expires, date, last_modified)")(children)
+        HttpFreshSeconds(children)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("url_path"),
       new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
       (children: Seq[Expression]) => {

@@ -73,7 +73,8 @@ object WarcOps extends Serializable {
     * 3xx redirect edge a crawl graph keeps; resolution against the
     * request URI is downstream's `url_resolve`. */
   final case class WarcPage(uri: String, date: String, html: Array[Byte],
-      contentType: String = null, status: Int = -1, location: String = null)
+      contentType: String = null, status: Int = -1, location: String = null,
+      headers: Map[String, String] = null)
 
   /** one parsed record: lowercase header map + body (null when the body
     * exceeded `maxBodyBytes` and was skipped — the error channel, not a
@@ -214,26 +215,28 @@ object WarcOps extends Serializable {
       if (!rec.headers.get("warc-type").contains("response")) Iterator.empty
       else {
         var page: Array[Byte] = null
-        var contentType: String = null
         var status = -1
-        var location: String = null
+        var hdrs: Map[String, String] = null
         if (rec.body != null) {
           // HTTP response: page bytes follow the first CRLFCRLF; the
-          // header block before it carries Content-Type (the charset
-          // transport signal CharsetOps sniffing starts from), the status
-          // code, and Location (the 3xx redirect edge)
+          // header block before it carries the status code and the full
+          // header map (WAT-style) — Content-Type is the charset signal
+          // CharsetOps sniffing starts from, Location the 3xx redirect
+          // edge, and the caching headers feed HttpOps freshness
           val split = indexOfCrlfCrlf(rec.body, 0, rec.body.length)
           if (split < 0) page = rec.body
           else {
             page = java.util.Arrays.copyOfRange(rec.body, split + 4, rec.body.length)
-            contentType = httpHeader(rec.body, split, "content-type")
             status = httpStatus(rec.body, split)
-            location = httpHeader(rec.body, split, "location")
+            hdrs = httpHeaders(rec.body, split)
           }
         }
         Iterator.single(WarcPage(rec.headers.getOrElse("warc-target-uri", ""),
-          rec.headers.getOrElse("warc-date", ""), page, contentType,
-          status, location))
+          rec.headers.getOrElse("warc-date", ""), page,
+          if (hdrs == null) null else hdrs.getOrElse("content-type", null),
+          status,
+          if (hdrs == null) null else hdrs.getOrElse("location", null),
+          hdrs))
       }
     }
   }
@@ -261,41 +264,42 @@ object WarcOps extends Serializable {
     code
   }
 
-  /** value of `name` (lowercase) in the HTTP header block `b[0, limit)`,
-    * null when absent. Case-insensitive, first occurrence wins, CRLF or
-    * bare-LF line ends. */
-  private def httpHeader(b: Array[Byte], limit: Int, name: String): String = {
+  /** every header of the HTTP block `b[0, limit)` as a lowercase-name →
+    * value map (one scan; first occurrence wins, so repeated headers like
+    * Set-Cookie keep the first value — the WAT convention); status line
+    * skipped, CRLF or bare-LF line ends, header-less blocks yield an
+    * empty map. */
+  private def httpHeaders(b: Array[Byte], limit: Int): Map[String, String] = {
+    val m = new scala.collection.mutable.HashMap[String, String]()
     var i = 0
-    // skip the status line
-    while (i < limit && b(i) != '\n') i += 1
+    while (i < limit && b(i) != '\n') i += 1 // skip the status line
     i += 1
     while (i < limit) {
       var j = i
       while (j < limit && b(j) != '\n') j += 1
       val end = if (j > i && b(j - 1) == '\r') j - 1 else j
-      val colon = {
-        var c = i
-        while (c < end && b(c) != ':') c += 1
-        c
-      }
-      if (colon < end && colon - i == name.length) {
-        var k = 0
-        var eq = true
-        while (eq && k < name.length) {
-          val ch = b(i + k)
-          val lc = if (ch >= 'A' && ch <= 'Z') ch + 32 else ch.toInt
-          if (lc != name.charAt(k)) eq = false
-          k += 1
+      var colon = i
+      while (colon < end && b(colon) != ':') colon += 1
+      if (colon < end && colon > i) {
+        val name = {
+          val sb = new java.lang.StringBuilder(colon - i)
+          var k = i
+          while (k < colon) {
+            val ch = b(k)
+            sb.append((if (ch >= 'A' && ch <= 'Z') ch + 32 else ch.toInt).toChar)
+            k += 1
+          }
+          sb.toString
         }
-        if (eq) {
+        if (!m.contains(name)) {
           var v = colon + 1
           while (v < end && (b(v) == ' ' || b(v) == '\t')) v += 1
-          return new String(b, v, end - v, ISO_8859_1)
+          m.put(name, new String(b, v, end - v, ISO_8859_1))
         }
       }
       i = j + 1
     }
-    null
+    m.toMap
   }
 
   // ------------------------------------------------------------ file source
@@ -308,10 +312,12 @@ object WarcOps extends Serializable {
     * is preserved exactly; a hash repartition would scramble it). Columns:
     * warc_file, uri, warc_date, html (BINARY, null when a record body
     * exceeded `maxBodyBytes` — the per-row error channel), n_bytes,
-    * content_type, http_status (INT, null without HTTP framing) and
-    * redirect (the raw Location header — the 3xx crawl-graph edge). A
-    * corrupt/empty gzip file yields zero pages (crawl tolerance), never a
-    * task failure. */
+    * content_type, http_status (INT, null without HTTP framing),
+    * redirect (the raw Location header — the 3xx crawl-graph edge) and
+    * http_headers (MAP, lowercase names, the WAT-style full envelope —
+    * caching headers feed [[HttpOps]] freshness; column pruning drops it
+    * when unused). A corrupt/empty gzip file yields zero pages (crawl
+    * tolerance), never a task failure. */
   def readWarcFiles(spark: SparkSession, pathOrGlob: String,
       maxBodyBytes: Int = 256 << 20): DataFrame = {
     import spark.implicits._
@@ -367,11 +373,12 @@ object WarcOps extends Serializable {
               if (pg.html == null) 0L else pg.html.length.toLong,
               pg.contentType,
               if (pg.status < 0) null else java.lang.Integer.valueOf(pg.status),
-              pg.location)
+              pg.location,
+              pg.headers)
           }
         }
       }.toDF("warc_file", "uri", "warc_date", "html", "n_bytes", "content_type",
-        "http_status", "redirect")
+        "http_status", "redirect", "http_headers")
   }
 
   /** [[readWarcFiles]] adapted to [[ExtractJob]]'s pages schema
@@ -667,6 +674,57 @@ object WarcOps extends Serializable {
           if (pg.contentType == null) "-" else pg.contentType,
           if (pg.html == null) "" else new String(pg.html, ISO_8859_1))
       }.toDF("doc_id", "uri", "status", "redirect", "ctype", "body")
+  }
+
+  /** WARC bytes exercising the caching-header surface per id: shared-cache
+    * Cache-Control arithmetic (max-age/Age, no-store, s-maxage precedence),
+    * Expires−Date, the Last-Modified 10% heuristic — with Last-Modified
+    * spelled in all three RFC 9110 §5.6.7 formats across variants — and a
+    * header-less record (freshness NULL). */
+  def synthWarcCache(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(512)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val headers: Seq[String] = ((id % 6).toInt: @unchecked) match {
+      case 0 => Seq(s"Cache-Control: max-age=${3600 + id % 100}",
+        s"Age: ${id % 50}", "ETag: \"e" + id + "\"")
+      case 1 => Seq("Cache-Control: no-store")
+      case 2 => Seq("Cache-Control: private, s-maxage=600, max-age=7200", "Age: 0")
+      case 3 => Seq("Date: Tue, 01 Apr 2025 00:00:00 GMT",
+        "Expires: Tue, 01 Apr 2025 02:00:00 GMT",
+        "Last-Modified: Sat Mar  1 00:00:00 2025") // asctime, padded day
+      case 4 => Seq("Date: Tue, 01 Apr 2025 00:00:00 GMT",
+        "Last-Modified: Saturday, 01-Mar-25 00:00:00 GMT") // rfc850
+      case 5 => Seq.empty
+    }
+    val block = ("HTTP/1.1 200 OK\r\n" + headers.map(_ + "\r\n").mkString +
+      s"\r\n<p>c $id</p>").getBytes(ISO_8859_1)
+    w("WARC/1.0\r\nWARC-Type: response\r\n")
+    w(s"WARC-Target-URI: https://c$id.ex/p\r\n")
+    w("WARC-Date: 2025-04-02T00:00:00Z\r\n")
+    w(s"Content-Length: ${block.length}\r\n\r\n")
+    out.write(block); w("\r\n\r\n")
+    out.toByteArray
+  }
+
+  /** caching-tier gate table: synthesized records through the full parse
+    * (headers map) into `http_fresh_seconds` / `http_date` — freshness,
+    * Last-Modified epoch, and ETag all closed-form for the oracle (-1 is
+    * the NULL stand-in so the hash compare stays exact). */
+  def warcCacheTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = parseWarc(synthWarcCache(id)).head.headers
+        def g(n: String) = h.getOrElse(n, null)
+        (id, g("cache-control"), g("age"), g("expires"), g("date"),
+          g("last-modified"), h.getOrElse("etag", "-"))
+      }.toDF("doc_id", "cc", "age", "expires", "dt", "lm", "etag")
+      .select(col("doc_id"),
+        coalesce(call_function("http_fresh_seconds", col("cc"), col("age"),
+          col("expires"), col("dt"), col("lm")), lit(-1L)).as("fresh"),
+        coalesce(call_function("http_date", col("lm")), lit(-1L)).as("lm_epoch"),
+        col("etag"))
   }
 
   /** the FILE-source pipeline: real multi-record `.warc.gz` files on disk

@@ -133,6 +133,23 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(new String(utf8, "UTF-8") == text)
   }
 
+  test("headers map: lowercase names, first-wins repeats, empty without framing") {
+    val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Set-Cookie: a=1\r\nSet-Cookie: b=2\r\nX-Empty:\r\n\r\nhi"
+    val b = body.getBytes("ISO-8859-1")
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${b.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ b ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val pg = WarcOps.parseWarc(rec).head
+    assert(pg.headers("content-type") == "text/html")
+    assert(pg.headers("set-cookie") == "a=1") // first occurrence wins
+    assert(pg.headers("x-empty") == "")
+    assert(pg.contentType == "text/html")
+    // no HTTP framing → no headers map
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(WarcOps.parseWarc(raw).head.headers == null)
+  }
+
   test("HTTP envelope: status code and Location surface on the page") {
     def rec(http: String): Array[Byte] = {
       val b = http.getBytes("ISO-8859-1")
