@@ -805,6 +805,25 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16r. Connected components (round 6): dedup-cluster labeling
+    //      by min-label propagation over star/chain/cycle groups of 4
+    //      docs, plus cross-group bridges every 5th group (worst
+    //      eccentricity 6 ≤ 8 iters) ----
+    "q_components" -> ((s, dir) => {
+      import s.implicits._
+      val edges = docs(s, dir).select("doc_id").as[Long].flatMap { id =>
+        val g = id / 4
+        val k = id % 4
+        val within =
+          if (k > 0) Seq(((if (g % 3 == 0) g * 4 else id - 1), id)) else Seq.empty
+        val close = if (g % 3 == 2 && k == 3) Seq((id, g * 4)) else Seq.empty
+        val bridge = if (g % 5 == 4 && k == 0 && g > 0) Seq((g * 4, g * 4 - 1)) else Seq.empty
+        within ++ close ++ bridge
+      }.toDF("a", "b")
+      graft.spark.CrawlGraphOps.connectedComponents(edges, maxIters = 8)
+        .orderBy("node")
+    }),
+
     // ---- 16q. HTTP caching tier (round 6): RFC 9111 shared-cache
     //      freshness (max-age/Age, no-store, s-maxage precedence,
     //      Expires−Date, Last-Modified 10% heuristic) + RFC 9110
@@ -1455,6 +1474,20 @@ object SparkEntry {
         "CAST(CASE WHEN v IN (3, 4) THEN 1740787200 ELSE -1 END AS BIGINT) AS lm_epoch, " +
         "CASE v WHEN 0 THEN '\"e' || CAST(doc_id AS VARCHAR) || '\"' ELSE '-' END AS etag " +
         "FROM t ORDER BY doc_id"),
+    "q_components" ->
+      ("WITH RECURSIVE " +
+        "d AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS k FROM documents), " +
+        "e0 AS (" +
+        "SELECT CASE WHEN g % 3 = 0 THEN g * 4 ELSE id - 1 END AS a, id AS b FROM d WHERE k > 0 " +
+        "UNION ALL SELECT id, g * 4 FROM d WHERE g % 3 = 2 AND k = 3 " +
+        "UNION ALL SELECT g * 4, g * 4 - 1 FROM d WHERE g % 5 = 4 AND k = 0 AND g > 0), " +
+        "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+        "reach AS (" +
+        "SELECT a AS node, a AS peer FROM e " +
+        "UNION " +
+        "SELECT r.node, e.b FROM reach r JOIN e ON r.peer = e.a) " +
+        "SELECT node, CAST(min(peer) AS BIGINT) AS comp FROM reach " +
+        "GROUP BY node ORDER BY node"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

@@ -84,6 +84,45 @@ object CrawlGraphOps extends Serializable {
     done.foldLeft(cap)(_ unionByName _)
   }
 
+  /** Connected components over an undirected edge set `(a, b)` — the
+    * dedup-cluster primitive: pages linked by redirect chains, canonical
+    * declarations, or near-dup verdicts form one cluster, labeled by its
+    * minimum member (deterministic, join-able back to any table). Output
+    * one row per node appearing in `edges`: `(node, comp)`.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * minimum of its own label and its neighbors' (one shuffle join + one
+    * shuffle agg per round, all in ONE declarative DAG). Exact when
+    * `maxIters` ≥ the maximum distance from any node to its component's
+    * minimum; crawl dedup clusters are star-shaped (a canonical target
+    * and its variants), so the default 8 has wide margin. For adversarial
+    * long-chain graphs swap in the alternating large-star/small-star
+    * rounds (Kiveris et al., O(log n) rounds) behind this same signature
+    * — label propagation is the right trade for cluster shapes this
+    * engine actually produces. The symmetric edge set is persisted once
+    * and re-scanned by every round. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 8): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 64, s"maxIters out of range: $maxIters")
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    for (i <- 1 to maxIters) {
+      val nbrMin = sym.alias(s"e$i")
+        .join(labels.alias(s"l$i"), col(s"e$i.b") === col(s"l$i.node"))
+        .groupBy(col(s"e$i.a").as("node"))
+        .agg(min(col(s"l$i.comp")).as("nmin"))
+      labels = labels.alias(s"c$i")
+        .join(nbrMin.alias(s"m$i"), Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col(s"c$i.comp"), coalesce(col(s"m$i.nmin"), col(s"c$i.comp")))
+            .as("comp"))
+    }
+    labels
+  }
+
   /** One crawl-frontier step: from fetched `pages (page_url, html)` to
     * the deduped, robots-compliant, per-host-budgeted set of URLs to
     * fetch next — the composition the individual tiers exist for:

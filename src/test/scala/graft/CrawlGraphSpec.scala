@@ -90,6 +90,36 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://b.ex/" -> "https://b.ex/~u"))
   }
 
+  test("connected components: stars, chains, cycles, bridges, min labels") {
+    val s = spark; import s.implicits._
+    val edges = Seq(
+      (10L, 11L), (10L, 12L), (10L, 13L),           // star, comp 10
+      (20L, 21L), (21L, 22L), (22L, 23L),           // chain, comp 20
+      (30L, 31L), (31L, 32L), (32L, 30L),           // cycle, comp 30
+      (13L, 20L),                                   // bridge star→chain: one comp 10
+      (40L, 40L)                                    // self-loop singleton
+    ).toDF("a", "b")
+    val got = CrawlGraphOps.connectedComponents(edges, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert((20L to 23L).forall(got(_) == 10L)) // bridged into the star
+    assert((30L to 32L).forall(got(_) == 30L))
+    assert(got(40L) == 40L)
+    assert(got.size == 12) // one row per distinct node in the edge set
+  }
+
+  test("connected components: label propagation is exact at ecc, not before") {
+    val s = spark; import s.implicits._
+    // a 5-edge path: node 5 is 5 hops from min node 0
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val exact = CrawlGraphOps.connectedComponents(path, maxIters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).forall(exact(_) == 0L))
+    val early = CrawlGraphOps.connectedComponents(path, maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early(5L) == 2L) // documented contract: iters < ecc under-merges
+  }
+
   test("url_path: robots match-target form") {
     import graft.spark.UrlOps
     assert(UrlOps.path("https://a.ex/p/q?x=1#frag") == "/p/q?x=1")
