@@ -805,6 +805,22 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16s. Payload digest (round 6): sha-256 of the page bytes AFTER
+    //      the full WARC parse + HTTP split — a one-byte framing error
+    //      anywhere flips the hash, and DuckDB recomputes it from the
+    //      closed-form bodies; n_dup pins digest-as-exact-dedup-key ----
+    "q_warc_digest" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val pg = graft.spark.WarcOps.parseWarc(graft.spark.WarcOps.synthWarcHttp(id)).head
+        (id, if (pg.html == null) Array.empty[Byte] else pg.html)
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"), sha2(col("html"), 256).as("digest"))
+        .withColumn("n_dup", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16r. Connected components (round 6): dedup-cluster labeling
     //      by min-label propagation over star/chain/cycle groups of 4
     //      docs, plus cross-group bridges every 5th group (worst
@@ -1488,6 +1504,15 @@ object SparkEntry {
         "SELECT r.node, e.b FROM reach r JOIN e ON r.peer = e.a) " +
         "SELECT node, CAST(min(peer) AS BIGINT) AS comp FROM reach " +
         "GROUP BY node ORDER BY node"),
+    "q_warc_digest" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d FROM documents), " +
+        "b AS (SELECT doc_id, CASE v WHEN 0 THEN '<p>ok ' || d || '</p>' " +
+        "WHEN 1 THEN '<p>moved</p>' WHEN 2 THEN '' " +
+        "ELSE '<p>raw ' || d || '</p>' END AS body FROM t) " +
+        "SELECT doc_id, sha256(body) AS digest, " +
+        "CAST(COUNT(*) OVER (PARTITION BY body) AS BIGINT) AS n_dup " +
+        "FROM b ORDER BY doc_id"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +
