@@ -805,6 +805,31 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16t. Dup-cluster composition (round 6): canonical edges
+    //      (extract_canonical over real HTML) + redirect edges (3xx
+    //      Location) → connected components = the dedup cluster key;
+    //      pairs share a canonical target, every 5th doc adds a
+    //      redirect alias (worst path 3 hops ≤ 4 iters) ----
+    "q_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir).select("doc_id").as[Long].map { id =>
+        val html = s"""<head><link rel="canonical" href="https://t${id / 2}.ex/"></head>"""
+        (s"https://p$id.ex/", html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("page_url", "html")
+      val canonEdges = pages.select(
+        col("page_url").as("a"),
+        call_function("extract_canonical", col("html"), col("page_url")).as("b"))
+      val redirects = docs(s, dir).select("doc_id").as[Long]
+        .filter(_ % 5 == 0).map { id =>
+          (s"https://q$id.ex/", Integer.valueOf(301), s"https://p$id.ex/")
+        }.toDF("uri", "http_status", "redirect")
+      val edges = canonEdges
+        .unionByName(graft.spark.CrawlGraphOps.redirectEdges(redirects)
+          .select(col("src").as("a"), col("dst").as("b")))
+      graft.spark.CrawlGraphOps.connectedComponents(edges, maxIters = 4)
+        .orderBy("node")
+    }),
+
     // ---- 16s. Payload digest (round 6): sha-256 of the page bytes AFTER
     //      the full WARC parse + HTTP split — a one-byte framing error
     //      anywhere flips the hash, and DuckDB recomputes it from the
@@ -1513,6 +1538,18 @@ object SparkEntry {
         "SELECT doc_id, sha256(body) AS digest, " +
         "CAST(COUNT(*) OVER (PARTITION BY body) AS BIGINT) AS n_dup " +
         "FROM b ORDER BY doc_id"),
+    "q_dup_clusters" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "n AS (" +
+        "SELECT 'https://p' || CAST(id AS VARCHAR) || '.ex/' AS node, " +
+        "'https://p' || CAST(id - id % 2 AS VARCHAR) || '.ex/' AS comp FROM d " +
+        "UNION ALL " +
+        "SELECT DISTINCT 'https://t' || CAST(id // 2 AS VARCHAR) || '.ex/', " +
+        "'https://p' || CAST(id - id % 2 AS VARCHAR) || '.ex/' FROM d " +
+        "UNION ALL " +
+        "SELECT 'https://q' || CAST(id AS VARCHAR) || '.ex/', " +
+        "'https://p' || CAST(id - id % 2 AS VARCHAR) || '.ex/' FROM d WHERE id % 5 = 0) " +
+        "SELECT node, comp FROM n ORDER BY node"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +
