@@ -805,6 +805,25 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- 16u. Anchor-text extraction (round 6): ARRAY<STRUCT<href,
+    //      text>> — entity-decoded anchor text + resolve/normalize on
+    //      the href, flattened deterministically for the oracle ----
+    "q_anchors" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val html = s"""<a href="https://hub${id % 5}.ex/">hub &amp; ${id % 5}</a>""" +
+          s"""<a href="x$id.html"> go <b>now</b> </a>"""
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"https://a$id.ex/p/q")
+      }.toDF("doc_id", "html", "page_url")
+        .select(col("doc_id"),
+          concat_ws(";", transform(
+            call_function("extract_anchors", col("html"), col("page_url")),
+            a => concat(a.getField("href"), lit("|"), a.getField("text"))))
+            .as("anchors"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16t. Dup-cluster composition (round 6): canonical edges
     //      (extract_canonical over real HTML) + redirect edges (3xx
     //      Location) → connected components = the dedup cluster key;
@@ -1550,6 +1569,12 @@ object SparkEntry {
         "SELECT 'https://q' || CAST(id AS VARCHAR) || '.ex/', " +
         "'https://p' || CAST(id - id % 2 AS VARCHAR) || '.ex/' FROM d WHERE id % 5 = 0) " +
         "SELECT node, comp FROM n ORDER BY node"),
+    "q_anchors" ->
+      ("SELECT doc_id, " +
+        "'https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.ex/|hub & ' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || ';https://a' || CAST(doc_id AS VARCHAR) || " +
+        "'.ex/p/x' || CAST(doc_id AS VARCHAR) || '.html| go now ' AS anchors " +
+        "FROM documents ORDER BY doc_id"),
     "q_sql_crawl" ->
       ("SELECT doc_id, " +
         "concat('c', CAST(doc_id AS VARCHAR), ' one', 'c', CAST(doc_id AS VARCHAR), ' two') AS main_txt, " +

@@ -379,6 +379,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         ExtractLinks(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("extract_anchors"),
+      new ExpressionInfo(classOf[ExtractAnchors].getName, "extract_anchors"),
+      (children: Seq[Expression]) => {
+        arity("extract_anchors", 2, "(html, base_url)")(children)
+        ExtractAnchors(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("extract_canonical"),
       new ExpressionInfo(classOf[ExtractCanonical].getName, "extract_canonical"),
       (children: Seq[Expression]) => {

@@ -656,6 +656,53 @@ object Extractor extends Serializable {
     }
   }
 
+  /** `extract_anchors(html, base_url)` static entries: every `a[href]`
+    * in document order as STRUCT<href, text> — the WAT-style anchor
+    * signal (inbound anchor text is a page-quality / relevance feature a
+    * links-only extraction throws away). `href` resolves and normalizes
+    * exactly like [[extractLinksCodegenBinary]]; `text` is the anchor's
+    * extracted text (the parity `text()`). Unresolvable hrefs are
+    * skipped; parse failure yields null. */
+  def extractAnchorsCodegen(html: org.apache.spark.unsafe.types.UTF8String,
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (html == null) null else extractAnchorsCodegenBinary(html.getBytes, base)
+
+  def extractAnchorsCodegenBinary(html: Array[Byte],
+      base: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null || base == null) return null
+    try {
+      val doc = parseBytes(html)
+      if (doc == null) return null
+      val effBase = effectiveBase(doc, base.toString)
+      val bSplit = UrlOps.split(UrlOps.preClean(effBase))
+      compiled("a[href]") match {
+        case Left(_) => null
+        case Right(sel) =>
+          import scala.collection.mutable.ArrayBuffer
+          val found = graft.query.Engine.findSelector(doc, ArrayBuffer(0), sel)
+          val out = new ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow](found.length)
+          found.foreach { e =>
+            val el = new graft.query.Elems(doc, Array(e))
+            el.attr("href").foreach { v =>
+              val r = UrlOps.resolveParsed(bSplit, graft.dom.Entities.decode(v.value))
+              if (r != null) {
+                val n = UrlOps.normalize(r)
+                if (n != null) out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(el.text())))
+              }
+            }
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            out.toArray[Any])
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: StackOverflowError => null
+    }
+  }
+
   /** `extract_canonical(html, base_url)`: the first
     * `link[rel~=canonical][href]` (rel is a case-insensitive token
     * list), resolved against the document base and normalized — the

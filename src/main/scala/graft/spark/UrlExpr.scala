@@ -181,6 +181,52 @@ case class ExtractRefresh(left: Expression, right: Expression) extends HtmlUrlEx
   * `base[href]` element when present, itself resolved against base_url —
   * the HTML-spec document-base rule) and normalized to crawl identity.
   * Unresolvable hrefs are skipped, parse failure yields NULL. */
+/** `extract_anchors(html, base_url)` — every `a[href]` in document order
+  * as ARRAY<STRUCT<href, text>>: the link target resolved/normalized like
+  * `extract_links` plus its anchor text — the inbound-anchor relevance
+  * signal WAT keeps and plain link extraction drops. */
+case class ExtractAnchors(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("href", StringType, nullable = false),
+      StructField("text", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!(left.dataType == StringType || left.dataType == BinaryType || left.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_anchors: html must be STRING or BINARY, got ${left.dataType.sql}")
+    else if (!(right.dataType == StringType || right.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        s"extract_anchors: base_url must be STRING, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val htmlIsBinary: Boolean = left.dataType == BinaryType
+
+  override def nullSafeEval(html: Any, base: Any): Any =
+    if (htmlIsBinary)
+      Extractor.extractAnchorsCodegenBinary(html.asInstanceOf[Array[Byte]],
+        base.asInstanceOf[UTF8String])
+    else
+      Extractor.extractAnchorsCodegen(html.asInstanceOf[UTF8String],
+        base.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (htmlIsBinary) "extractAnchorsCodegenBinary" else "extractAnchorsCodegen"
+    nullSafeCodeGen(ctx, ev, (h, b) => {
+      s"""
+         |${ev.value} = graft.spark.Extractor.$fn($h, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ExtractLinks(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true

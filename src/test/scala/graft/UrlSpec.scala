@@ -136,6 +136,32 @@ class UrlSpec extends AnyFunSuite {
     else ad.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
   }
 
+  private def anchors(html: String, base: String): Seq[(String, String)] = {
+    val ad = Extractor.extractAnchorsCodegenBinary(
+      if (html == null) null
+      else html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (base == null) null else UTF8String.fromString(base))
+    if (ad == null) null
+    else (0 until ad.numElements()).map { i =>
+      val r = ad.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("extract_anchors: href like extract_links plus the anchor text") {
+    val html = """<a href="../up.html">up &amp; away</a>
+                 |<a href="sub/x.html"> go <b>now</b> </a>
+                 |<a href="mailto:a@b.c">mail me</a>
+                 |<a href="/r">last</a>""".stripMargin
+    assert(anchors(html, "https://EX.com/dir/page.html") == Seq(
+      ("https://ex.com/up.html", "up & away"),
+      ("https://ex.com/dir/sub/x.html", " go now "),
+      ("mailto:a@b.c", "mail me"),
+      ("https://ex.com/r", "last")))
+    assert(anchors("<p>no links</p>", "https://ex.com/") == Seq.empty)
+    assert(anchors(null, "https://ex.com/") == null)
+  }
+
   test("extract_links resolves + normalizes in document order") {
     val html = """<p><a href="../up.html">u</a><a href="sub/x.html">s</a>
                  |<a href="//other.org/p">o</a><a href="?x=1">q</a></p>""".stripMargin
