@@ -784,6 +784,12 @@ object SparkEntry {
     "q_warc_file" -> ((s, dir) =>
       graft.spark.WarcOps.warcFileTable(s, dir).orderBy("uri")),
 
+    // ---- 16x. WET conversion sink/source (round 6): extract_main text
+    //      -> conversion records (member-per-record gzip, deterministic
+    //      urn:uuid ids, sha1 base32 digests) -> streamed read-back ----
+    "q_wet" -> ((s, dir) =>
+      graft.spark.WetOps.wetTable(s, dir).orderBy("uri")),
+
     // ---- 16n. WARC HTTP envelope (round 6): status code, redirect
     //      Location (absolute + relative), content-type, and a record
     //      with no HTTP framing at all (status stays null-channel -1) ----
@@ -821,6 +827,44 @@ object SparkEntry {
             call_function("extract_anchors", col("html"), col("page_url")),
             a => concat(a.getField("href"), lit("|"), a.getField("text"))))
             .as("anchors"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- 16y. Density main-content extraction (round 6): selector-free
+    //      block/link-density heuristic — nav/footer pruned by name, the
+    //      link-heavy menu and the odd-id linky block dropped by the 1/3
+    //      density gate, the short block by the 25-char gate ----
+    "q_density" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val linky = if (id % 2 == 1)
+          "<div><a>Click here to read more about our related offers today</a> now</div>"
+        else ""
+        val html = s"<html><head><title>D$id</title></head><body>" +
+          """<nav><a href="/">Home</a> <a href="/a">About</a></nav>""" +
+          """<div class="menu"><a>one</a> <a>two</a> <a>three</a></div>""" +
+          s"<p>This is the article body $id with enough characters to pass.</p>" +
+          linky +
+          "<p>short</p>" +
+          s"<div>Second content paragraph ${id % 7} also long enough to be kept.</div>" +
+          "<footer>copyright 2025</footer></body></html>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"),
+          call_function("extract_main_density", col("html")).as("main_txt"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- 16v. SURT canonical key (round 6): the CDX-index dedup /
+    //      range-partition key — host-reversed, www-stripped, port kept
+    //      when non-default, path lowercased, query bytewise-sorted ----
+    "q_url_surt" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        val port = if (id % 5 == 0) ":8080" else ""
+        (id, s"https://WWW.Site${id % 7}.Example.COM$port/Dir$id/Page?b=${id % 3}&a=$id#frag")
+      }.toDF("doc_id", "url")
+        .select(col("doc_id"), call_function("url_surt", col("url")).as("surt"))
         .orderBy("doc_id")
     }),
 
@@ -1047,6 +1091,37 @@ object SparkEntry {
 
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
+
+    // ---- 16w. Gopher repetition signals (round 6): dup-line/paragraph
+    //      fractions recomputed cross-engine over text BUILT from the
+    //      real documents.text column (substr lines with planted
+    //      duplicates — DuckDB rebuilds the same string and re-derives
+    //      the fractions via unnest+group, no closed forms); the
+    //      union-coverage top-bigram leg uses planted shapes whose
+    //      coverage is analytic, including the overlapping-bigram case ----
+    "q_repetition" -> ((s, dir) => {
+      val l1 = substring(col("text"), 1, 17)
+      val l2 = substring(col("text"), 19, 11)
+      val p1 = concat(l1, lit("\n"), l1, lit("\n"), l2)
+      val p2 = concat(l2, lit("\n"), l1)
+      val built = when(col("doc_id") % 2 === 0,
+        concat(p1, lit("\n\n"), p2, lit("\n\n"), p2))
+        .otherwise(concat(p1, lit("\n\n"), p2))
+      val shapes = array(lit("a b a b a"), lit("cc dd cc dd"),
+        lit("e f g"), lit("hh hh hh x"))
+      docs(s, dir).select(col("doc_id"),
+        call_function("repetition_signals", built).as("r"),
+        call_function("repetition_signals",
+          element_at(shapes, (col("doc_id") % 4 + 1).cast("int")))
+          .getField("top_bigram_char_frac").as("top_bigram_char_frac"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.dup_para_frac").as("dup_para_frac"),
+          col("r.dup_para_char_frac").as("dup_para_char_frac"),
+          col("top_bigram_char_frac"))
+        .orderBy("doc_id")
+    }),
 
     // ---- training-data ops over planted-ground-truth corpora ----
     // language id: planted marker-stopword text, closed-form expected lang
@@ -1471,6 +1546,11 @@ object SparkEntry {
         "SELECT 'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS uri, " +
         "'w' || CAST(doc_id AS VARCHAR) || ' body ' || CAST(p AS VARCHAR) AS main_txt " +
         "FROM pg ORDER BY uri"),
+    "q_wet" ->
+      ("SELECT 'https://wet-' || CAST(doc_id AS VARCHAR) || '.example/' AS uri, " +
+        "'2025-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS wet_date, " +
+        "'wet ' || CAST(doc_id AS VARCHAR) || ' body' AS text " +
+        "FROM documents ORDER BY uri"),
     "q_warc_http" ->
       ("WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, " +
         "CAST(doc_id AS VARCHAR) AS d FROM documents) " +
@@ -1569,6 +1649,47 @@ object SparkEntry {
         "SELECT 'https://q' || CAST(id AS VARCHAR) || '.ex/', " +
         "'https://p' || CAST(id - id % 2 AS VARCHAR) || '.ex/' FROM d WHERE id % 5 = 0) " +
         "SELECT node, comp FROM n ORDER BY node"),
+    "q_density" ->
+      ("SELECT doc_id, " +
+        "'This is the article body ' || CAST(doc_id AS VARCHAR) || " +
+        "' with enough characters to pass.' || chr(10) || " +
+        "'Second content paragraph ' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "' also long enough to be kept.' AS main_txt " +
+        "FROM documents ORDER BY doc_id"),
+    "q_repetition" ->
+      ("WITH built AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 " +
+        "THEN p1 || chr(10) || chr(10) || p2 || chr(10) || chr(10) || p2 " +
+        "ELSE p1 || chr(10) || chr(10) || p2 END AS t FROM " +
+        "(SELECT doc_id, l1 || chr(10) || l1 || chr(10) || l2 AS p1, " +
+        "l2 || chr(10) || l1 AS p2 FROM (SELECT doc_id, " +
+        "substr(text, 1, 17) AS l1, substr(text, 19, 11) AS l2 FROM documents))), " +
+        "lu AS (SELECT doc_id, unnest(list_filter(string_split(t, chr(10)), " +
+        "x -> x <> '')) AS u FROM built), " +
+        "lg AS (SELECT doc_id, u, count(*) AS c, length(u) AS w FROM lu GROUP BY doc_id, u), " +
+        "ls AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dlf, " +
+        "CASE WHEN sum(c*w) = 0 THEN 0.0 ELSE CAST(sum((c-1)*w) AS DOUBLE) / sum(c*w) END AS dlcf " +
+        "FROM lg GROUP BY doc_id), " +
+        "pu AS (SELECT doc_id, unnest(list_filter(string_split(t, chr(10) || chr(10)), " +
+        "x -> x <> '')) AS u FROM built), " +
+        "pg AS (SELECT doc_id, u, count(*) AS c, length(u) AS w FROM pu GROUP BY doc_id, u), " +
+        "ps AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dpf, " +
+        "CASE WHEN sum(c*w) = 0 THEN 0.0 ELSE CAST(sum((c-1)*w) AS DOUBLE) / sum(c*w) END AS dpcf " +
+        "FROM pg GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(ls.dlf, 0.0) AS dup_line_frac, " +
+        "COALESCE(ls.dlcf, 0.0) AS dup_line_char_frac, " +
+        "COALESCE(ps.dpf, 0.0) AS dup_para_frac, " +
+        "COALESCE(ps.dpcf, 0.0) AS dup_para_char_frac, " +
+        "CASE CAST(d.doc_id % 4 AS INT) WHEN 0 THEN 0.8 WHEN 1 THEN 1.0 " +
+        "WHEN 2 THEN 2.0/3 ELSE 6.0/7 END AS top_bigram_char_frac " +
+        "FROM documents d LEFT JOIN ls ON d.doc_id = ls.doc_id " +
+        "LEFT JOIN ps ON d.doc_id = ps.doc_id ORDER BY d.doc_id"),
+    "q_url_surt" ->
+      ("SELECT doc_id, " +
+        "'com,example,site' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END || " +
+        "')/dir' || CAST(doc_id AS VARCHAR) || '/page?a=' || " +
+        "CAST(doc_id AS VARCHAR) || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS surt " +
+        "FROM documents ORDER BY doc_id"),
     "q_anchors" ->
       ("SELECT doc_id, " +
         "'https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.ex/|hub & ' || " +

@@ -372,6 +372,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         UrlPath(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("extract_main_density"),
+      new ExpressionInfo(classOf[ExtractMainDensity].getName, "extract_main_density"),
+      (children: Seq[Expression]) => {
+        arity("extract_main_density", 1, "(html)")(children)
+        ExtractMainDensity(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo(classOf[RepetitionSignals].getName, "repetition_signals"),
+      (children: Seq[Expression]) => {
+        arity("repetition_signals", 1, "(text)")(children)
+        RepetitionSignals(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("url_surt"),
+      new ExpressionInfo(classOf[UrlSurt].getName, "url_surt"),
+      (children: Seq[Expression]) => {
+        arity("url_surt", 1, "(url)")(children)
+        UrlSurt(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("extract_links"),
       new ExpressionInfo(classOf[ExtractLinks].getName, "extract_links"),
       (children: Seq[Expression]) => {

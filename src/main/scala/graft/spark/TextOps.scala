@@ -267,4 +267,13 @@ private[spark] trait TextCoreOps extends Serializable {
         .as("stopword_ratio"))
   }
 
+  /** Gopher-rule repetition signals per document — see [[Repetition]] for
+    * the exact definitions. One codegen'd scalar per row, no shuffle.
+    * Needs [[GraftSparkExtensions]] registered (like every SQL-fn-backed
+    * helper here). */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("repetition_signals", col("text")).as("rep"))
+      .select(col("doc_id"), col("rep.*"))
+
 }

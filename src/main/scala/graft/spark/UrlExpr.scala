@@ -80,6 +80,19 @@ case class UrlPath(child: Expression) extends UrlUnaryExpr {
     copy(child = newChild)
 }
 
+/** `url_surt(url)` — the SURT canonical key (webarchive-commons /
+  * CDX-index public format): host-reversed comma-joined authority,
+  * lowercased path, bytewise-sorted query — one host's (and one
+  * domain's) pages sort adjacently, the right range-partition / dedup
+  * key at crawl scale. See [[UrlOps.surt]]. */
+case class UrlSurt(child: Expression) extends UrlUnaryExpr {
+  override def prettyName: String = "url_surt"
+  override protected def fn: String = "surtCodegen"
+  override protected def call(url: UTF8String): Any = UrlOps.surtCodegen(url)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `url_resolve(base, ref)` — RFC 3986 §5.2.2 strict reference
   * resolution, NULL when base is not absolute. */
 case class UrlResolve(left: Expression, right: Expression) extends BinaryExpression {

@@ -339,6 +339,88 @@ object UrlOps {
     if (query == null) base else base + "?" + query
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) — the web-archive /
+    * Common-Crawl-index canonical URL key (the public format of
+    * webarchive-commons' SURT + Wayback's aggressive canonicalizer, as
+    * seen in CDX files): scheme and userinfo dropped, host labels
+    * reversed and comma-joined, `)` separator, then path+query. Under
+    * one key prefix, all URLs of a host — and of a domain — sort
+    * adjacently, which is what makes it the right dedup-cluster /
+    * range-partition key at crawl scale (a plain URL string scatters a
+    * host's pages across the keyspace by subdomain).
+    *
+    * Steps, applied on top of [[normalize]] (RFC 3986 canonical form):
+    *  1. drop scheme + userinfo + fragment;
+    *  2. strip one leading `www.` / `www<digits>.` host label (the
+    *     aggressive-canonicalizer rule: `www.example.com` and
+    *     `example.com` are the same crawl identity);
+    *  3. reverse host labels, join with `,` — IPv4/IPv6 literals are NOT
+    *     reversed (they are not hierarchical right-to-left);
+    *  4. keep a non-default port as `:port` before the `)`;
+    *  5. lowercase the path (aggressive rule — most origin servers with
+    *     mixed-case paths serve them case-insensitively, and the key
+    *     must pick one side);
+    *  6. sort query parameters bytewise (`&`-split, whole `k=v` strings)
+    *     so parameter order never splits a dedup cluster; an empty query
+    *     drops its `?`.
+    *
+    * `https://User@WWW.Example.COM:443/A/b?b=2&a=1#f` →
+    * `com,example)/a/b?a=1&b=2`. Null for null/unparseable/relative. */
+  def surt(url: String): String = {
+    val n = normalize(url)
+    if (n == null) return null
+    val (_, auth0, path0, query0, _) = split(n)
+    if (auth0 == null || auth0.isEmpty) return null
+    // userinfo off
+    val at = auth0.lastIndexOf('@')
+    var hostPort = if (at >= 0) auth0.substring(at + 1) else auth0
+    // port off (normalize already dropped default ports)
+    var port = ""
+    if (hostPort.startsWith("[")) {
+      val close = hostPort.indexOf(']')
+      val colon = if (close >= 0) hostPort.indexOf(':', close) else -1
+      if (colon >= 0) { port = hostPort.substring(colon); hostPort = hostPort.substring(0, colon) }
+    } else {
+      val colon = hostPort.lastIndexOf(':')
+      if (colon >= 0) { port = hostPort.substring(colon); hostPort = hostPort.substring(0, colon) }
+    }
+    if (hostPort.isEmpty) return null
+    val hostKey =
+      if (hostPort.startsWith("[")) hostPort // IPv6 literal, not reversed
+      else {
+        val labels = hostPort.split('.')
+        val isIpv4 = labels.length == 4 &&
+          labels.forall(l => l.nonEmpty && l.length <= 3 && l.forall(c => c >= '0' && c <= '9'))
+        if (isIpv4) hostPort
+        else {
+          // strip one leading www / www<digits> label (never the whole host)
+          val from =
+            if (labels.length > 2 && labels(0).length >= 3 && labels(0).startsWith("www") &&
+              labels(0).drop(3).forall(c => c >= '0' && c <= '9')) 1
+            else 0
+          val sb = new java.lang.StringBuilder(hostPort.length)
+          var i = labels.length - 1
+          while (i >= from) {
+            sb.append(labels(i))
+            if (i > from) sb.append(',')
+            i -= 1
+          }
+          sb.toString
+        }
+      }
+    val path = asciiLower(if (path0 == null || path0.isEmpty) "/" else path0)
+    val query =
+      if (query0 == null || query0.isEmpty) null
+      else {
+        val parts = query0.split("&", -1)
+        java.util.Arrays.sort(parts, new java.util.Comparator[String] {
+          override def compare(a: String, b: String): Int = a.compareTo(b)
+        })
+        parts.mkString("&")
+      }
+    hostKey + port + ")" + path + (if (query == null) "" else "?" + query)
+  }
+
   // ------------------------------------------------- codegen static entries
   // called from generated code (UrlExpr); null in -> null out, never throws.
 
@@ -362,4 +444,7 @@ object UrlOps {
 
   def pathCodegen(url: UTF8String): UTF8String =
     if (url == null) null else wrap(path(url.toString))
+
+  def surtCodegen(url: UTF8String): UTF8String =
+    if (url == null) null else wrap(surt(url.toString))
 }

@@ -50,7 +50,7 @@ object WarcOps extends Serializable {
     * serialization hooks. Tasks must see the SESSION's conf — s3a
     * credentials, custom schemes, spark.hadoop.* — or opens fail where
     * the driver's listing succeeded. */
-  private final class ConfSnapshot(
+  private[spark] final class ConfSnapshot(
       @transient private var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -410,7 +410,8 @@ object WarcOps extends Serializable {
       html)
   }
 
-  private def listWarcFiles(spark: SparkSession, pathOrGlob: String): Seq[(String, Long)] = {
+  private[spark] def listWarcFiles(spark: SparkSession, pathOrGlob: String,
+      suffixes: Seq[String] = Seq(".warc", ".warc.gz")): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(pathOrGlob)
     val fs = p.getFileSystem(conf)
@@ -419,9 +420,8 @@ object WarcOps extends Serializable {
       else fs.globStatus(p)
     if (matches == null) Seq.empty
     else matches.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
-      .filter { case (name, _) =>
-        name.endsWith(".warc") || name.endsWith(".warc.gz")
-      }.sortBy(_._1)
+      .filter { case (name, _) => suffixes.exists(name.endsWith) }
+      .sortBy(_._1)
   }
 
   // -------------------------------------------------------------- synthesis

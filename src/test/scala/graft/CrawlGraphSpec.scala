@@ -14,6 +14,10 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
+    // a leaked session from an earlier suite in the shared forked JVM
+    // would be adopted by getOrCreate() with THAT suite's config --
+    // never this one's extensions; always start fresh
+    SparkSession.getActiveSession.foreach(_.stop())
     spark = SparkSession.builder()
       .master("local[4]")
       .appName("crawlgraph-spec")

@@ -13,6 +13,10 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sfDir = "/root/testdata/sf0.001"
 
   override def beforeAll(): Unit = {
+    // a leaked session from an earlier suite in the shared forked JVM
+    // would be adopted by getOrCreate() with THAT suite's config --
+    // never this one's extensions; always start fresh
+    SparkSession.getActiveSession.foreach(_.stop())
     spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -321,6 +321,7 @@ class MediaOpsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try {
     val df = MediaOps.realMediaFeatures(spark, "/root/testdata/sf0.001").orderBy("media_id")
     df.collect().foreach { r =>
       val id = r.getLong(0)
@@ -350,6 +351,8 @@ class MediaOpsSpec extends AnyFunSuite {
       }
       assert(r.getLong(6) == (id % 251) / 16)
     }
-    spark.stop()
+    // always stop: a leaked session would be adopted by a later suite's
+    // getOrCreate() without that suite's config/extensions
+    } finally spark.stop()
   }
 }

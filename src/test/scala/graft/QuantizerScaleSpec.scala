@@ -8,17 +8,24 @@ import graft.spark.TextOps
   * the round-4 verdict's documented 16M-vector shard boundary removed.
   * Exactness stays certificate-guaranteed regardless of the (approximate)
   * two-level list assignment, so the bar is brute-force equality. */
-class QuantizerScaleSpec extends AnyFunSuite {
+class QuantizerScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
-  private lazy val spark = {
-    val s = org.apache.spark.sql.SparkSession.builder()
+  // NOT lazy-leaked: suites share one forked JVM, so a session left
+  // active here would be returned by the next suite's getOrCreate()
+  // WITHOUT that suite's extensions (call_function would then fail
+  // order-dependently in the batch run).
+  private var spark: org.apache.spark.sql.SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("graft-quantizer-scale-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+    spark.sparkContext.setLogLevel("ERROR")
   }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   /** deterministic synthetic shard: `n` vectors in `dim` dims with mild
     * cluster structure (id-derived base + noise). */

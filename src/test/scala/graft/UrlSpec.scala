@@ -148,6 +148,30 @@ class UrlSpec extends AnyFunSuite {
     }
   }
 
+  test("url_surt: the CDX canonical key") {
+    assert(UrlOps.surt("https://User@WWW.Example.COM:443/A/b?b=2&a=1#f") ==
+      "com,example)/a/b?a=1&b=2")
+    assert(UrlOps.surt("http://example.com") == "com,example)/")
+    // one leading www/www<digits> label strips; inner ones don't
+    assert(UrlOps.surt("http://www2.example.com/") == "com,example)/")
+    assert(UrlOps.surt("http://sub.www2.example.com/x") == "com,example,www2,sub)/x")
+    // a 2-label host never strips www (it IS the host)
+    assert(UrlOps.surt("http://www.com/") == "com,www)/")
+    // non-default port kept before the ')'
+    assert(UrlOps.surt("http://www.example.com:8080/P") == "com,example:8080)/p")
+    // IP literals are not reversed
+    assert(UrlOps.surt("http://192.168.0.1/a") == "192.168.0.1)/a")
+    assert(UrlOps.surt("http://[2001:DB8::1]:8080/") == "[2001:db8::1]:8080)/")
+    // bytewise query sort; bare keys sort with the k=v strings
+    assert(UrlOps.surt("http://ex.com/p?z&a=2&a=10") == "com,ex)/p?a=10&a=2&z")
+    // host-adjacency property: same host, subdomain, same domain share prefixes
+    assert(UrlOps.surt("https://a.ex.com/1").startsWith("com,ex,a)"))
+    assert(UrlOps.surt("https://b.ex.com/1").startsWith("com,ex,"))
+    // relative / unparseable -> null
+    assert(UrlOps.surt("www.ex.com/p") == null)
+    assert(UrlOps.surt(null) == null)
+  }
+
   test("extract_anchors: href like extract_links plus the anchor text") {
     val html = """<a href="../up.html">up &amp; away</a>
                  |<a href="sub/x.html"> go <b>now</b> </a>
