@@ -790,6 +790,13 @@ object SparkEntry {
     "q_wet" -> ((s, dir) =>
       graft.spark.WetOps.wetTable(s, dir).orderBy("uri")),
 
+    // ---- 16z. CDX capture index (round 6): exact gzip-member spans over
+    //      the .warc.gz directory, then EVERY row re-read through its
+    //      (filename, offset, length) random-access span — a one-byte
+    //      offset error breaks the member inflate and reds the row ----
+    "q_warc_cdx" -> ((s, dir) =>
+      graft.spark.CdxOps.cdxTableGate(s, dir)),
+
     // ---- 16n. WARC HTTP envelope (round 6): status code, redirect
     //      Location (absolute + relative), content-type, and a record
     //      with no HTTP framing at all (status stays null-channel -1) ----
@@ -1546,6 +1553,18 @@ object SparkEntry {
         "SELECT 'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS uri, " +
         "'w' || CAST(doc_id AS VARCHAR) || ' body ' || CAST(p AS VARCHAR) AS main_txt " +
         "FROM pg ORDER BY uri"),
+    "q_warc_cdx" ->
+      ("WITH pg AS (SELECT doc_id, UNNEST(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS p " +
+        "FROM documents) " +
+        "SELECT 'example,warc-' || CAST(doc_id AS VARCHAR) || ')/p' || CAST(p AS VARCHAR) AS surt, " +
+        "'202501010000' || lpad(CAST(p AS VARCHAR), 2, '0') AS ts, " +
+        "'https://warc-' || CAST(doc_id AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS fetch_uri, " +
+        "'text/html' AS mime, CAST(200 AS INT) AS status, " +
+        "'part-' || lpad(CAST(doc_id // 16 AS VARCHAR), 5, '0') || '.warc.gz' AS filename, " +
+        "sha256('<title>T' || CAST(doc_id AS VARCHAR) || '-' || CAST(p AS VARCHAR) || " +
+        "'</title><nav>menu</nav><p>w' || CAST(doc_id AS VARCHAR) || ' body ' || " +
+        "CAST(p AS VARCHAR) || '</p>') AS payload_sha256 " +
+        "FROM pg ORDER BY surt, ts"),
     "q_wet" ->
       ("SELECT 'https://wet-' || CAST(doc_id AS VARCHAR) || '.example/' AS uri, " +
         "'2025-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS wet_date, " +

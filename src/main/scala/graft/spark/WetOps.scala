@@ -31,7 +31,7 @@ object WetOps extends Serializable {
 
   // ------------------------------------------------------------- record IO
 
-  private def base32(b: Array[Byte]): String = {
+  private[spark] def base32(b: Array[Byte]): String = {
     val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     val sb = new java.lang.StringBuilder((b.length * 8 + 4) / 5)
     var buf = 0L
@@ -50,7 +50,7 @@ object WetOps extends Serializable {
     sb.toString
   }
 
-  private def sha1(b: Array[Byte]): Array[Byte] =
+  private[spark] def sha1(b: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-1").digest(b)
 
   /** deterministic urn:uuid for a record: the first 16 bytes of
