@@ -1099,6 +1099,29 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16aa. Gopher quality filter (round 6): the full A1.1 rule set
+    //      recomputed cross-engine over the REAL documents.text column
+    //      (word count, mean word length, symbol/bullet/ellipsis/alpha
+    //      fractions, distinct stop-word hits, the composed pass bit);
+    //      the planted leg drives each rule's violating shape through
+    //      the pass decision — one rule broken per shape ----
+    "q_gopher" -> ((s, dir) => {
+      val planted = element_at(array(
+        concat(lit("the of "), repeat(lit("alpha beta gamma delta "), 13)),
+        repeat(lit("- the of item list here money maker\n"), 20),
+        repeat(lit("the of word lines that keep going...\n"), 20),
+        concat(lit("the of "), repeat(lit("# tag "), 30)),
+        lit("the of tiny"),
+        repeat(lit("alpha beta gamma delta "), 15)),
+        (col("doc_id") % 6 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+        call_function("gopher_quality", col("text")).as("g"),
+        call_function("gopher_quality", planted)
+          .getField("passes").as("planted_passes"))
+        .select(col("doc_id"), col("g.*"), col("planted_passes"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16w. Gopher repetition signals (round 6): dup-line/paragraph
     //      fractions recomputed cross-engine over text BUILT from the
     //      real documents.text column (substr lines with planted
@@ -1793,6 +1816,42 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_gopher" ->
+      ("WITH w AS (SELECT doc_id, text, " +
+        "CASE WHEN length(trim(text)) = 0 THEN [] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents), " +
+        "s AS (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS wc, " +
+        "CASE WHEN len(words) = 0 THEN 0.0 ELSE " +
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(words) END AS mwl, " +
+        "CASE WHEN len(words) = 0 THEN 0.0 ELSE CAST(" +
+        "(length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '…', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 " +
+        "AS DOUBLE) / len(words) END AS swr, " +
+        "CASE WHEN len(words) = 0 THEN 0.0 ELSE " +
+        "CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) END AS awf, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        "st -> list_contains(list_transform(words, " +
+        "x -> lower(regexp_replace(x, '^[^a-zA-Z0-9]+|[^a-zA-Z0-9]+$', '', 'g'))), st))) AS BIGINT) AS hits " +
+        "FROM w), " +
+        "ln AS (SELECT doc_id, " +
+        "count(*) FILTER (WHERE rt <> '') AS nl, " +
+        "count(*) FILTER (WHERE rt <> '' AND substring(lt, 1, 1) IN ('•','‣','▪','-','*')) AS nb, " +
+        "count(*) FILTER (WHERE rt <> '' AND (right(rt, 1) = '…' OR right(rt, 3) = '...')) AS ne " +
+        "FROM (SELECT doc_id, lt, rtrim(lt, ' ' || chr(9)) AS rt FROM " +
+        "(SELECT doc_id, ltrim(unnest(string_split(text, chr(10))), ' ' || chr(9)) AS lt " +
+        "FROM documents)) GROUP BY doc_id) " +
+        "SELECT s.doc_id, wc AS word_count, mwl AS mean_word_len, " +
+        "swr AS symbol_word_ratio, " +
+        "CASE WHEN COALESCE(nl, 0) = 0 THEN 0.0 ELSE CAST(COALESCE(nb, 0) AS DOUBLE) / nl END AS bullet_line_frac, " +
+        "CASE WHEN COALESCE(nl, 0) = 0 THEN 0.0 ELSE CAST(COALESCE(ne, 0) AS DOUBLE) / nl END AS ellipsis_line_frac, " +
+        "awf AS alpha_word_frac, hits AS stopword_hits, " +
+        "(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND swr < 0.1 " +
+        "AND CASE WHEN COALESCE(nl, 0) = 0 THEN 0.0 ELSE CAST(COALESCE(nb, 0) AS DOUBLE) / nl END <= 0.9 " +
+        "AND CASE WHEN COALESCE(nl, 0) = 0 THEN 0.0 ELSE CAST(COALESCE(ne, 0) AS DOUBLE) / nl END <= 0.3 " +
+        "AND awf >= 0.8 AND hits >= 2) AS passes, " +
+        "(s.doc_id % 6 = 0) AS planted_passes " +
+        "FROM s LEFT JOIN ln ON s.doc_id = ln.doc_id ORDER BY s.doc_id"),
     "q_lang_id" ->
       ("SELECT doc_id, CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
         "WHEN 2 THEN 'es' WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' WHEN 5 THEN 'ja' " +

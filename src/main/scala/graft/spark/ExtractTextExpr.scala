@@ -386,6 +386,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionSignals(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("gopher_quality"),
+      new ExpressionInfo(classOf[GopherQuality].getName, "gopher_quality"),
+      (children: Seq[Expression]) => {
+        arity("gopher_quality", 1, "(text)")(children)
+        GopherQuality(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("url_surt"),
       new ExpressionInfo(classOf[UrlSurt].getName, "url_surt"),
       (children: Seq[Expression]) => {

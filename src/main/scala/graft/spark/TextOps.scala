@@ -276,4 +276,21 @@ private[spark] trait TextCoreOps extends Serializable {
       call_function("repetition_signals", col("text")).as("rep"))
       .select(col("doc_id"), col("rep.*"))
 
+  /** the full Gopher document filter: [[GopherFilter]]'s rule signals
+    * composed with [[Repetition]]'s repetitiousness thresholds (the
+    * paper's dup-fraction cuts: dup_line_frac ≤ 0.30,
+    * dup_para_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
+    * dup_para_char_frac ≤ 0.20). Two codegen'd scalars per row, no
+    * shuffle — `filter(col("gopher_pass"))` is the 100-TB pre-dedup cut.
+    * Needs [[GraftSparkExtensions]] registered. */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("gopher_quality", col("text")).as("g"),
+      call_function("repetition_signals", col("text")).as("r"))
+      .select(col("doc_id"), col("g.*"),
+        (col("g.passes") && col("r.dup_line_frac") <= 0.30 &&
+          col("r.dup_para_frac") <= 0.30 &&
+          col("r.dup_line_char_frac") <= 0.20 &&
+          col("r.dup_para_char_frac") <= 0.20).as("gopher_pass"))
+
 }
