@@ -1099,6 +1099,19 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ab. Paragraph-level cross-doc dedup (round 6, CCNet
+    //      granularity): shared banners (7 clusters), near-unique real-
+    //      text bodies, one corpus-wide footer — every repeat occurrence
+    //      dropped, first (doc_id, idx) survives, doc rebuilt in order ----
+    "q_dedup_para" -> ((s, dir) => {
+      val built = concat(
+        lit("shared banner "), (col("doc_id") % 7).cast("string"),
+        lit("\n\n"), substring(col("text"), 1, 60),
+        lit("\n\n"), lit("footer common"))
+      TextOps.paragraphDedup(docs(s, dir).select(col("doc_id"), built.as("text")))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16aa. Gopher quality filter (round 6): the full A1.1 rule set
     //      recomputed cross-engine over the REAL documents.text column
     //      (word count, mean word length, symbol/bullet/ellipsis/alpha
@@ -1816,6 +1829,20 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_dedup_para" ->
+      ("WITH b AS (SELECT doc_id, 'shared banner ' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "chr(10) || chr(10) || substr(text, 1, 60) || chr(10) || chr(10) || " +
+        "'footer common' AS t FROM documents), " +
+        "l AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM b), " +
+        "p AS (SELECT doc_id, unnest(ps) AS para, " +
+        "unnest(range(1, len(ps) + 1)) AS i FROM l), " +
+        "k AS (SELECT doc_id, para, i - 1 AS idx, " +
+        "row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn " +
+        "FROM p WHERE para <> ''), " +
+        "r AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS td " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(r.td, '') AS text_dedup " +
+        "FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id"),
     "q_gopher" ->
       ("WITH w AS (SELECT doc_id, text, " +
         "CASE WHEN length(trim(text)) = 0 THEN [] " +

@@ -28,6 +28,43 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
       .agg(countDistinct(col("text")).as("d"), count(lit(1)).as("c"))
       .agg(sum(col("d")).as("distinct_texts"), sum(col("c")).as("total_docs"))
 
+  /** paragraph-level cross-document dedup — the CCNet/Dolma granularity:
+    * whole-document dedup misses the boilerplate that survives extraction
+    * (cookie banners, share bars, licence footers) because it is EMBEDDED
+    * in otherwise-unique pages; deduplicating at the paragraph level
+    * removes every repeated occurrence corpus-wide while keeping exactly
+    * one (the first by `(doc_id, idx)` — deterministic under re-runs).
+    *
+    * Returns one row per input doc: `(doc_id, text_dedup)` — surviving
+    * paragraphs in document order joined with `"\n\n"`, `""` when every
+    * paragraph was a repeat. Paragraphs are `"\n\n"`-separated non-empty
+    * units (the [[Repetition]] convention).
+    *
+    * Scale shape: the winner table is built from `(xxhash64, doc_id,
+    * idx)` projections — ~24 bytes/row, never text — and the only
+    * text-bearing shuffles are the hash-keyed winner join and the final
+    * doc_id regroup, both uniform by construction (hash keys). A
+    * same-hash/different-text collision (2^-64-scale) would drop a
+    * paragraph spuriously — the accepted trade every hash-keyed dedup
+    * makes; swap the join key to the paragraph itself if bytes-exact
+    * semantics ever matter more than shuffle width. */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", xxhash64(col("para")))
+    val winners = paras.select(col("h"), col("doc_id"), col("idx"))
+      .groupBy("h").agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    val kept = paras.join(winners, "h")
+      .filter(col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+        x => x.getField("para")), "\n\n").as("text_dedup"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->
     * bucket join (self-join only inside LSH buckets), then EXACT
     * shingle-Jaccard verification of every candidate.

@@ -625,4 +625,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6)
     assert(TextOps.l2normalize(Seq(0f, 0f)).toSeq == Seq(0f, 0f))
   }
+
+  test("paragraphDedup: first (doc_id, idx) survives, order kept, all-dup doc -> empty") {
+    val docs = synthDocs(Seq(
+      0L -> "banner\n\nunique zero\n\nfooter",
+      1L -> "banner\n\nunique one\n\nfooter",
+      2L -> "banner\n\nfooter", // nothing unique: everything repeats
+      3L -> "fresh\n\nbanner\n\nfresh")) // in-doc repeat: 2nd 'fresh' dropped too
+    val got = TextOps.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "banner\n\nunique zero\n\nfooter")
+    assert(got(1L) == "unique one")
+    assert(got(2L) == "")
+    assert(got(3L) == "fresh")
+    // empty-paragraph runs never create units; determinism across reruns
+    val tricky = synthDocs(Seq(4L -> "\n\na\n\n\n\nb\n\n", 5L -> "a"))
+    val t = TextOps.paragraphDedup(tricky).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t(4L) == "a\n\nb") // leading/inner '\n\n' runs yield only empty units
+    assert(t(5L) == "")
+  }
 }
