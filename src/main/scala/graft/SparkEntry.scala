@@ -1099,6 +1099,29 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ac. Cross-snapshot capture diff (round 6): the monthly-
+    //      recrawl revisit decision — new/revisit/changed/gone per surt,
+    //      multi-capture sides collapsed to the latest first; DuckDB
+    //      re-derives via its own window + full outer join ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id"))
+      val sid = concat(lit("s"), col("doc_id").cast("string"))
+      val prev1 = ids.filter(col("doc_id") % 10 =!= 9)
+        .select(sid.as("surt"), (col("doc_id") + 1000).as("ts"),
+          concat(lit("a"), (col("doc_id") % 5).cast("string")).as("digest"))
+      val prev2 = ids.filter(col("doc_id") % 4 === 0 && col("doc_id") % 10 =!= 9)
+        .select(sid.as("surt"), (col("doc_id") + 500).as("ts"),
+          concat(lit("old"), col("doc_id").cast("string")).as("digest"))
+      val curr = ids.filter(col("doc_id") % 10 =!= 8)
+        .select(sid.as("surt"), (col("doc_id") + 2000).as("ts"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("b"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("a"), (col("doc_id") % 5).cast("string")))
+            .as("digest"))
+      graft.spark.CrawlGraphOps.snapshotDiff(prev1.union(prev2), curr)
+        .orderBy("surt")
+    }),
+
     // ---- 16ab. Paragraph-level cross-doc dedup (round 6, CCNet
     //      granularity): shared banners (7 clusters), near-unique real-
     //      text bodies, one corpus-wide footer — every repeat occurrence
@@ -1829,6 +1852,27 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_snapshot_diff" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "prev AS (SELECT 's' || CAST(id AS VARCHAR) AS surt, id + 1000 AS ts, " +
+        "'a' || CAST(id % 5 AS VARCHAR) AS digest FROM d WHERE id % 10 <> 9 " +
+        "UNION ALL SELECT 's' || CAST(id AS VARCHAR), id + 500, " +
+        "'old' || CAST(id AS VARCHAR) FROM d WHERE id % 4 = 0 AND id % 10 <> 9), " +
+        "curr AS (SELECT 's' || CAST(id AS VARCHAR) AS surt, id + 2000 AS ts, " +
+        "CASE WHEN id % 3 = 0 THEN 'b' || CAST(id AS VARCHAR) " +
+        "ELSE 'a' || CAST(id % 5 AS VARCHAR) END AS digest FROM d WHERE id % 10 <> 8), " +
+        "p AS (SELECT surt, ts AS ts_prev, digest AS digest_prev FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY surt ORDER BY ts DESC, digest DESC) AS rn " +
+        "FROM prev) WHERE rn = 1), " +
+        "c AS (SELECT surt, ts AS ts_curr, digest AS digest_curr FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY surt ORDER BY ts DESC, digest DESC) AS rn " +
+        "FROM curr) WHERE rn = 1) " +
+        "SELECT COALESCE(p.surt, c.surt) AS surt, " +
+        "CASE WHEN p.surt IS NULL THEN 'new' WHEN c.surt IS NULL THEN 'gone' " +
+        "WHEN digest_prev = digest_curr THEN 'revisit' ELSE 'changed' END AS status, " +
+        "COALESCE(ts_prev, -1) AS ts_prev, COALESCE(ts_curr, -1) AS ts_curr, " +
+        "CASE WHEN digest_prev = digest_curr THEN ts_prev ELSE -1 END AS refers_to " +
+        "FROM p FULL OUTER JOIN c ON p.surt = c.surt ORDER BY surt"),
     "q_dedup_para" ->
       ("WITH b AS (SELECT doc_id, 'shared banner ' || CAST(doc_id % 7 AS VARCHAR) || " +
         "chr(10) || chr(10) || substr(text, 1, 60) || chr(10) || chr(10) || " +

@@ -123,6 +123,42 @@ object CrawlGraphOps extends Serializable {
     labels
   }
 
+  /** Cross-snapshot capture diff — the monthly-recrawl dedup decision
+    * Common Crawl encodes as `revisit` records: a capture whose payload
+    * digest equals the previous snapshot's capture of the same URL is not
+    * stored again, it becomes a pointer (WARC-Refers-To) at the original.
+    * Input: two capture indexes `(surt, ts, digest)` (CDX projections —
+    * ~100-byte rows, never page bytes; at 100 TB of archive this join
+    * runs over gigabytes). Multi-capture surts collapse to the LATEST
+    * capture per side first (max ts; digest tie-break — deterministic).
+    *
+    * Output, one row per surt in either snapshot:
+    * `status` ∈ `new` (absent before), `revisit` (digest equal — write
+    * the pointer, skip the bytes), `changed` (refetch stored), `gone`
+    * (absent now); `ts_prev`/`ts_curr` = the compared capture times (-1
+    * for the absent side, keeping the gate's hash compare exact);
+    * `refers_to` = the original's ts for revisits, -1 otherwise. The
+    * surt key means one host's — and one domain's — churn sits in one
+    * shuffle partition range, which is what makes per-domain churn
+    * rollups on top of this cheap. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    def latest(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy("surt")
+        .agg(max(struct(col("ts"), col("digest"))).as("c"))
+        .select(col("surt"), col("c.ts").as(s"ts_$suffix"),
+          col("c.digest").as(s"digest_$suffix"))
+    latest(prev, "prev").join(latest(curr, "curr"), Seq("surt"), "full_outer")
+      .select(col("surt"),
+        when(col("ts_prev").isNull, "new")
+          .when(col("ts_curr").isNull, "gone")
+          .when(col("digest_prev") === col("digest_curr"), "revisit")
+          .otherwise("changed").as("status"),
+        coalesce(col("ts_prev"), lit(-1L)).as("ts_prev"),
+        coalesce(col("ts_curr"), lit(-1L)).as("ts_curr"),
+        when(col("digest_prev") === col("digest_curr"), col("ts_prev"))
+          .otherwise(lit(-1L)).as("refers_to"))
+  }
+
   /** One crawl-frontier step: from fetched `pages (page_url, html)` to
     * the deduped, robots-compliant, per-host-budgeted set of URLs to
     * fetch next — the composition the individual tiers exist for:

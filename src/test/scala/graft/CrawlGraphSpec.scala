@@ -168,4 +168,29 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("https://h1.ex/old") == (("https://moved-1.ex/new", 1, "final")))
     assert(m("https://h2.ex/tmp") == (("https://h2.ex/next/2", 1, "final")))
   }
+
+  test("snapshotDiff: all four statuses; multi-capture collapses to latest") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      ("a)/", 10L, "d1"), ("a)/", 20L, "d2"), // two captures: ts 20 wins
+      ("b)/", 11L, "same"),
+      ("c)/", 12L, "before")).toDF("surt", "ts", "digest")
+    val curr = Seq(
+      ("a)/", 30L, "d2"), // equals prev's LATEST -> revisit (not d1!)
+      ("b)/", 31L, "same"),
+      ("d)/", 32L, "fresh")).toDF("surt", "ts", "digest")
+    val got = CrawlGraphOps.snapshotDiff(prev, curr).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("a)/") == (("revisit", 20L, 30L, 20L)))
+    assert(got("b)/") == (("revisit", 11L, 31L, 11L)))
+    assert(got("c)/") == (("gone", 12L, -1L, -1L)))
+    assert(got("d)/") == (("new", -1L, 32L, -1L)))
+    // changed: same surt, different latest digest
+    val got2 = CrawlGraphOps.snapshotDiff(
+      Seq(("e)/", 1L, "x")).toDF("surt", "ts", "digest"),
+      Seq(("e)/", 2L, "y")).toDF("surt", "ts", "digest")).collect().head
+    assert(got2.getString(1) == "changed" && got2.getLong(4) == -1L)
+  }
 }
