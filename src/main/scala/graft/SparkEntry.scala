@@ -1099,6 +1099,22 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ad. Mojibake repair / normalization (round 6): cp1252-
+    //      carried UTF-8 misdecodes repaired (single + double), NFC
+    //      composition, control strip; the real-text leg pins that clean
+    //      ASCII passes through byte-identical ----
+    "q_fix_text" -> ((s, dir) => {
+      val planted = element_at(array(
+        lit("cafÃ© ok"), lit("donâ€™t stop"),
+        lit("ÃƒÂ© twice"), lit("cléan é"),
+        lit("ctrl here"), lit("plain café text")),
+        (col("doc_id") % 6 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+        call_function("fix_text", planted).as("fixed"),
+        call_function("fix_text", col("text")).as("fixed_real"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16ac. Cross-snapshot capture diff (round 6): the monthly-
     //      recrawl revisit decision — new/revisit/changed/gone per surt,
     //      multi-capture sides collapsed to the latest first; DuckDB
@@ -1852,6 +1868,12 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_fix_text" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 6 AS INT) " +
+        "WHEN 0 THEN 'café ok' WHEN 1 THEN 'don’t stop' " +
+        "WHEN 2 THEN 'é twice' WHEN 3 THEN 'cléan é' " +
+        "WHEN 4 THEN 'ctrl here' ELSE 'plain café text' END AS fixed, " +
+        "text AS fixed_real FROM documents ORDER BY doc_id"),
     "q_snapshot_diff" ->
       ("WITH d AS (SELECT doc_id AS id FROM documents), " +
         "prev AS (SELECT 's' || CAST(id AS VARCHAR) AS surt, id + 1000 AS ts, " +

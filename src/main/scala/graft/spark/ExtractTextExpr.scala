@@ -386,6 +386,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionSignals(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("fix_text"),
+      new ExpressionInfo(classOf[FixText].getName, "fix_text"),
+      (children: Seq[Expression]) => {
+        arity("fix_text", 1, "(text)")(children)
+        FixText(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("gopher_quality"),
       new ExpressionInfo(classOf[GopherQuality].getName, "gopher_quality"),
       (children: Seq[Expression]) => {
