@@ -1099,6 +1099,23 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ae. Per-host template removal (round 6): the host-scoped
+    //      boilerplate cut — a banner in 100% of a host's pages drops
+    //      everywhere, a ~50% promo rides the strict >maxDocFrac
+    //      boundary, unique bodies survive; DuckDB re-derives the
+    //      fraction rule over the same built corpus ----
+    "q_host_template" -> ((s, dir) => {
+      val host = concat(lit("h"), (col("doc_id") % 5).cast("string"))
+      val banner = concat(lit("welcome to host "), (col("doc_id") % 5).cast("string"))
+      val promo = concat(lit("promo "), (col("doc_id") % 5).cast("string"))
+      val built = concat(banner, lit("\n\n"),
+        when(col("doc_id") % 2 === 0, concat(promo, lit("\n\n"))).otherwise(lit("")),
+        substring(col("text"), 1, 50))
+      TextOps.hostTemplateRemove(
+        docs(s, dir).select(col("doc_id"), host.as("host"), built.as("text")))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16ad. Mojibake repair / normalization (round 6): cp1252-
     //      carried UTF-8 misdecodes repaired (single + double), NFC
     //      composition, control strip; the real-text leg pins that clean
@@ -1868,6 +1885,24 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_host_template" ->
+      ("WITH b AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, " +
+        "'welcome to host ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'promo ' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "chr(10) || chr(10) ELSE '' END || substr(text, 1, 50) AS t FROM documents), " +
+        "l AS (SELECT doc_id, host, string_split(t, chr(10) || chr(10)) AS ps FROM b), " +
+        "p AS (SELECT doc_id, host, unnest(ps) AS para, " +
+        "unnest(range(1, len(ps) + 1)) AS i FROM l), " +
+        "pp AS (SELECT doc_id, host, para, i - 1 AS idx FROM p WHERE para <> ''), " +
+        "hd AS (SELECT host, count(DISTINCT doc_id) AS n_docs FROM b GROUP BY host), " +
+        "tw AS (SELECT host, para, count(DISTINCT doc_id) AS n_with FROM pp GROUP BY host, para), " +
+        "tpl AS (SELECT tw.host, tw.para FROM tw JOIN hd ON tw.host = hd.host " +
+        "WHERE hd.n_docs >= 3 AND CAST(n_with AS DOUBLE) > n_docs * 0.5), " +
+        "k AS (SELECT pp.doc_id, string_agg(pp.para, chr(10) || chr(10) ORDER BY pp.idx) AS tc " +
+        "FROM pp LEFT JOIN tpl ON pp.host = tpl.host AND pp.para = tpl.para " +
+        "WHERE tpl.para IS NULL GROUP BY pp.doc_id) " +
+        "SELECT d.doc_id, COALESCE(k.tc, '') AS text_clean FROM documents d " +
+        "LEFT JOIN k ON d.doc_id = k.doc_id ORDER BY d.doc_id"),
     "q_fix_text" ->
       ("SELECT doc_id, CASE CAST(doc_id % 6 AS INT) " +
         "WHEN 0 THEN 'café ok' WHEN 1 THEN 'don’t stop' " +

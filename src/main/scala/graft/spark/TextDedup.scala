@@ -65,6 +65,51 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
       .select(col("doc_id"), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** per-host template removal — the host-scoped sibling of
+    * [[paragraphDedup]]: a paragraph repeated across MOST of a host's
+    * pages is that host's template (cookie banner, subscription nag,
+    * footer nav) even when it never appears anywhere else — and
+    * corpus-global dedup still keeps one occurrence of it per distinct
+    * wording. This pass drops every occurrence of any paragraph
+    * that appears in more than `maxDocFrac` of its host's documents
+    * (when the host has at least `minHostDocs` documents — below that
+    * the fraction is noise), the CCNet per-shard convention.
+    *
+    * Input `(doc_id, host, text)`; output one row per doc:
+    * `(doc_id, text_clean)` — surviving paragraphs in order, `""` when
+    * the whole doc was template. DISTINCT paragraph-per-doc counting
+    * (a paragraph twice in one doc counts one doc).
+    *
+    * Scale shape: template discovery runs over `(host, xxhash64(para))`
+    * projections — never text; the only text-bearing shuffle is the
+    * final doc regroup. Host skew is the natural partition skew of the
+    * web (a few giant hosts): the count agg is a two-stage hash agg
+    * (partial map-side), so a giant host costs one reducer ROW per
+    * distinct paragraph hash, not per page. */
+  def hostTemplateRemove(docs: DataFrame, maxDocFrac: Double = 0.5,
+      minHostDocs: Long = 3L): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), col("host"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", xxhash64(col("para")))
+    val hostDocs = docs.groupBy("host")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val template = paras.select(col("host"), col("h"), col("doc_id")).distinct()
+      .groupBy("host", "h").agg(count(lit(1)).as("n_with"))
+      .join(hostDocs, "host")
+      .filter(col("n_docs") >= minHostDocs &&
+        col("n_with").cast("double") > col("n_docs").cast("double") * maxDocFrac)
+      .select(col("host"), col("h"), lit(true).as("is_template"))
+    val kept = paras.join(template, Seq("host", "h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+        x => x.getField("para")), "\n\n").as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->
     * bucket join (self-join only inside LSH buckets), then EXACT
     * shingle-Jaccard verification of every candidate.

@@ -645,4 +645,40 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t(4L) == "a\n\nb") // leading/inner '\n\n' runs yield only empty units
     assert(t(5L) == "")
   }
+
+  test("hostTemplateRemove: >frac drops, boundary keeps, small hosts exempt") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // host A, 4 docs: banner in all 4 (frac 1.0 > 0.5 -> template),
+      // promo in exactly 2 (frac 0.5, NOT > 0.5 -> kept)
+      (0L, "a", "banner\n\npromo\n\nbody zero"),
+      (1L, "a", "banner\n\nbody one"),
+      (2L, "a", "banner\n\npromo\n\nbody two"),
+      (3L, "a", "banner\n\nbody three"),
+      // host B, 2 docs < minHostDocs: identical banners still kept
+      (4L, "b", "banner b\n\nbody four"),
+      (5L, "b", "banner b\n\nbody five"))
+      .toDF("doc_id", "host", "text")
+    val got = TextOps.hostTemplateRemove(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "promo\n\nbody zero")
+    assert(got(1L) == "body one")
+    assert(got(2L) == "promo\n\nbody two")
+    assert(got(3L) == "body three")
+    assert(got(4L) == "banner b\n\nbody four")
+    assert(got(5L) == "banner b\n\nbody five")
+    // a doc that is ALL template -> ""
+    val all = Seq((0L, "c", "x"), (1L, "c", "x"), (2L, "c", "x"))
+      .toDF("doc_id", "host", "text")
+    val g2 = TextOps.hostTemplateRemove(all).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2(0L) == "" && g2(1L) == "" && g2(2L) == "")
+    // duplicate paragraph within ONE doc counts that doc once
+    val dup = Seq((0L, "d", "p\n\np\n\nq0"), (1L, "d", "r1"), (2L, "d", "r2"))
+      .toDF("doc_id", "host", "text")
+    val g3 = TextOps.hostTemplateRemove(dup).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g3(0L) == "p\n\np\n\nq0") // 1/3 docs -> not template
+  }
 }
