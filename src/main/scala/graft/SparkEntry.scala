@@ -1099,6 +1099,17 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16af. Benchmark decontamination (round 6): 13-gram overlap
+    //      against a benchmark set built from substrings of every 37th
+    //      doc — broadcast sorted-hash membership, one pass per row, no
+    //      explode; DuckDB recomputes gram-by-gram over exact strings ----
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 5, 120).as("text"))
+      TextOps.contaminationCheck(s, d, bench).orderBy("doc_id")
+    }),
+
     // ---- 16ae. Per-host template removal (round 6): the host-scoped
     //      boilerplate cut — a banner in 100% of a host's pages drops
     //      everywhere, a ~50% promo rides the strict >maxDocFrac
@@ -1885,6 +1896,21 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_contamination" ->
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), " +
+        "'\\s+'), x -> x <> '') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [] ELSE " +
+        "list_transform(range(1, len(ws) - 11), i -> array_to_string(ws[i:i+12], ' ')) END AS gs " +
+        "FROM w), " +
+        "bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(substr(text, 5, 120))), " +
+        "'\\s+'), x -> x <> '') AS ws FROM documents WHERE doc_id % 37 = 0), " +
+        "bg AS (SELECT DISTINCT unnest(CASE WHEN len(ws) < 13 THEN [] ELSE " +
+        "list_transform(range(1, len(ws) - 11), i -> array_to_string(ws[i:i+12], ' ')) END) AS gr " +
+        "FROM bw), " +
+        "bl AS (SELECT coalesce(list(gr), []) AS gs FROM bg) " +
+        "SELECT doc_id, CAST(len(list_filter(g.gs, x -> list_contains(bl.gs, x))) AS BIGINT) AS n_hits, " +
+        "len(list_filter(g.gs, x -> list_contains(bl.gs, x))) > 0 AS contaminated " +
+        "FROM g, bl ORDER BY doc_id"),
     "q_host_template" ->
       ("WITH b AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, " +
         "'welcome to host ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) || " +

@@ -110,6 +110,59 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
       .select(col("doc_id"), coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** benchmark decontamination — the n-gram overlap check (13-gram word
+    * grams, the GPT-3/LLaMA convention) run before any eval-bearing
+    * training set ships: a document sharing even one 13-gram with a held
+    * benchmark item leaks that benchmark. Grams are built from
+    * `lower(trim(text))` whitespace words joined by single spaces.
+    *
+    * Scale shape: the benchmark side is SMALL by definition (eval suites
+    * are thousands of items), so its distinct gram hashes collect to the
+    * driver, sort into one compact Long array, and broadcast — the 100-TB
+    * doc side then runs one pass per row (rolling gram + binary search),
+    * no explode, no join, no shuffle. `n_hits` counts contaminated gram
+    * POSITIONS (a twice-occurring gram counts twice). Hash membership
+    * (64-bit) stands in for string equality — the standard trade: a
+    * collision can only over-flag (filtering is the safe direction),
+    * and at 2^-64 per pair it never decides a corpus. */
+  def contaminationCheck(spark: SparkSession, docs: DataFrame, bench: DataFrame,
+      n: Int = 13): DataFrame = {
+    import spark.implicits._
+    val benchGrams: Array[Long] = bench.select(col("text").as[String])
+      .flatMap(t => gramHashes(t, n)).distinct().collect().sorted
+    require(benchGrams.length < (64 << 20),
+      s"contaminationCheck: ${benchGrams.length} benchmark grams exceed the broadcast budget")
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    docs.select(col("doc_id").as[Long], col("text").as[String])
+      .map { case (id, t) =>
+        val set = bc.value
+        var hits = 0L
+        val grams = gramHashes(t, n)
+        var i = 0
+        while (i < grams.length) {
+          if (java.util.Arrays.binarySearch(set, grams(i)) >= 0) hits += 1
+          i += 1
+        }
+        (id, hits, hits > 0)
+      }.toDF("doc_id", "n_hits", "contaminated")
+  }
+
+  /** word n-gram hashes of `lower(trim(text))` (decontamination
+    * convention); empty for sub-n docs. */
+  private[spark] def gramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      out(i) = tokenHash(toks.slice(i, i + n).mkString(" "), 0x1337c0deL)
+      i += 1
+    }
+    out
+  }
+
   /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->
     * bucket join (self-join only inside LSH buckets), then EXACT
     * shingle-Jaccard verification of every candidate.

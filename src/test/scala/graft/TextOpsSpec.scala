@@ -681,4 +681,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(g3(0L) == "p\n\np\n\nq0") // 1/3 docs -> not template
   }
+
+  test("contaminationCheck: 13-gram membership, position counting, case-fold") {
+    val s = spark
+    import s.implicits._
+    val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"lead in $gram13 tail words here", // one hit
+      1L -> s"$gram13 middle $gram13", // the SAME gram twice -> 2 positions
+      2L -> "totally unrelated text with plenty of words but no benchmark grams at all",
+      3L -> gram13.toUpperCase, // case-folds to a hit
+      4L -> "short doc") // sub-13 words: no grams
+      .toDF("doc_id", "text")
+    val bench = Seq(s"prefix $gram13 suffix").toDF("text")
+    val got = TextOps.contaminationCheck(spark, docs, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(0L) == ((1L, true)))
+    assert(got(1L) == ((2L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((1L, true)))
+    assert(got(4L) == ((0L, false)))
+    // empty benchmark set: nothing flags
+    val none = TextOps.contaminationCheck(spark, docs,
+      Seq("too short").toDF("text")).collect()
+    assert(none.forall(!_.getBoolean(2)))
+  }
 }
