@@ -1099,6 +1099,24 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ag. PII scrubbing (round 6): email/IPv4/phone redaction,
+    //      same pattern strings run under Java regex here and RE2 in the
+    //      oracle — planted shapes + real-text passthrough leg ----
+    "q_scrub_pii" -> ((s, dir) => {
+      val planted = element_at(array(
+        lit("contact john.doe+spam@example.co.uk thanks"),
+        lit("server at 192.168.1.100 responded"),
+        lit("call +1 (555) 123-4567 now"),
+        concat(lit("mix a"), (col("doc_id") % 10).cast("string"),
+          lit("@b.io and 10.0.0."), (col("doc_id") % 256).cast("string")),
+        lit("no pii here at all")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+        call_function("scrub_pii", planted).as("scrubbed"),
+        call_function("scrub_pii", col("text")).as("scrubbed_real"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16af. Benchmark decontamination (round 6): 13-gram overlap
     //      against a benchmark set built from substrings of every 37th
     //      doc — broadcast sorted-hash membership, one pass per row, no
@@ -1896,6 +1914,22 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_scrub_pii" -> {
+      def scrub(c: String): String =
+        s"regexp_replace(regexp_replace(regexp_replace($c, " +
+          s"'${graft.spark.TextNorm.EmailPattern}', '|||EMAIL|||', 'g'), " +
+          s"'${graft.spark.TextNorm.Ipv4Pattern}', '|||IP|||', 'g'), " +
+          s"'${graft.spark.TextNorm.PhonePattern}', '|||PHONE|||', 'g')"
+      "WITH p AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) " +
+        "WHEN 0 THEN 'contact john.doe+spam@example.co.uk thanks' " +
+        "WHEN 1 THEN 'server at 192.168.1.100 responded' " +
+        "WHEN 2 THEN 'call +1 (555) 123-4567 now' " +
+        "WHEN 3 THEN 'mix a' || CAST(doc_id % 10 AS VARCHAR) || '@b.io and 10.0.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) " +
+        "ELSE 'no pii here at all' END AS planted, text FROM documents) " +
+        "SELECT doc_id, " + scrub("planted") + " AS scrubbed, " +
+        scrub("text") + " AS scrubbed_real FROM p ORDER BY doc_id"
+    },
     "q_contamination" ->
       ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), " +
         "'\\s+'), x -> x <> '') AS ws FROM documents), " +

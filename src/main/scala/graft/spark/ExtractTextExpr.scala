@@ -386,6 +386,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionSignals(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("scrub_pii"),
+      new ExpressionInfo(classOf[ScrubPii].getName, "scrub_pii"),
+      (children: Seq[Expression]) => {
+        arity("scrub_pii", 1, "(text)")(children)
+        ScrubPii(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("fix_text"),
       new ExpressionInfo(classOf[FixText].getName, "fix_text"),
       (children: Seq[Expression]) => {

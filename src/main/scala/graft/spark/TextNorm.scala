@@ -138,6 +138,58 @@ object TextNorm extends Serializable {
     stripControls(java.text.Normalizer.normalize(cur, java.text.Normalizer.Form.NFC))
   }
 
+  // ------------------------------------------------------------------- PII
+
+  /** PII scrubbing patterns — the Dolma/FineWeb-family anonymization
+    * pass. Deliberately plain regex (no lookaround, ASCII classes) so
+    * the exact same pattern strings run under Java regex here and RE2 in
+    * the DuckDB oracle with identical match sets. Order matters and is
+    * part of the contract: emails first (their digits must not feed the
+    * phone pattern), then IPv4, then phones; replacement tokens carry no
+    * digits, so earlier replacements never create later matches. The
+    * phone pattern intentionally over-matches long digit runs —
+    * over-scrubbing is the safe direction for a privacy filter. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "(\\+?\\d{1,3}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}"
+
+  private val EmailRe = java.util.regex.Pattern.compile(EmailPattern)
+  private val Ipv4Re = java.util.regex.Pattern.compile(Ipv4Pattern)
+  private val PhoneRe = java.util.regex.Pattern.compile(PhonePattern)
+
+  /** replace emails / IPv4s / phone-shaped digit runs with
+    * `|||EMAIL|||` / `|||IP|||` / `|||PHONE|||`; null-safe. */
+  def scrubPii(s: String): String = {
+    if (s == null) return null
+    // cheap pre-scan: PII needs '@' or a digit; most clean prose has
+    // neither and skips all three regex passes
+    var has = false
+    var i = 0
+    while (i < s.length && !has) {
+      val c = s.charAt(i)
+      if (c == '@' || (c >= '0' && c <= '9')) has = true
+      i += 1
+    }
+    if (!has) return s
+    PhoneRe.matcher(
+      Ipv4Re.matcher(
+        EmailRe.matcher(s).replaceAll("|||EMAIL|||"))
+        .replaceAll("|||IP|||"))
+      .replaceAll("|||PHONE|||")
+  }
+
+  /** codegen static entry: null in -> null out, never throws. */
+  def scrubPiiCodegen(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    try {
+      val s = text.toString
+      val out = scrubPii(s)
+      if (out eq s) text else UTF8String.fromString(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => text
+    }
+  }
+
   /** codegen static entry: null in -> null out, never throws. */
   def fixTextCodegen(text: UTF8String): UTF8String = {
     if (text == null) return null
@@ -169,6 +221,29 @@ case class FixText(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.spark.TextNorm.fixTextCodegen($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `scrub_pii(text)` — email / IPv4 / phone redaction; see
+  * [[TextNorm.scrubPii]]. */
+case class ScrubPii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "scrub_pii"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"scrub_pii: text must be STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextNorm.scrubPiiCodegen(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.spark.TextNorm.scrubPiiCodegen($t)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

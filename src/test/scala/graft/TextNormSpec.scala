@@ -76,6 +76,25 @@ class TextNormSpec extends AnyFunSuite {
     assert(TextNorm.fixText("") == "")
   }
 
+  test("scrubPii: emails, IPv4, phones, ordering, passthrough") {
+    assert(TextNorm.scrubPii("mail a.b+c@d-e.co.uk now") == "mail |||EMAIL||| now")
+    assert(TextNorm.scrubPii("ip 10.0.0.1 end") == "ip |||IP||| end")
+    assert(TextNorm.scrubPii("call +1 (555) 123-4567 or 555.123.4567") ==
+      "call |||PHONE||| or |||PHONE|||")
+    // email digits never feed the phone pass; IP octets never feed it either
+    assert(TextNorm.scrubPii("x 12345678901@mail.com y") == "x |||EMAIL||| y")
+    assert(TextNorm.scrubPii("a@b.io and 10.0.0.45 and 555-123-4567") ==
+      "|||EMAIL||| and |||IP||| and |||PHONE|||")
+    // clean text: identity (and the fast path returns the same instance)
+    val clean = "no personal data in this sentence"
+    assert(TextNorm.scrubPii(clean) eq clean)
+    assert(TextNorm.scrubPii(null) == null)
+    // \b guard: a dotted quad glued to a word char is a version string,
+    // not an address - stays; a free-standing one still scrubs
+    assert(TextNorm.scrubPii("v1.2.3.4 release") == "v1.2.3.4 release")
+    assert(TextNorm.scrubPii("see 1.2.3.4 release") == "see |||IP||| release")
+  }
+
   test("repair-roundtrip property over generated unicode words, both paths") {
     val words = Seq("résumé", "Ångström", "œuvre", "für", "piñata",
       "smörgåsbord", "déjà-vu", "español", "†‡•", "¼½¾", "£€¥")
