@@ -1099,6 +1099,24 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ah. Cleanup composition (round 6): crawl HTML -> boilerplate
+    //      strip (extract_main_crawl) -> mojibake repair (fix_text) ->
+    //      PII redaction (scrub_pii), one codegen'd column chain — the
+    //      per-row spine of the training-data pipeline ----
+    "q_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id").as[Long].map { id =>
+        (id, "<title>skip</title><nav>menu</nav>" +
+          s"<p>see cafÃ© item $id </p>" +
+          s"<p>call +1 (555) 123-4567 or 10.0.0.${id % 256} now</p>" +
+          "<footer>f</footer>")
+      }.toDF("doc_id", "html")
+        .select(col("doc_id"),
+          call_function("scrub_pii", call_function("fix_text",
+            call_function("extract_main_crawl", col("html")))).as("clean_txt"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16ag. PII scrubbing (round 6): email/IPv4/phone redaction,
     //      same pattern strings run under Java regex here and RE2 in the
     //      oracle — planted shapes + real-text passthrough leg ----
@@ -1913,6 +1931,10 @@ object SparkEntry {
         "ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "q_pipeline" ->
+      ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
+        "' call |||PHONE||| or |||IP||| now' AS clean_txt " +
         "FROM documents ORDER BY doc_id"),
     "q_scrub_pii" -> {
       def scrub(c: String): String =
