@@ -1099,6 +1099,21 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- 16ai. Paragraph-granularity fuzzy dedup (round 6): SimHash at
+    //      the paragraph unit over the planted fp corpus in BOTH slots
+    //      (slot 1 shifted by an id offset that preserves the pair
+    //      pattern) — near-dup paragraph pairs, closed-form expected ----
+    "q_dedup_para_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val C = 1L << 22 // multiple of 4: preserves fpText's pair pattern
+      val synth = docs(s, dir).select(col("doc_id").as[Long])
+        .map(id => (id, graft.spark.TextFixtures.fpText(id) + "\n\n" +
+          graft.spark.TextFixtures.fpText(id + C)))
+        .toDF("doc_id", "text")
+      TextOps.paragraphSimhashPairs(s, synth)
+        .orderBy("left_doc", "left_idx")
+    }),
+
     // ---- 16ah. Cleanup composition (round 6): crawl HTML -> boilerplate
     //      strip (extract_main_crawl) -> mojibake repair (fix_text) ->
     //      PII redaction (scrub_pii), one codegen'd column chain — the
@@ -1932,6 +1947,14 @@ object SparkEntry {
         "x -> x IN ('" + TextOps.Stopwords.mkString("','") + "'))) AS DOUBLE) / " +
         "array_length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q_dedup_para_fuzzy" ->
+      ("WITH p AS (SELECT doc_id AS d FROM documents WHERE doc_id % 2 = 0 " +
+        "AND (doc_id // 2) % 2 = 0 AND EXISTS (SELECT 1 FROM documents d2 " +
+        "WHERE d2.doc_id = documents.doc_id + 1)), " +
+        "u AS (SELECT d, unnest([0, 1]) AS idx FROM p) " +
+        "SELECT d AS left_doc, CAST(idx AS INT) AS left_idx, " +
+        "d + 1 AS right_doc, CAST(idx AS INT) AS right_idx " +
+        "FROM u ORDER BY left_doc, left_idx"),
     "q_pipeline" ->
       ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
         "' call |||PHONE||| or |||IP||| now' AS clean_txt " +

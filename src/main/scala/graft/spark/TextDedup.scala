@@ -241,6 +241,40 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
     else { sigs.unpersist(false); verified } // leak-free: lazy plan recomputes
   }
 
+  /** paragraph-granularity fuzzy dedup — [[simhashPairs]] at the
+    * [[paragraphDedup]] unit: near-identical boilerplate variants
+    * ("© 2024 Example Corp" vs "© 2025 Example Corp") hash apart under
+    * exact paragraph dedup but land within `maxHamming` here. Paragraphs
+    * are `"\n\n"` units of at least `minChars` chars (tiny paragraphs
+    * carry too few shingles for a stable fingerprint — and they are
+    * cheap for the exact pass to handle anyway).
+    *
+    * Returns near-dup PARAGRAPH pairs
+    * `(left_doc, left_idx, right_doc, right_idx)`, the input to a
+    * survivor rule (e.g. keep min pair lexicographically, or feed
+    * [[CrawlGraphOps.connectedComponents]] for clusters).
+    *
+    * Unit ids pack as `doc_id << 20 | idx` through the banded SimHash
+    * machinery (same buckets, caps, and exact Hamming verify as the
+    * doc-level op) — `doc_id` must fit 43 bits (8.8e12 docs) and docs
+    * past 2^20 paragraphs are truncated (guarded, logged by filter). */
+  def paragraphSimhashPairs(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3, minChars: Int = 25,
+      bucketCap: Long = 10000L, materialize: Boolean = true): DataFrame = {
+    val idxBits = 20
+    val paras = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+      .filter(length(col("para")) >= minChars &&
+        col("idx") < (1L << idxBits) && col("doc_id") < (1L << (63 - idxBits)))
+      .select((shiftleft(col("doc_id"), idxBits) + col("idx")).as("doc_id"),
+        col("para").as("text"))
+    simhashPairs(spark, paras, maxHamming, bucketCap, materialize)
+      .select(shiftright(col("left_id"), idxBits).as("left_doc"),
+        col("left_id").bitwiseAND(lit((1L << idxBits) - 1)).cast("int").as("left_idx"),
+        shiftright(col("right_id"), idxBits).as("right_doc"),
+        col("right_id").bitwiseAND(lit((1L << idxBits) - 1)).cast("int").as("right_idx"))
+  }
+
   /** embedding-cosine near-dup pairs: multi-table hyperplane-LSH buckets
     * generate candidates (bucket-size-capped, corpus-scaled plane count),
     * exact cosine >= threshold verifies them — the vector analog of
