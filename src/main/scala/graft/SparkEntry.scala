@@ -1132,6 +1132,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16aj. Luhn card redaction (round 6): 13-19-digit candidates
+    //      with space/dash groups pass only on the ISO 7812 checksum —
+    //      valid Visa/MC/Amex shapes redact, a one-digit-off twin and
+    //      short digit runs stay ----
+    "q_scrub_cards" -> ((s, dir) => {
+      val planted = element_at(array(
+        lit("pay 4111111111111111 now"),
+        lit("pay 4111 1111 1111 1111 today"),
+        lit("ref 4111111111111112 kept"),
+        lit("amex 378282246310005 or mc 5500-0000-0000-0004 ok"),
+        lit("ver 1.2 build 12345 clean")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+        call_function("scrub_cards", planted).as("scrubbed"),
+        call_function("scrub_cards", col("text")).as("scrubbed_real"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 16ag. PII scrubbing (round 6): email/IPv4/phone redaction,
     //      same pattern strings run under Java regex here and RE2 in the
     //      oracle — planted shapes + real-text passthrough leg ----
@@ -1959,6 +1977,14 @@ object SparkEntry {
       ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
         "' call |||PHONE||| or |||IP||| now' AS clean_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_scrub_cards" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 5 AS INT) " +
+        "WHEN 0 THEN 'pay |||CARD||| now' " +
+        "WHEN 1 THEN 'pay |||CARD||| today' " +
+        "WHEN 2 THEN 'ref 4111111111111112 kept' " +
+        "WHEN 3 THEN 'amex |||CARD||| or mc |||CARD||| ok' " +
+        "ELSE 'ver 1.2 build 12345 clean' END AS scrubbed, " +
+        "text AS scrubbed_real FROM documents ORDER BY doc_id"),
     "q_scrub_pii" -> {
       def scrub(c: String): String =
         s"regexp_replace(regexp_replace(regexp_replace($c, " +

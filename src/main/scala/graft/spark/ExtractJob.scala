@@ -63,13 +63,20 @@ object ExtractJob {
     * what survives a 100× scale-up without re-tuning `buckets`. 32 MB ≈
     * 4 row groups per default 128 MB scan split: enough split freedom,
     * still large enough for dictionary/statistics efficiency. */
+  /** `clean = true` runs the training-data cleanup on each extracted
+    * text inside the SAME per-row pass (no extra stage, no plan change):
+    * [[TextNorm.fixText]] (mojibake repair + NFC + control strip) then
+    * [[TextNorm.scrubPii]] (email/IPv4/phone redaction). Clean ASCII
+    * short-circuits both, so the flag costs one scan per row on the
+    * common path. Off by default — extraction parity stays byte-exact. */
   final case class Config(
       buckets: Int = 64,
       salt: Int = 42,
       runId: String = "run-0",
       recipe: Extractor.Recipe = Extractor.Recipe.default,
       preShuffled: Boolean = false,
-      rowGroupBytes: Long = 32L << 20)
+      rowGroupBytes: Long = 32L << 20,
+      clean: Boolean = false)
 
   def bucketCol(salt: Int, buckets: Int) =
     pmod(hash(col("url"), lit(salt)), lit(buckets))
@@ -116,6 +123,7 @@ object ExtractJob {
     if (pending.isEmpty) return
 
     val recipe = cfg.recipe
+    val doClean = cfg.clean
 
     // one shuffle co-locates buckets (salted url hash) — or none at all
     // when the input is already bucket-aligned storage
@@ -128,9 +136,12 @@ object ExtractJob {
       .mapPartitions { it =>
         it.map { case (b, url, ts, html) =>
           val bytes = if (html == null) 0L else html.length.toLong
-          val text =
+          val raw =
             try Extractor.extractMain(html, recipe)
             catch { case NonFatal(_) => null }
+          val text =
+            if (raw == null || !doClean) raw
+            else TextNorm.scrubPii(TextNorm.fixText(raw))
           ExtractedRow(b, url, ts, bytes, text == null, text)
         }
       }

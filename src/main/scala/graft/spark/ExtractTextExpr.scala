@@ -386,6 +386,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionSignals(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("scrub_cards"),
+      new ExpressionInfo(classOf[ScrubCards].getName, "scrub_cards"),
+      (children: Seq[Expression]) => {
+        arity("scrub_cards", 1, "(text)")(children)
+        ScrubCards(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("scrub_pii"),
       new ExpressionInfo(classOf[ScrubPii].getName, "scrub_pii"),
       (children: Seq[Expression]) => {

@@ -178,6 +178,89 @@ object TextNorm extends Serializable {
       .replaceAll("|||PHONE|||")
   }
 
+  /** credit-card redaction — the one PII class a regex alone cannot
+    * decide: a 13–19-digit run is a card number only if it passes the
+    * Luhn checksum (ISO/IEC 7812), otherwise it is an order id, a
+    * timestamp, a hash. The scan is a hand-rolled single pass (no regex —
+    * the candidate grammar "digit groups joined by single spaces or
+    * dashes" plus the checksum gate doesn't fit one): a candidate starts
+    * at a digit not preceded by an alnum char, extends over digits with
+    * single ' ' or '-' separators between digit GROUPS, must end at a
+    * non-alnum boundary, strip to 13–19 digits, Luhn-check; matches
+    * become `|||CARD|||`. Deliberately a SEPARATE function from
+    * [[scrubPii]] (whose contract is oracle-recomputable pure regex):
+    * compose as `scrub_pii(scrub_cards(text))` — cards first, or a card
+    * number would phone-match its tail. */
+  def luhnOk(digits: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private def alnum(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  def scrubCards(s: String): String = {
+    if (s == null) return null
+    var sb: java.lang.StringBuilder = null // lazily created on first match
+    var at = 0 // copied-through position
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9' && (i == 0 || !alnum(s.charAt(i - 1)))) {
+        // candidate: digit groups with single ' '/'-' separators, capped
+        // at 19 digits (a longer run can never be a card, and the cap
+        // bounds the rescan cost below to O(25) chars per start)
+        val digits = new java.lang.StringBuilder(19)
+        var j = i
+        var ok = true
+        while (ok && j < n && digits.length <= 19) {
+          val cj = s.charAt(j)
+          if (cj >= '0' && cj <= '9') { digits.append(cj); j += 1 }
+          else if ((cj == ' ' || cj == '-') && j + 1 < n &&
+            s.charAt(j + 1) >= '0' && s.charAt(j + 1) <= '9') j += 1
+          else ok = false
+        }
+        val end = j // first char past the candidate
+        val boundary = end >= n || !alnum(s.charAt(end))
+        if (boundary && digits.length >= 13 && digits.length <= 19 &&
+          luhnOk(digits.toString)) {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(s, at, i).append("|||CARD|||")
+          at = end
+          i = end
+        } else {
+          // advance past the FIRST digit group only: a later group may
+          // start its own card ("order 12345 4111111111111111" must
+          // still find the card after the over-joined reject)
+          while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+        }
+      } else i += 1
+    }
+    if (sb == null) s else { sb.append(s, at, n); sb.toString }
+  }
+
+  /** codegen static entry: null in -> null out, never throws. */
+  def scrubCardsCodegen(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    try {
+      val s = text.toString
+      val out = scrubCards(s)
+      if (out eq s) text else UTF8String.fromString(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => text
+    }
+  }
+
   /** codegen static entry: null in -> null out, never throws. */
   def scrubPiiCodegen(text: UTF8String): UTF8String = {
     if (text == null) return null
@@ -221,6 +304,29 @@ case class FixText(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.spark.TextNorm.fixTextCodegen($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `scrub_cards(text)` — Luhn-gated card-number redaction; see
+  * [[TextNorm.scrubCards]]. */
+case class ScrubCards(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "scrub_cards"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"scrub_cards: text must be STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextNorm.scrubCardsCodegen(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.spark.TextNorm.scrubCardsCodegen($t)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

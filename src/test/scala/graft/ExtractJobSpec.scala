@@ -284,6 +284,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(extracted.where(col("url").endsWith("/2")).head().getAs[String]("text") == "no ts")
   }
 
+  test("clean=true: extracted text is repaired + redacted in the same pass") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    val rows = Seq(
+      ("https://h.example/clean/1", java.sql.Timestamp.valueOf("2025-01-01 00:00:01"),
+        "<p>see cafÃ© deals, call +1 (555) 123-4567</p>".getBytes("UTF-8"), "x", "en"),
+      ("https://h.example/clean/2", java.sql.Timestamp.valueOf("2025-01-01 00:00:02"),
+        "<p>plain ascii body</p>".getBytes("UTF-8"), "y", "en"))
+    val pages = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(buckets = 2, runId = "clean", clean = true))
+    val got = spark.read.parquet(s"$out/extracted")
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got("https://h.example/clean/1") == "see café deals, call |||PHONE|||")
+    assert(got("https://h.example/clean/2") == "plain ascii body")
+    // default stays byte-exact parity: same pages, clean off
+    val out2 = java.nio.file.Files.createTempDirectory("graft-clean2").toString
+    ExtractJob.run(spark, pages, out2, ExtractJob.Config(buckets = 2, runId = "raw"))
+    val raw = spark.read.parquet(s"$out2/extracted")
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(raw("https://h.example/clean/1") == "see cafÃ© deals, call +1 (555) 123-4567")
+  }
+
   test("SparkEntry.entry smoke: flagship returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -95,6 +95,38 @@ class TextNormSpec extends AnyFunSuite {
     assert(TextNorm.scrubPii("see 1.2.3.4 release") == "see |||IP||| release")
   }
 
+  test("scrubCards: Luhn gate, separator groups, boundaries") {
+    assert(TextNorm.scrubCards("pay 4111111111111111 now") == "pay |||CARD||| now")
+    assert(TextNorm.scrubCards("pay 4111 1111 1111 1111 now") == "pay |||CARD||| now")
+    assert(TextNorm.scrubCards("mc 5500-0000-0000-0004.") == "mc |||CARD|||.")
+    assert(TextNorm.scrubCards("amex 378282246310005") == "amex |||CARD|||")
+    // Luhn fails -> untouched; short runs untouched; glued to word chars untouched
+    assert(TextNorm.scrubCards("ref 4111111111111112 kept") == "ref 4111111111111112 kept")
+    assert(TextNorm.scrubCards("build 12345 ok") == "build 12345 ok")
+    assert(TextNorm.scrubCards("id4111111111111111 stays") == "id4111111111111111 stays")
+    assert(TextNorm.scrubCards("4111111111111111x stays") == "4111111111111111x stays")
+    // double separators break a candidate; 20+ digits are not cards
+    assert(TextNorm.scrubCards("a 4111  1111 1111 1111 b") == "a 4111  1111 1111 1111 b")
+    assert(TextNorm.scrubCards("n 41111111111111110000 m") == "n 41111111111111110000 m")
+    // two cards in one line; start/end of string boundaries
+    assert(TextNorm.scrubCards("4111111111111111 and 5500000000000004") ==
+      "|||CARD||| and |||CARD|||")
+    // an over-joined reject must not eat a following valid card
+    assert(TextNorm.scrubCards("order 12345 4111111111111111 tail") ==
+      "order 12345 |||CARD||| tail")
+    assert(TextNorm.scrubCards(null) == null)
+    val clean = "no digits at all here"
+    assert(TextNorm.scrubCards(clean) eq clean)
+  }
+
+  test("luhnOk vectors") {
+    assert(TextNorm.luhnOk("4111111111111111"))
+    assert(TextNorm.luhnOk("378282246310005"))
+    assert(TextNorm.luhnOk("5500000000000004"))
+    assert(!TextNorm.luhnOk("4111111111111112"))
+    assert(!TextNorm.luhnOk("1234567890123"))
+  }
+
   test("repair-roundtrip property over generated unicode words, both paths") {
     val words = Seq("résumé", "Ångström", "œuvre", "für", "piñata",
       "smörgåsbord", "déjà-vu", "español", "†‡•", "¼½¾", "£€¥")
