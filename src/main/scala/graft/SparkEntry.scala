@@ -1132,6 +1132,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16al. Domain blocklist (round 6): suffix-explode equi-join,
+    //      exact + subdomain matches, longest-entry wins, clean hosts
+    //      pass ----
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = when(id % 4 === 0,
+        concat(lit("https://sub.site"), (id % 2).cast("string"),
+          lit(".example.com/p"), id.cast("string")))
+        .when(id % 4 === 1,
+          concat(lit("https://site0.example.com/p"), id.cast("string")))
+        .when(id % 4 === 2,
+          concat(lit("https://goodsite"), id.cast("string"), lit(".org/p"), id.cast("string")))
+        .otherwise(concat(lit("https://x.bad.net/p"), id.cast("string")))
+      val block = Seq("site0.example.com", "example.com", "bad.net").toDF("domain")
+      graft.spark.CrawlGraphOps.domainBlocked(
+        docs(s, dir).select(url.as("url")), block)
+        .select(col("url"), col("blocked"),
+          coalesce(col("matched_domain"), lit("-")).as("matched_domain"))
+        .orderBy("url")
+    }),
+
+    // ---- 16ak. Corpus-trained bigram LM scoring (round 6, the CCNet
+    //      quality dimension): add-1-smoothed mean transition
+    //      log-likelihood over the REAL documents.text corpus, trained
+    //      and scored in one relational DAG; DuckDB re-derives counts,
+    //      vocab, and every log term ----
+    "q_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(docs(s, dir)).orderBy("doc_id")),
+
     // ---- 16aj. Luhn card redaction (round 6): 13-19-digit candidates
     //      with space/dash groups pass only on the ISO 7812 checksum —
     //      valid Visa/MC/Amex shapes redact, a one-digit-off twin and
@@ -1977,6 +2007,31 @@ object SparkEntry {
       ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
         "' call |||PHONE||| or |||IP||| now' AS clean_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_blocklist" ->
+      ("WITH t AS (SELECT doc_id AS id, CAST(doc_id % 4 AS INT) AS v, " +
+        "CAST(doc_id AS VARCHAR) AS d, CAST(doc_id % 2 AS VARCHAR) AS p FROM documents) " +
+        "SELECT CASE v WHEN 0 THEN 'https://sub.site' || p || '.example.com/p' || d " +
+        "WHEN 1 THEN 'https://site0.example.com/p' || d " +
+        "WHEN 2 THEN 'https://goodsite' || d || '.org/p' || d " +
+        "ELSE 'https://x.bad.net/p' || d END AS url, " +
+        "(v <> 2) AS blocked, " +
+        "CASE v WHEN 0 THEN (CASE p WHEN '0' THEN 'site0.example.com' ELSE 'example.com' END) " +
+        "WHEN 1 THEN 'site0.example.com' WHEN 3 THEN 'bad.net' ELSE '-' END AS matched_domain " +
+        "FROM t ORDER BY url"),
+    "q_lm_score" ->
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), " +
+        "'\\s+'), x -> x <> '') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM " +
+        "(SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)), " +
+        "bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2), " +
+        "u AS (SELECT w1, count(*) AS cu FROM " +
+        "(SELECT unnest(ws) AS w1 FROM w) GROUP BY w1), " +
+        "v AS (SELECT count(*) AS v FROM u), " +
+        "s AS (SELECT b.doc_id, ln((bc.cb + 1.0) / (u.cu + 1.0 * v.v)) AS ll " +
+        "FROM b JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v), " +
+        "r AS (SELECT doc_id, avg(ll) AS lm_score FROM s GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(r.lm_score, 0.0) AS lm_score " +
+        "FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id"),
     "q_scrub_cards" ->
       ("SELECT doc_id, CASE CAST(doc_id % 5 AS INT) " +
         "WHEN 0 THEN 'pay |||CARD||| now' " +

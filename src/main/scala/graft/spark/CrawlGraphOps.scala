@@ -131,6 +131,38 @@ object CrawlGraphOps extends Serializable {
     labels
   }
 
+  /** Domain-blocklist filter (the UT1-style category-list gate every
+    * crawl pipeline runs before fetch or before training-set admission):
+    * a url is blocked when its host EQUALS a listed domain or is a
+    * SUBDOMAIN of one. The match explodes the host's label suffixes
+    * (a host has ≤ ~10: `a.b.example.com` → `a.b.example.com`,
+    * `b.example.com`, `example.com`, `com`) and equi-joins the
+    * blocklist on the suffix — no per-row regex, no driver-side set;
+    * Catalyst broadcasts the list when it is small (the usual ~1M-entry
+    * case) and shuffles when it is not. Needs [[GraftSparkExtensions]]
+    * (url_host). Output: one row per input row —
+    * `(url, blocked, matched_domain)` with the LONGEST (most specific)
+    * matching entry, null when clean. */
+  def domainBlocked(urls: DataFrame, blocklist: DataFrame): DataFrame = {
+    val hosts = urls.select(col("url"),
+      call_function("url_host", col("url")).as("host"))
+    val suffixes = hosts
+      .select(col("url"), col("host"), split(col("host"), "\\.").as("ls"))
+      .select(col("url"), col("host"), posexplode(col("ls")).as(Seq("i", "l")),
+        col("ls"))
+      .select(col("url"),
+        array_join(slice(col("ls"), col("i") + 1, size(col("ls"))), ".").as("suffix"))
+    val matched = suffixes
+      .join(blocklist.select(col("domain").as("suffix")), Seq("suffix"))
+      .groupBy("url")
+      .agg(max(struct(length(col("suffix")).as("n"), col("suffix").as("s"))).as("m"))
+      .select(col("url"), col("m.s").as("matched_domain"))
+    urls.select(col("url"))
+      .join(matched, Seq("url"), "left")
+      .select(col("url"), col("matched_domain").isNotNull.as("blocked"),
+        col("matched_domain"))
+  }
+
   /** Cross-snapshot capture diff — the monthly-recrawl dedup decision
     * Common Crawl encodes as `revisit` records: a capture whose payload
     * digest equals the previous snapshot's capture of the same URL is not

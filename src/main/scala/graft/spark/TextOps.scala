@@ -276,6 +276,55 @@ private[spark] trait TextCoreOps extends Serializable {
       call_function("repetition_signals", col("text")).as("rep"))
       .select(col("doc_id"), col("rep.*"))
 
+  /** corpus-trained bigram language-model scoring — the CCNet quality
+    * dimension: a document's mean token-transition log-likelihood under a
+    * model TRAINED ON THE CORPUS ITSELF separates fluent prose (common
+    * transitions) from keyword stuffing and gibberish (rare ones), with
+    * no external model artifact. Add-k smoothing over the corpus vocab:
+    *
+    *   score(doc) = mean over its bigrams of
+    *     ln( (count(w1,w2) + k) / (count(w1) + k·V) )
+    *
+    * where V = corpus vocab size and tokens are `lower(trim(text))`
+    * whitespace words. Docs with fewer than 2 tokens score 0.0.
+    *
+    * Scale shape: train AND score are the same relational DAG — explode
+    * bigrams once, aggregate counts, join the counts back, average per
+    * doc. No model ever materializes on the driver (V is the one scalar
+    * collected); every shuffle is keyed by a token or token pair, the
+    * natural Zipf skew of which is absorbed by partial aggregation
+    * (map-side combine halves the head keys before the exchange). At
+    * 100 TB you train on a sampled corpus and score the full one — pass
+    * the sample as `train` (defaults to `docs` itself). */
+  def bigramLmScore(docs: DataFrame, train: DataFrame = null, k: Double = 1.0): DataFrame = {
+    val trainDf = if (train == null) docs else train
+    def words(df: DataFrame) = df.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), filter(col("ws"), w => length(w) > 0).as("ws"))
+    def bigrams(df: DataFrame) = words(df)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "w1")),
+        col("ws"))
+      .filter(col("i") < size(col("ws")) - 1)
+      .select(col("doc_id"), col("w1"),
+        element_at(col("ws"), col("i") + 2).as("w2"))
+    val trainBi = bigrams(trainDf)
+    val biCounts = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uniCounts = words(trainDf)
+      .select(explode(col("ws")).as("w1")).groupBy("w1")
+      .agg(count(lit(1)).as("cu"))
+    val v = uniCounts.count() // the single driver scalar: vocab size
+    val scored = bigrams(docs)
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("cb"), lit(0L)).cast("double") + k) /
+          (coalesce(col("cu"), lit(0L)).cast("double") + k * v)).as("ll"))
+      .groupBy("doc_id").agg(avg(col("ll")).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   /** the full Gopher document filter: [[GopherFilter]]'s rule signals
     * composed with [[Repetition]]'s repetitiousness thresholds (the
     * paper's dup-fraction cuts: dup_line_frac ≤ 0.30,

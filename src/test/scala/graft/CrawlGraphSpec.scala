@@ -193,4 +193,23 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("e)/", 2L, "y")).toDF("surt", "ts", "digest")).collect().head
     assert(got2.getString(1) == "changed" && got2.getLong(4) == -1L)
   }
+
+  test("domainBlocked: exact, subdomain, longest entry wins, clean passes") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "https://ads.tracker.example/x",
+      "https://deep.sub.ads.tracker.example/y",
+      "https://tracker.example/z",
+      "https://nottracker.example/w", // suffix of the LABELS, not a label match
+      "https://clean.org/ok").toDF("url")
+    val block = Seq("ads.tracker.example", "tracker.example").toDF("domain")
+    val got = CrawlGraphOps.domainBlocked(urls, block).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got("https://ads.tracker.example/x") == ((true, Some("ads.tracker.example"))))
+    assert(got("https://deep.sub.ads.tracker.example/y") == ((true, Some("ads.tracker.example"))))
+    assert(got("https://tracker.example/z") == ((true, Some("tracker.example"))))
+    assert(got("https://nottracker.example/w") == ((false, None)))
+    assert(got("https://clean.org/ok") == ((false, None)))
+  }
 }

@@ -706,4 +706,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("too short").toDF("text")).collect()
     assert(none.forall(!_.getBoolean(2)))
   }
+
+  test("bigramLmScore: hand-computed add-1 scores; sub-2-token docs score 0") {
+    val docs = synthDocs(Seq(0L -> "a b a b", 1L -> "a b", 2L -> "c"))
+    val got = TextOps.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // uni: a=3 b=3 c=1, V=3; cb(a,b)=3 cb(b,a)=1
+    val llAB = math.log(4.0 / 6.0)
+    val llBA = math.log(2.0 / 6.0)
+    assert(math.abs(got(0L) - (2 * llAB + llBA) / 3) < 1e-12)
+    assert(math.abs(got(1L) - llAB) < 1e-12)
+    assert(got(2L) == 0.0)
+    // separate train corpus: unseen bigrams get the smoothed floor
+    val scoredOnTrain = TextOps.bigramLmScore(
+      synthDocs(Seq(9L -> "x y")), train = docs).collect().head.getDouble(1)
+    assert(math.abs(scoredOnTrain - math.log(1.0 / 3.0)) < 1e-12) // (0+1)/(0+3)
+  }
 }
