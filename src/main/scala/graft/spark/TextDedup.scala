@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * (hash-keyed), MinHash-LSH, SimHash, and embedding-cosine near-dup pairs
   * — every candidate generator is banded + bucket-capped and every pair is
   * verified exactly before it counts. See [[TextOps]]. */
-private[spark] trait TextDedupOps extends AnnCoreOps {
+private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
   /** exact dedup: keep first doc_id per identical text. The explicit
     * `repartition(xxhash64(text))` makes the 8-byte hash the ONLY shuffle
     * key (Catalyst accepts the coarser clustering for the superset groupBy),
@@ -161,6 +161,46 @@ private[spark] trait TextDedupOps extends AnnCoreOps {
       i += 1
     }
     out
+  }
+
+  /** the one-call corpus cleaner — the canonical training-data pipeline
+    * over extracted pages `(doc_id, host, text)`, composing this
+    * module's tiers in the order a real run wants them:
+    *
+    *  1. per-row repair: `fix_text` then `scrub_cards` then `scrub_pii`
+    *     (cards before the phone regex — see [[TextNorm.scrubCards]]);
+    *  2. quality gate: [[gopherQuality]]'s composed `gopher_pass`
+    *     (rule signals + repetition thresholds) — failed docs DROP;
+    *  3. [[hostTemplateRemove]]: host-template paragraphs drop
+    *     everywhere (before global dedup, so a template's lone survivor
+    *     never pollutes a surviving doc);
+    *  4. [[paragraphDedup]]: corpus-wide exact paragraph dedup;
+    *  5. exact doc dedup on the cleaned text — first doc_id survives;
+    *     docs left textless by 3-4 drop.
+    *
+    * Returns `(doc_id, host, text_clean)`. Each stage is individually
+    * oracle-gated (q_fix_text/q_scrub_*, q_gopher, q_host_template,
+    * q_dedup_para, q_dedup_exact); the composition is spec-pinned.
+    * Needs [[GraftSparkExtensions]]. */
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    val repaired = docs.select(col("doc_id"), col("host"),
+      call_function("scrub_pii", call_function("scrub_cards",
+        call_function("fix_text", col("text")))).as("text"))
+    val passed = repaired
+      .join(gopherQuality(repaired).select(col("doc_id"), col("gopher_pass")),
+        Seq("doc_id"))
+      .filter(col("gopher_pass"))
+      .select(col("doc_id"), col("host"), col("text"))
+    val detemplated = passed
+      .join(hostTemplateRemove(passed), Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("text_clean").as("text"))
+    val deduped = detemplated
+      .join(paragraphDedup(detemplated), Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("text_dedup").as("text"))
+      .filter(length(col("text")) > 0)
+    val keep = deduped.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    deduped.join(keep, Seq("text", "doc_id"))
+      .select(col("doc_id"), col("host"), col("text").as("text_clean"))
   }
 
   /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->

@@ -308,6 +308,33 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw("https://h.example/clean/1") == "see cafÃ© deals, call +1 (555) 123-4567")
   }
 
+  test("cleanCorpus: repair -> gopher gate -> host template -> para dedup -> doc dedup") {
+    val s = spark
+    import s.implicits._
+    def body(i: Int, extra: String = "word") =
+      "the of " + (s"$extra$i " * 48).trim // 50 words, passes gopher
+    val banner = "the of banner appears on every page of this host with words"
+    val shared = "the of shared across two documents here"
+    val docs = Seq(
+      (0L, "a", s"$banner\n\n${body(0)} x@y.io\n\n$shared"),
+      (1L, "a", s"$banner\n\n${body(1)}\n\n$shared"),
+      (2L, "a", s"$banner\n\n${body(2)}"),
+      (3L, "a", s"$banner\n\n${body(3)}"),
+      (4L, "a", "tiny"), // gopher fail: dropped
+      (5L, "b", s"$banner\n\n${body(9)}"), // host b: 2 docs, template-exempt
+      (6L, "b", s"$banner\n\n${body(9)}")) // identical to 5: doc-dedup drops
+      .toDF("doc_id", "host", "text")
+    val got = graft.spark.TextOps.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 5L))
+    // d0: banner (4/4 host docs) dropped, body repaired+scrubbed, shared kept (first)
+    assert(got(0L) == s"${body(0)} |||EMAIL|||\n\n$shared")
+    // d1: shared was d0's paragraph first -> dropped here
+    assert(got(1L) == body(1))
+    // host b exempt from template removal: banner survives in the kept twin
+    assert(got(5L) == s"$banner\n\n${body(9)}")
+  }
+
   test("SparkEntry.entry smoke: flagship returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
