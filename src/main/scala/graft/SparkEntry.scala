@@ -1132,6 +1132,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16am. Distributed BPE merge training (round 6): the classic
+    //      low/lower/newest/widest corpus planted per doc — the merge
+    //      SEQUENCE is invariant to corpus size (argmax scales), the
+    //      pair counts scale with it; 10 merges, deterministic ties ----
+    "q_bpe" -> ((s, dir) => {
+      val corpus = "low low low low low lower lower " +
+        "newest newest newest newest newest newest widest widest widest"
+      TextOps.bpeTrain(s,
+        docs(s, dir).select(lit(corpus).as("text")), numMerges = 10)
+        .orderBy("rank")
+    }),
+
     // ---- 16al. Domain blocklist (round 6): suffix-explode equi-join,
     //      exact + subdomain matches, longest-entry wins, clean hosts
     //      pass ----
@@ -2007,6 +2019,15 @@ object SparkEntry {
       ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
         "' call |||PHONE||| or |||IP||| now' AS clean_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_bpe" ->
+      ("WITH n AS (SELECT count(*) AS n FROM documents), " +
+        "m(rank, l, r, base) AS (VALUES " +
+        "(1, 'e', 's', 9), (2, 'es', 't', 9), (3, 'est', '</w>', 9), " +
+        "(4, 'l', 'o', 7), (5, 'lo', 'w', 7), (6, 'e', 'w', 6), " +
+        "(7, 'ew', 'est</w>', 6), (8, 'n', 'ewest</w>', 6), " +
+        "(9, 'low', '</w>', 5), (10, 'd', 'est</w>', 3)) " +
+        "SELECT CAST(rank AS INT) AS rank, l AS \"left\", r AS \"right\", " +
+        "CAST(base * n.n AS BIGINT) AS pair_count FROM m, n ORDER BY rank"),
     "q_blocklist" ->
       ("WITH t AS (SELECT doc_id AS id, CAST(doc_id % 4 AS INT) AS v, " +
         "CAST(doc_id AS VARCHAR) AS d, CAST(doc_id % 2 AS VARCHAR) AS p FROM documents) " +

@@ -276,6 +276,77 @@ private[spark] trait TextCoreOps extends Serializable {
       call_function("repetition_signals", col("text")).as("rep"))
       .select(col("doc_id"), col("rep.*"))
 
+  /** distributed BPE merge training (Sennrich et al. 2016 — the
+    * tokenizer-training step of a data pipeline, run on the cleaned
+    * corpus so the vocabulary reflects what the model will read):
+    * symbols start as characters plus a `</w>` end-of-word marker; each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair everywhere (ties: count desc, then
+    * left asc, then right asc — fully deterministic), repeats.
+    *
+    * Returns the merge table `(rank, left, right, pair_count)` — the
+    * artifact a BPE tokenizer is: apply the merges in rank order to
+    * segment any text. Stops early when no pair reaches `minPairCount`.
+    *
+    * Scale shape: the corpus collapses to its WORD-FREQUENCY table in
+    * one shuffle (distinct words ~ millions, not the 100-TB token
+    * stream); each round is then one pair-count aggregate over that
+    * small table + one map to apply the merge, with per-round
+    * localCheckpoint (the same lineage-truncation discipline as
+    * [[CrawlGraphOps.connectedComponents]]) and ONE driver row collected
+    * per round (the argmax). numMerges rounds = 2·numMerges tiny jobs —
+    * the corpus is touched once. */
+  def bpeTrain(spark: SparkSession, docs: DataFrame, numMerges: Int = 10,
+      minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    require(numMerges >= 1 && numMerges <= 65536, s"numMerges out of range: $numMerges")
+    var segs = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w").as[String], col("freq").as[Long])
+      .map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }
+      .toDF("syms", "freq")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= numMerges && !done) {
+      val top = segs
+        .select(col("freq"), posexplode(col("syms")).as(Seq("i", "a")), col("syms"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("freq"), col("a"), element_at(col("syms"), col("i") + 2).as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        merges += ((rank, a, b, top.head.getLong(2)))
+        segs = segs.select(col("syms").as[Seq[String]], col("freq").as[Long])
+          .map { case (syms, f) => (mergePair(syms, a, b), f) }
+          .toDF("syms", "freq")
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** greedy left-to-right merge of adjacent (a, b) in one symbol seq —
+    * overlapping runs merge non-overlapping-first, the BPE convention. */
+  def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   /** corpus-trained bigram language-model scoring — the CCNet quality
     * dimension: a document's mean token-transition log-likelihood under a
     * model TRAINED ON THE CORPUS ITSELF separates fluent prose (common

@@ -722,4 +722,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       synthDocs(Seq(9L -> "x y")), train = docs).collect().head.getDouble(1)
     assert(math.abs(scoredOnTrain - math.log(1.0 / 3.0)) < 1e-12) // (0+1)/(0+3)
   }
+
+  test("bpeTrain: classic corpus merges in order; greedy overlap; early stop") {
+    val docs = synthDocs(Seq(0L ->
+      ("low low low low low lower lower " +
+        "newest newest newest newest newest newest widest widest widest")))
+    val got = TextOps.bpeTrain(spark, docs, numMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L), (6, "e", "w", 6L),
+      (7, "ew", "est</w>", 6L), (8, "n", "ewest</w>", 6L),
+      (9, "low", "</w>", 5L), (10, "d", "est</w>", 3L)))
+    // greedy non-overlapping merge convention
+    assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // early stop below minPairCount: 'aa bb' has no pair with count >= 2
+    val tiny = TextOps.bpeTrain(spark, synthDocs(Seq(0L -> "ab cd")),
+      numMerges = 5, minPairCount = 2).collect()
+    assert(tiny.isEmpty)
+  }
 }
