@@ -1132,6 +1132,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16an. BPE apply/round-trip (round 6): token counts under the
+    //      gate-80 trained merges — low=1, lower=4, newest=1, widest=3
+    //      tokens, so a doc of r reps counts 9r ----
+    "q_bpe_segment" -> ((s, dir) => {
+      val corpus = "low low low low low lower lower " +
+        "newest newest newest newest newest newest widest widest widest"
+      val merges = TextOps.bpeTrain(s,
+        docs(s, dir).select(lit(corpus).as("text")), numMerges = 10)
+      val varied = docs(s, dir).select(col("doc_id"),
+        repeat(lit("low lower newest widest "),
+          (col("doc_id") % 3 + 1).cast("int")).as("text"))
+      TextOps.bpeTokenCount(s, varied, merges).orderBy("doc_id")
+    }),
+
     // ---- 16am. Distributed BPE merge training (round 6): the classic
     //      low/lower/newest/widest corpus planted per doc — the merge
     //      SEQUENCE is invariant to corpus size (argmax scales), the
@@ -2018,6 +2032,9 @@ object SparkEntry {
     "q_pipeline" ->
       ("SELECT doc_id, 'see café item ' || CAST(doc_id AS VARCHAR) || " +
         "' call |||PHONE||| or |||IP||| now' AS clean_txt " +
+        "FROM documents ORDER BY doc_id"),
+    "q_bpe_segment" ->
+      ("SELECT doc_id, CAST(9 * (doc_id % 3 + 1) AS BIGINT) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
     "q_bpe" ->
       ("WITH n AS (SELECT count(*) AS n FROM documents), " +

@@ -334,6 +334,48 @@ private[spark] trait TextCoreOps extends Serializable {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** the apply side of [[bpeTrain]]: token count per doc under a trained
+    * merge table — the number an LLM-data pipeline actually bills by
+    * (corpus token budget under ITS OWN tokenizer, not a whitespace
+    * proxy). The merge list (rank-ordered, small by construction)
+    * broadcasts; each row segments its words through the merges in rank
+    * order — one pass per row, no shuffle beyond the input's own.
+    * Per-word memoization inside a task amortizes Zipf repetition. */
+  def bpeTokenCount(spark: SparkSession, docs: DataFrame, merges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rules: Array[(String, String)] = merges.orderBy("rank")
+      .select(col("left").as[String], col("right").as[String]).collect()
+    val bc = spark.sparkContext.broadcast(rules)
+    docs.select(col("doc_id").as[Long], col("text").as[String])
+      .mapPartitions { it =>
+        val rs = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, text) =>
+          var total = 0L
+          if (text != null) {
+            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+              .foreach { w =>
+                if (w.nonEmpty) {
+                  var n = memo.get(w)
+                  if (n == null) {
+                    var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+                    var i = 0
+                    while (i < rs.length && syms.length > 1) {
+                      syms = mergePair(syms, rs(i)._1, rs(i)._2)
+                      i += 1
+                    }
+                    n = Integer.valueOf(syms.length)
+                    if (memo.size < 100000) memo.put(w, n) // bounded cache
+                  }
+                  total += n.intValue()
+                }
+              }
+          }
+          (id, total)
+        }
+      }.toDF("doc_id", "bpe_tokens")
+  }
+
   /** greedy left-to-right merge of adjacent (a, b) in one symbol seq —
     * overlapping runs merge non-overlapping-first, the BPE convention. */
   def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {

@@ -741,5 +741,15 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tiny = TextOps.bpeTrain(spark, synthDocs(Seq(0L -> "ab cd")),
       numMerges = 5, minPairCount = 2).collect()
     assert(tiny.isEmpty)
+    // apply side: token counts under the trained merges
+    val counts = TextOps.bpeTokenCount(spark,
+      synthDocs(Seq(0L -> "low lower newest widest", 1L -> "LOW unseen", 2L -> "")),
+      TextOps.bpeTrain(spark, docs, numMerges = 10)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // low=1 lower=4 newest=1 widest=3; LOW case-folds to low=1;
+    // 'unseen' = u n s e e n </w>: no trained merge applies -> 7 symbols
+    assert(counts(0L) == 9L)
+    assert(counts(1L) == 1L + 7L)
+    assert(counts(2L) == 0L)
   }
 }
