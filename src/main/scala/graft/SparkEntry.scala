@@ -1132,6 +1132,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- 16ao. PageRank (round 6): power iteration with dangling-mass
+    //      redistribution over a 10-node derived graph + one dangling
+    //      sink; DuckDB re-derives all 8 iterations via mechanically
+    //      unrolled CTEs sharing the same constants ----
+    "q_pagerank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val edges = docs(s, dir).select(
+        concat(lit("n"), (id % 10).cast("string")).as("src"),
+        concat(lit("n"), ((id * 3 + 1) % 10).cast("string")).as("dst"))
+        .unionByName(docs(s, dir).filter(id % 10 === 0)
+          .select(lit("n0").as("src"), lit("dang").as("dst")))
+      graft.spark.CrawlGraphOps.pageRank(edges).orderBy("node")
+    }),
+
     // ---- 16an. BPE apply/round-trip (round 6): token counts under the
     //      gate-80 trained merges — low=1, lower=4, newest=1, widest=3
     //      tokens, so a doc of r reps counts 9r ----
@@ -2036,6 +2050,33 @@ object SparkEntry {
     "q_bpe_segment" ->
       ("SELECT doc_id, CAST(9 * (doc_id % 3 + 1) AS BIGINT) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    "q_pagerank" -> {
+      // the oracle unrolls the same 8 power iterations as CTE stages,
+      // sharing damping/iteration constants with the Spark op
+      val d = 0.85
+      val base =
+        "WITH e AS (SELECT DISTINCT 'n' || CAST(doc_id % 10 AS VARCHAR) AS src, " +
+          "'n' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR) AS dst FROM documents " +
+          "UNION SELECT DISTINCT 'n0', 'dang' FROM documents WHERE doc_id % 10 = 0), " +
+          "nodes AS (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+          "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+          "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg " +
+          "FROM e GROUP BY src), " +
+          "p0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS pr FROM nodes)"
+      val iters = (1 to 8).map { i =>
+        val p = s"p${i - 1}"
+        s"g$i AS (SELECT COALESCE(SUM($p.pr), 0) AS dm FROM $p " +
+          s"LEFT JOIN deg ON $p.node = deg.node WHERE deg.outdeg IS NULL), " +
+          s"c$i AS (SELECT e.dst AS node, SUM($p.pr / deg.outdeg) AS c " +
+          s"FROM e JOIN $p ON e.src = $p.node JOIN deg ON deg.node = e.src " +
+          "GROUP BY e.dst), " +
+          s"p$i AS (SELECT nodes.node, ${1 - d} / (SELECT n FROM nn) + $d * " +
+          s"(COALESCE(c$i.c, 0) + (SELECT dm FROM g$i) / (SELECT n FROM nn)) AS pr " +
+          s"FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)"
+      }.mkString(", ")
+      base + ", " + iters + " SELECT node, pr FROM p8 ORDER BY node"
+    },
     "q_bpe" ->
       ("WITH n AS (SELECT count(*) AS n FROM documents), " +
         "m(rank, l, r, base) AS (VALUES " +

@@ -131,6 +131,53 @@ object CrawlGraphOps extends Serializable {
     labels
   }
 
+  /** PageRank over the crawl link graph — the host/page authority score
+    * that feeds crawl prioritization and quality weighting. Standard
+    * power iteration with damping and dangling-mass redistribution:
+    *
+    *   pr'(v) = (1-d)/N + d·( Σ_{(u,v)∈E} pr(u)/outdeg(u) + D/N )
+    *
+    * where D = Σ pr(u) over dangling nodes (no outlinks). Duplicate
+    * edges collapse first (one vote per distinct link, the convention).
+    * Output: `(node, pr)` for every node in the edge set; Σ pr = 1 at
+    * every iteration (the dangling term keeps the distribution proper).
+    *
+    * Scale shape: each iteration is one join + one agg keyed by node —
+    * per-round `localCheckpoint` (the [[connectedComponents]] lineage
+    * discipline) keeps round cost constant; the single driver scalar per
+    * round is the dangling mass. Fixed `iters` (default 8) rather than a
+    * convergence test: deterministic cost AND a deterministic oracle. */
+  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = pr.join(deg, Seq("node"), "left")
+        .filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+      val contribs = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("c"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    pr
+  }
+
   /** Domain-blocklist filter (the UT1-style category-list gate every
     * crawl pipeline runs before fetch or before training-set admission):
     * a url is blocked when its host EQUALS a listed domain or is a

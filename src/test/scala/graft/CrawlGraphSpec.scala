@@ -194,6 +194,28 @@ class CrawlGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.getString(1) == "changed" && got2.getLong(4) == -1L)
   }
 
+  test("pageRank: cycle fixed point, dangling mass conserved, duplicate edges collapse") {
+    val s = spark
+    import s.implicits._
+    // 2-cycle: exact fixed point 0.5/0.5 at any iteration count
+    val cyc = CrawlGraphOps.pageRank(
+      Seq(("a", "b"), ("b", "a"), ("a", "b")).toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cyc("a") - 0.5) < 1e-12 && math.abs(cyc("b") - 0.5) < 1e-12)
+    // star into a dangling sink: one hand-computed iteration
+    val star = CrawlGraphOps.pageRank(
+      Seq(("a", "b"), ("c", "b")).toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(star("b") - (0.05 + 0.85 * (2.0 / 3 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(star("a") - (0.05 + 0.85 * (1.0 / 9))) < 1e-12)
+    assert(math.abs(star.values.sum - 1.0) < 1e-12) // mass conserved
+    // mass stays conserved over many rounds
+    val deep = CrawlGraphOps.pageRank(
+      Seq(("a", "b"), ("c", "b"), ("b", "c")).toDF("src", "dst"), iters = 12)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(deep - 1.0) < 1e-10)
+  }
+
   test("domainBlocked: exact, subdomain, longest entry wins, clean passes") {
     val s = spark
     import s.implicits._
