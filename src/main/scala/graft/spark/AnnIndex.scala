@@ -122,8 +122,10 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
   // by indexDir, invalidated by the content fingerprint of the backing
   // files (an append rewrites radii partitions; a rebuild rewrites
   // everything) — so correctness never rests on the cache.
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Array[Array[Float]], Array[Double], Array[Long]))]()
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Array[Float]])]()
+  private val radiiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Array[Double], Array[Long]))]()
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, (Int, Int, Int, Long, Int))]()
 
@@ -171,22 +173,39 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     v
   }
 
-  /** the probe-side quantizer read: immutable centroids + per-list radii
-    * as max() and counts as sum() over every published batch partition
-    * (commutative merges, performed in the DRIVER over the collected
-    * per-batch rows — nlist*batches rows, no shuffle). Lists never
-    * populated keep radius 0 / count 0. Cached per indexDir behind a
-    * file fingerprint. */
-  private[spark] def readQuantizer(spark: SparkSession,
-      indexDir: String): (Array[Array[Float]], Array[Double], Array[Long]) = {
+  /** the centroid table read — IMMUTABLE after build (only radii change
+    * across appends), so its cache entry survives the whole index
+    * lifetime: an append or probe after build re-reads RADII, never the
+    * centroids (the r6 combined quantizer cache keyed on centroids+radii
+    * fingerprints re-collected both on every radii change — one extra
+    * Spark job per append/compact/post-append probe). */
+  private[spark] def readCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] = {
     import spark.implicits._
-    val fp = dirFingerprint(spark, s"$indexDir/centroids") * 31 +
-      dirFingerprint(spark, s"$indexDir/radii")
-    val hit = quantizerCache.get(indexDir)
+    val fp = dirFingerprint(spark, s"$indexDir/centroids")
+    val hit = centroidCache.get(indexDir)
     if (hit != null && hit._1 == fp) return hit._2
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("list_id").as[Int], col("centroid").as[Seq[Float]])
       .collect().sortBy(_._1).map(_._2.toArray)
+    putBounded(centroidCache, indexDir, (fp, cents))
+    cents
+  }
+
+  /** the probe-side quantizer read: immutable centroids + per-list radii
+    * as max() and counts as sum() over every published batch partition
+    * (commutative merges, performed in the DRIVER over the collected
+    * per-batch rows — nlist*batches rows, no shuffle). Lists never
+    * populated keep radius 0 / count 0. Cached per indexDir behind file
+    * fingerprints (centroids and radii independently — see
+    * [[readCentroids]]). */
+  private[spark] def readQuantizer(spark: SparkSession,
+      indexDir: String): (Array[Array[Float]], Array[Double], Array[Long]) = {
+    import spark.implicits._
+    val cents = readCentroids(spark, indexDir)
+    val fp = dirFingerprint(spark, s"$indexDir/radii")
+    val hit = radiiCache.get(indexDir)
+    if (hit != null && hit._1 == fp && hit._2._1.length == cents.length)
+      return (cents, hit._2._1, hit._2._2)
     val radii = new Array[Double](cents.length)
     val counts = new Array[Long](cents.length)
     // ignoreMissingFiles: a concurrent compaction's step-4 cleanup may
@@ -203,9 +222,8 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         if (r > radii(l)) radii(l) = r
         counts(l) += c
       }
-    val v = (cents, radii, counts)
-    putBounded(quantizerCache, indexDir, (fp, v))
-    v
+    putBounded(radiiCache, indexDir, (fp, (radii, counts)))
+    (cents, radii, counts)
   }
 
   /** two-level quantizer training for nlist > [[DriverFitMaxNlist]] —
@@ -261,10 +279,13 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
   }
 
   /** assignment-side quantizer for append/compact: flat centroids plus the
-    * coarse table when the index was built two-level. */
+    * coarse table when the index was built two-level. Reads ONLY the
+    * immutable tables — never the radii (the r6 version went through
+    * readQuantizer and paid a radii collect per append/compact that
+    * assignment never used). */
   private def readAssignQuantizer(spark: SparkSession, indexDir: String): AnnQuantizer = {
     import spark.implicits._
-    val (cents, _, _) = readQuantizer(spark, indexDir)
+    val cents = readCentroids(spark, indexDir)
     val coarsePath = new org.apache.hadoop.fs.Path(s"$indexDir/coarse")
     val fs = coarsePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(coarsePath)) FlatQuantizer(cents)
@@ -296,22 +317,44 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     (lsh, ivf)
   }
 
+  /** run independent Spark actions from a small thread pool so the next
+    * job's tasks back-fill executors freed by the current job's tail
+    * (guide §2.6 — actions are only sequential because driver code calls
+    * them sequentially); first failure rethrows after all complete. */
+  private[spark] def inParallel(fs: (() => Unit)*): Unit = {
+    if (fs.length <= 1) { fs.foreach(_.apply()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map { f =>
+      new Thread(() => try f() catch { case t: Throwable => errs.add(t); () })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** write one batch's lsh/ivf rows. `overwriteAll = true` (initial build)
     * wipes the whole table; appends use DYNAMIC partition overwrite so only
-    * this batch's own `... /batch=<id>` partitions are replaced. */
+    * this batch's own `... /batch=<id>` partitions are replaced. The lsh
+    * and ivf writes target disjoint directories and run CONCURRENTLY
+    * (guide §2.6) — the commit record still lands strictly last. */
   private def writeIndexBatch(indexDir: String, batchId: String,
       lsh: DataFrame, ivf: DataFrame, nRows: Long, overwriteAll: Boolean): Unit = {
-    val lshW = lsh.withColumn("batch", lit(batchId))
-      .repartition(col("tbl"), col("sigp"))
-      .sortWithinPartitions(col("tbl"), col("sigp"), col("sig"))
-      .write.mode("overwrite").partitionBy("tbl", "sigp", "batch")
-    (if (overwriteAll) lshW else lshW.option("partitionOverwriteMode", "dynamic"))
-      .parquet(s"$indexDir/lsh")
-    val ivfW = ivf.drop("cdist").withColumn("batch", lit(batchId))
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id", "batch")
-    (if (overwriteAll) ivfW else ivfW.option("partitionOverwriteMode", "dynamic"))
-      .parquet(s"$indexDir/ivf")
+    inParallel(
+      () => {
+        val lshW = lsh.withColumn("batch", lit(batchId))
+          .repartition(col("tbl"), col("sigp"))
+          .sortWithinPartitions(col("tbl"), col("sigp"), col("sig"))
+          .write.mode("overwrite").partitionBy("tbl", "sigp", "batch")
+        (if (overwriteAll) lshW else lshW.option("partitionOverwriteMode", "dynamic"))
+          .parquet(s"$indexDir/lsh")
+      },
+      () => {
+        val ivfW = ivf.drop("cdist").withColumn("batch", lit(batchId))
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id", "batch")
+        (if (overwriteAll) ivfW else ivfW.option("partitionOverwriteMode", "dynamic"))
+          .parquet(s"$indexDir/ivf")
+      })
     // commit record last: a batch row exists only once its data landed
     val sparkS = lsh.sparkSession
     val batchesW = sparkS.createDataFrame(Seq((batchId, nRows))).toDF("batch", "n_rows")
@@ -351,30 +394,35 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         trainTwoLevel(spark, vecs, n, nlist)
     val cents = quant.cents
 
-    spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
-      .toDF("planes", "tables", "nlist", "n", "version")
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
-    spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
-      .toDF("list_id", "centroid")
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    quant match {
-      case TwoLevelQuantizer(coarse, starts, lens, _) =>
-        spark.createDataFrame(
-          coarse.indices.map(c => (c, coarse(c).toSeq, starts(c), lens(c))))
-          .toDF("cell_id", "centroid", "list_start", "list_len")
-          .write.mode("overwrite").parquet(s"$indexDir/coarse")
-      case _ =>
-        // an in-place rebuild over a previously TWO-LEVEL index must not
-        // leave the stale coarse table behind: readAssignQuantizer
-        // dispatches on its existence, and stale spans over the new
-        // codebook would assign out of bounds
-        deleteRecursively(s"$indexDir/coarse")
-    }
-
     val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
-    writeRadiiBatch(spark, indexDir, "b0", collectRadii(ivfP, cents.length),
-      overwriteAll = true)
+    // the three training-time tables (meta / centroids / coarse) target
+    // disjoint dirs and are independent of the radii aggregate — run all
+    // four concurrently (guide §2.6; the radii WRITE still lands before
+    // any lsh/ivf data, preserving the crash-ordering certificate)
+    var rc: (Array[Double], Array[Long]) = null
+    inParallel(
+      () => spark.createDataFrame(Seq((planes, LshTables, cents.length, n, AnnIndexVersion)))
+        .toDF("planes", "tables", "nlist", "n", "version")
+        .write.mode("overwrite").parquet(s"$indexDir/meta"),
+      () => spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
+        .toDF("list_id", "centroid")
+        .write.mode("overwrite").parquet(s"$indexDir/centroids"),
+      () => quant match {
+        case TwoLevelQuantizer(coarse, starts, lens, _) =>
+          spark.createDataFrame(
+            coarse.indices.map(c => (c, coarse(c).toSeq, starts(c), lens(c))))
+            .toDF("cell_id", "centroid", "list_start", "list_len")
+            .write.mode("overwrite").parquet(s"$indexDir/coarse")
+        case _ =>
+          // an in-place rebuild over a previously TWO-LEVEL index must not
+          // leave the stale coarse table behind: readAssignQuantizer
+          // dispatches on its existence, and stale spans over the new
+          // codebook would assign out of bounds
+          deleteRecursively(s"$indexDir/coarse")
+      },
+      () => rc = collectRadii(ivfP, cents.length))
+    writeRadiiBatch(spark, indexDir, "b0", rc, overwriteAll = true)
     writeIndexBatch(indexDir, "b0", lsh, ivfP, n, overwriteAll = true)
     ivfP.unpersist(false)
     vecs.unpersist(false)
@@ -435,13 +483,14 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
 
     val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
       .persist()
-    val n = vecs.count()
     val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     // this batch's radii first (conservative on crash — see scaladoc)
-    writeRadiiBatch(spark, indexDir, batchId, collectRadii(ivfP, quant.cents.length),
-      overwriteAll = false)
-    writeIndexBatch(indexDir, batchId, lsh, ivfP, n, overwriteAll = false)
+    val rc = collectRadii(ivfP, quant.cents.length)
+    writeRadiiBatch(spark, indexDir, batchId, rc, overwriteAll = false)
+    // n_rows = Σ per-list counts — every vector assigns to exactly one
+    // list, so the commit record needs no separate count() job (r6 ran one)
+    writeIndexBatch(indexDir, batchId, lsh, ivfP, rc._2.sum, overwriteAll = false)
     ivfP.unpersist(false)
     vecs.unpersist(false)
   }
@@ -506,15 +555,15 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
       .dropDuplicates("vec_id")
       .as[(Long, Seq[Float])]
       .localCheckpoint(true)
-    val n = vecs.count()
 
     val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     // 1. tight radii first, 2.-3. data + commit record via the one shared
-    // write path (single layout definition with build/append)
-    writeRadiiBatch(spark, indexDir, target, collectRadii(ivfP, quant.cents.length),
-      overwriteAll = false)
-    writeIndexBatch(indexDir, target, lsh, ivfP, n, overwriteAll = false)
+    // write path (single layout definition with build/append); n_rows =
+    // Σ per-list counts (no separate count() job — see appendAnnIndex)
+    val rc = collectRadii(ivfP, quant.cents.length)
+    writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
+    writeIndexBatch(indexDir, target, lsh, ivfP, rc._2.sum, overwriteAll = false)
     ivfP.unpersist(false)
     // the checkpointed vecs blocks are reclaimed by the ContextCleaner
     // once this frame goes out of scope (Dataset.unpersist does not track

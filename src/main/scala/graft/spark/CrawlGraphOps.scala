@@ -90,45 +90,51 @@ object CrawlGraphOps extends Serializable {
     * minimum member (deterministic, join-able back to any table). Output
     * one row per node appearing in `edges`: `(node, comp)`.
     *
-    * Algorithm: min-label propagation — each round every node takes the
-    * minimum of its own label and its neighbors' (one shuffle join + one
-    * shuffle agg per round, all in ONE declarative DAG). Exact when
-    * `maxIters` ≥ the maximum distance from any node to its component's
-    * minimum; crawl dedup clusters are star-shaped (a canonical target
-    * and its variants), so the default 8 has wide margin. For adversarial
-    * long-chain graphs swap in the alternating large-star/small-star
-    * rounds (Kiveris et al., O(log n) rounds) behind this same signature
-    * — label propagation is the right trade for cluster shapes this
-    * engine actually produces. The symmetric edge set is persisted once
-    * and re-scanned by every round. */
+    * Algorithm: min-label propagation. Round 7 shape: the symmetric edge
+    * set gains a SELF-LOOP per node, so each round's new label is simply
+    * `min over (self ∪ neighbors)` — ONE join + ONE agg per round, and the
+    * previous labels are referenced exactly ONCE. That makes plan growth
+    * LINEAR in rounds, so the whole loop stays a single declarative DAG
+    * executed by ONE action (the round-6 version read labels twice per
+    * round — neighbor min + `least(own, nmin)` self-join — whose 2^iters
+    * subtree doubling forced an eager localCheckpoint and a full Spark
+    * job EVERY round: 48 jobs for the 8-round gate row, measured 2.6 s of
+    * pure scheduling at sf0.1). Exact when `maxIters` ≥ the maximum
+    * distance from any node to its component's minimum; crawl dedup
+    * clusters are star-shaped (a canonical target and its variants), so
+    * the default 8 has wide margin. For adversarial long-chain graphs
+    * swap in the alternating large-star/small-star rounds (Kiveris et
+    * al., O(log n) rounds) behind this same signature — label propagation
+    * is the right trade for cluster shapes this engine actually produces.
+    * The self-looped edge set is persisted once and re-scanned by every
+    * round (Spark additionally reuses its exchange across rounds); past 8
+    * un-checkpointed rounds the plan is truncated to keep optimizer time
+    * bounded at high `maxIters`. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 8): DataFrame = {
     require(maxIters >= 1 && maxIters <= 64, s"maxIters out of range: $maxIters")
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // one row per node (a ∪ b — sym is symmetric, so distinct over `a`
+    // covers both); doubles as the self-loop table
+    val loops = sym.select(col("a")).distinct()
+    val nbrs = sym.unionByName(loops.select(col("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      // each round reads the previous labels TWICE (neighbor join + self
-      // join): left lazy, the logical plan doubles per round (2^maxIters
-      // subtree copies — measured 75 s at sf0.1 for 8 rounds). The eager
-      // localCheckpoint pins each round to its materialized rows, so a
-      // round costs exactly one join + one agg + one join, every round.
-      .localCheckpoint(true)
+    var labels = loops.select(col("a").as("node"), col("a").as("comp"))
     for (i <- 1 to maxIters) {
-      val nbrMin = sym.alias(s"e$i")
+      // min over neighbors INCLUDING self (the self-loop) — exactly
+      // least(own, neighbor-min) of the two-join formulation
+      labels = nbrs.alias(s"e$i")
         .join(labels.alias(s"l$i"), col(s"e$i.b") === col(s"l$i.node"))
         .groupBy(col(s"e$i.a").as("node"))
-        .agg(min(col(s"l$i.comp")).as("nmin"))
-      labels = labels.alias(s"c$i")
-        .join(nbrMin.alias(s"m$i"), Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col(s"c$i.comp"), coalesce(col(s"m$i.nmin"), col(s"c$i.comp")))
-            .as("comp"))
-        .localCheckpoint(true)
+        .agg(min(col(s"l$i.comp")).as("comp"))
+      if (i % 8 == 0 && i < maxIters) labels = labels.localCheckpoint(true)
     }
-    sym.unpersist(false) // labels is materialized; the edge cache can go
-    labels
+    // materialize the (node, comp) result — small by construction — so the
+    // edge cache can be released before returning
+    val out = labels.localCheckpoint(true)
+    nbrs.unpersist(false)
+    out
   }
 
   /** PageRank over the crawl link graph — the host/page authority score
@@ -150,32 +156,105 @@ object CrawlGraphOps extends Serializable {
   def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // Small-graph driver escape (guide §1.2 — choose the algorithm before
+    // tuning it): the distributed rounds cost one Spark action each, which
+    // is pure scheduling overhead when the deduped edge set is tiny (the
+    // r6 bench row spent 86 jobs / ~6 s iterating a 10-node graph). Collect
+    // at most budget+1 edges in one job; a complete result means the whole
+    // distinct edge set is on the driver and the classic in-memory power
+    // iteration reproduces the same per-round arithmetic (same formula,
+    // same counts; float summation order differs by ulps exactly as any
+    // re-partitioning of the distributed sum does). Over-budget graphs —
+    // the 100-TB case — take the distributed loop below, itself improved
+    // this round (precomputed dangling set, in-DAG dangling scalar).
+    if (e.schema(0).dataType == e.schema(1).dataType) {
+      val head = e.limit(PageRankDriverEdgeBudget + 1).collect()
+      if (head.length <= PageRankDriverEdgeBudget)
+        return pageRankLocal(edges.sparkSession, e.schema(0).dataType, head, iters, damping)
+    }
+    val eP = e.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eP.select(col("src").as("node"))
+      .unionByName(eP.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count().toDouble
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val deg = eP.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
+    // the dangling node SET is static across rounds — only its pr mass
+    // changes (r6 recomputed the set via a pr⋈deg null-filter every round)
+    val dangNodes = nodes.join(deg, Seq("node"), "left_anti").localCheckpoint(true)
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dangling = pr.join(deg, Seq("node"), "left")
-        .filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
-      val contribs = e
+      // the dangling mass stays IN the DAG as a 1-row aggregate crossJoin
+      // (r6 collected it to the driver — a second full action per round)
+      val dang = pr.join(dangNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      val contribs = eP
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(deg.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("outdeg")).as("c"))
       pr = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("pr"))
+            (coalesce(col("c"), lit(0.0)) + col("dang") / n)).as("pr"))
+        // pr is referenced twice next round (dangling agg + contribs), so
+        // the per-round checkpoint remains the lineage discipline — but a
+        // round is now ONE action, not two
         .localCheckpoint(true)
     }
-    e.unpersist(false)
+    eP.unpersist(false)
     pr
+  }
+
+  /** edge-count ceiling for [[pageRank]]'s in-memory fast path (64k edges
+    * ≈ a few MB of driver state — far under any broadcast-sized budget
+    * this repo already accepts, e.g. contaminationCheck's gram table). */
+  final val PageRankDriverEdgeBudget: Int = 1 << 16
+
+  /** classic in-memory power iteration over a collected distinct edge set
+    * — identical per-round formula to the distributed loop:
+    * pr'(v) = (1-d)/N + d·(Σ pr(u)/outdeg(u) + D/N). */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeType: org.apache.spark.sql.types.DataType,
+      rows: Array[org.apache.spark.sql.Row], iters: Int, damping: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("pr", DoubleType, nullable = false)))
+    val idx = new java.util.LinkedHashMap[Any, Integer]()
+    def id(v: Any): Int = {
+      var i = idx.get(v)
+      if (i == null) { i = Integer.valueOf(idx.size); idx.put(v, i) }
+      i.intValue()
+    }
+    val m = rows.length
+    val srcs = new Array[Int](m)
+    val dsts = new Array[Int](m)
+    var k = 0
+    while (k < m) { srcs(k) = id(rows(k).get(0)); dsts(k) = id(rows(k).get(1)); k += 1 }
+    val n = idx.size
+    if (n == 0)
+      return spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val outdeg = new Array[Int](n)
+    k = 0
+    while (k < m) { outdeg(srcs(k)) += 1; k += 1 }
+    var pr = Array.fill(n)(1.0 / n)
+    var it = 0
+    while (it < iters) {
+      var dang = 0.0
+      var v = 0
+      while (v < n) { if (outdeg(v) == 0) dang += pr(v); v += 1 }
+      val next = Array.fill(n)((1 - damping) / n + damping * (dang / n))
+      k = 0
+      while (k < m) { next(dsts(k)) += damping * (pr(srcs(k)) / outdeg(srcs(k))); k += 1 }
+      pr = next
+      it += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    idx.forEach((node, i) => { out.add(org.apache.spark.sql.Row(node, pr(i.intValue()))); () })
+    spark.createDataFrame(out, schema)
   }
 
   /** Domain-blocklist filter (the UT1-style category-list gate every
@@ -286,9 +365,22 @@ object CrawlGraphOps extends Serializable {
       .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left_outer")
       .where(call_function("robots_allowed", col("robots_txt"), lit(agent),
         call_function("url_path", col("url"))))
+    // two-stage per-host top-N (guide §2.5 — a hot-host window is the one
+    // skew AQE cannot split): stage 1 caps each (host, salt) slice to
+    // maxPerHost under a DETERMINISTIC url-hash salt, so no single task
+    // ever sorts more than ~cap × salts rows of a mega-host; stage 2 runs
+    // the exact per-host window over ≤ salts × maxPerHost survivors.
+    // Every true top-maxPerHost url is within its own slice's top
+    // maxPerHost, so the result is unchanged.
+    val salts = 64
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "salt").orderBy("url")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("url")
     gated
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(salts.toLong)))
+      .withColumn("prn", row_number().over(pre))
+      .where(col("prn") <= maxPerHost)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= maxPerHost)
       .select("host", "url")

@@ -983,9 +983,15 @@ object PdfOps extends Serializable {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
-    val dir = s"/tmp/graft_pdf_bytes/n$n-v7"
+    // v8: the v7 cache inherited the documents scan's task count (7 files
+    // at sf0.1) and parquet row groups are the split floor — so the
+    // EXTRACTION stage ran 7-wide on 32 cores (guide §6: file count sets
+    // task granularity). Hash-repartition the ids into ≤256 deterministic
+    // files so every core gets work at any SPARK_GRAFT_CPUS.
+    val dir = s"/tmp/graft_pdf_bytes/n$n-v8"
     if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
-      docs.select(col("doc_id")).as[Long]
+      docs.select(col("doc_id"))
+        .repartition(math.min(n, 256L).toInt, col("doc_id")).as[Long]
         .map(id => (id, synthPdf(id)))
         .toDF("doc_id", "pdf")
         .write.mode("overwrite").parquet(dir)

@@ -198,9 +198,17 @@ private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
       .join(paragraphDedup(detemplated), Seq("doc_id"))
       .select(col("doc_id"), col("host"), col("text_dedup").as("text"))
       .filter(length(col("text")) > 0)
-    val keep = deduped.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    deduped.join(keep, Seq("text", "doc_id"))
-      .select(col("doc_id"), col("host"), col("text").as("text_clean"))
+    // final exact doc dedup keyed on xxhash64(text) — the [[dedupExact]]
+    // discipline (r6 grouped by the TEXT COLUMN and joined back on it: two
+    // full-corpus exchanges sorting/comparing multi-KB text keys, in the
+    // one composition a user actually calls). One 8-byte-keyed exchange;
+    // min(struct(doc_id, …)) keeps the first doc per identical text.
+    // Same-hash/different-text collisions (2^-64) collapse spuriously —
+    // the accepted trade [[paragraphDedup]] already documents.
+    deduped.groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("host"), col("text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.host").as("host"),
+        col("w.text").as("text_clean"))
   }
 
   /** MinHash + LSH near-dup pairs: shingle -> minhash -> band key ->

@@ -300,10 +300,29 @@ private[spark] trait TextCoreOps extends Serializable {
       minPairCount: Long = 2L): DataFrame = {
     import spark.implicits._
     require(numMerges >= 1 && numMerges <= 65536, s"numMerges out of range: $numMerges")
-    var segs = docs
+    val wordFreq = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    // Driver escape (round 7, the contaminationCheck broadcast-guard
+    // pattern): after the one corpus shuffle the word-frequency table is
+    // distinct-words-sized (~millions of rows, NOT the token stream). When
+    // it fits the row+char budget, collect it once and run the classic
+    // in-memory merge loop — 2 Spark jobs total instead of ~2 PER MERGE,
+    // which is what makes a real 32k-merge vocabulary deliverable (the r6
+    // distributed loop would have scheduled ~64k jobs of pure overhead;
+    // see BpeScaleSpec for the 32k witness). Identical merge sequence by
+    // construction: same pair counts (Long), same tie order (count desc,
+    // then left, then right in UTF-8 binary order — Spark's string sort
+    // order), same greedy re-segmentation ([[mergePair]]), same
+    // minPairCount early stop. Oversize vocabularies fall through to the
+    // distributed per-round loop unchanged.
+    val head = wordFreq.select(col("w").as[String], col("freq").as[Long])
+      .limit(BpeDriverWordBudget + 1).collect()
+    if (head.length <= BpeDriverWordBudget &&
+        head.iterator.map(_._1.length.toLong).sum <= BpeDriverCharBudget)
+      return bpeTrainLocal(spark, head, numMerges, minPairCount)
+    var segs = wordFreq
       .select(col("w").as[String], col("freq").as[Long])
       .map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }
       .toDF("syms", "freq")
@@ -328,6 +347,124 @@ private[spark] trait TextCoreOps extends Serializable {
           .map { case (syms, f) => (mergePair(syms, a, b), f) }
           .toDF("syms", "freq")
           .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** row / char budgets for [[bpeTrain]]'s driver escape: 2M distinct
+    * words of ≤ 32M total chars is a few hundred MB of driver state —
+    * comfortably inside the same driver envelope contaminationCheck's
+    * 64M-gram broadcast guard already accepts. */
+  final val BpeDriverWordBudget: Int = 2 << 20
+  final val BpeDriverCharBudget: Long = 32L << 20
+
+  /** UTF-8 binary string order — what Spark's `orderBy(col)` on strings
+    * (UTF8String) uses; java.lang.String.compareTo is UTF-16 code-unit
+    * order, which disagrees for supplementary characters. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** the in-memory merge loop behind [[bpeTrain]]'s driver escape:
+    * incremental pair-count maintenance (only words containing the merged
+    * pair are re-segmented — the subword-nmt shape), so 32k merges over a
+    * milions-of-words table run in seconds. Semantics identical to the
+    * distributed loop (see the caller comment). */
+  private def bpeTrainLocal(spark: SparkSession, wordFreq: Array[(String, Long)],
+      numMerges: Int, minPairCount: Long): DataFrame = {
+    import spark.implicits._
+    val m = wordFreq.length
+    val words = new Array[Array[String]](m)
+    val freqs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val (w, f) = wordFreq(i)
+      val syms = new Array[String](w.length + 1)
+      var j = 0
+      while (j < w.length) { syms(j) = String.valueOf(w.charAt(j)); j += 1 }
+      syms(w.length) = "</w>"
+      words(i) = syms
+      freqs(i) = f
+      i += 1
+    }
+    val pairCount = new java.util.HashMap[(String, String), java.lang.Long]()
+    val pairWords = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def addWord(wid: Int, sign: Long): Unit = {
+      val syms = words(wid)
+      val f = freqs(wid) * sign
+      var j = 0
+      while (j + 1 < syms.length) {
+        val p = (syms(j), syms(j + 1))
+        val c = pairCount.get(p)
+        val nc = (if (c == null) 0L else c.longValue()) + f
+        if (nc == 0L) pairCount.remove(p) else pairCount.put(p, java.lang.Long.valueOf(nc))
+        if (sign > 0) {
+          var set = pairWords.get(p)
+          if (set == null) { set = new java.util.HashSet[Integer](); pairWords.put(p, set) }
+          set.add(Integer.valueOf(wid))
+        }
+        j += 1
+      }
+      if (sign < 0) {
+        // membership sets are rebuilt by the re-add; stale ids are filtered
+        // lazily at merge time (a word no longer containing the pair just
+        // re-segments to itself)
+        ()
+      }
+    }
+    i = 0
+    while (i < m) { addWord(i, 1L); i += 1 }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // argmax: count desc, then left asc, then right asc (UTF-8 order)
+      var best: (String, String) = null
+      var bestC = 0L
+      val it = pairCount.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue()
+        if (c > bestC || (c == bestC && best != null && {
+          val dl = utf8Compare(e.getKey._1, best._1)
+          dl < 0 || (dl == 0 && utf8Compare(e.getKey._2, best._2) < 0)
+        })) { best = e.getKey; bestC = c }
+      }
+      if (best == null || bestC < minPairCount) done = true
+      else {
+        merges += ((rank, best._1, best._2, bestC))
+        val members = pairWords.remove(best)
+        if (members != null) {
+          val mit = members.iterator()
+          while (mit.hasNext) {
+            val wid = mit.next().intValue()
+            val old = words(wid)
+            // lazily-staled membership: verify the pair is still present
+            var has = false
+            var j = 0
+            while (!has && j + 1 < old.length) {
+              has = old(j) == best._1 && old(j + 1) == best._2
+              j += 1
+            }
+            if (has) {
+              addWord(wid, -1L)
+              words(wid) = mergePair(old.toSeq, best._1, best._2).toArray
+              addWord(wid, 1L)
+            }
+          }
+        }
         rank += 1
       }
     }
@@ -425,13 +562,19 @@ private[spark] trait TextCoreOps extends Serializable {
     val uniCounts = words(trainDf)
       .select(explode(col("ws")).as("w1")).groupBy("w1")
       .agg(count(lit(1)).as("cu"))
-    val v = uniCounts.count() // the single driver scalar: vocab size
+    // vocab size stays IN the DAG as a 1-row aggregate crossJoin: the r6
+    // `uniCounts.count()` was a separate driver action re-running the
+    // whole tokenize+aggregate subtree before the real query even started
+    // (2 passes over the corpus, 2 jobs); the shared uniCounts exchange is
+    // now computed once and reused by both consumers
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
     val scored = bigrams(docs)
       .join(biCounts, Seq("w1", "w2"), "left")
       .join(uniCounts, Seq("w1"), "left")
+      .crossJoin(vocab)
       .select(col("doc_id"),
         log((coalesce(col("cb"), lit(0L)).cast("double") + k) /
-          (coalesce(col("cu"), lit(0L)).cast("double") + k * v)).as("ll"))
+          (coalesce(col("cu"), lit(0L)).cast("double") + lit(k) * col("v"))).as("ll"))
       .groupBy("doc_id").agg(avg(col("ll")).as("lm_score"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")

@@ -593,9 +593,13 @@ object WarcOps extends Serializable {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
-    val dir = s"/tmp/graft_warc_bytes/n$n-v6"
+    // v7: hash-repartition into ≤256 files — the v6 cache inherited the
+    // documents scan's task count (7 at sf0.1), and parquet row groups are
+    // the split floor, so parse/extract ran 7-wide on 32 cores (guide §6)
+    val dir = s"/tmp/graft_warc_bytes/n$n-v7"
     if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
-      docs.select(col("doc_id")).as[Long]
+      docs.select(col("doc_id"))
+        .repartition(math.min(n, 256L).toInt, col("doc_id")).as[Long]
         .map { id =>
           // odd ids ship as .warc.gz (per-record gzip members, the real
           // CC layout); even ids plain — one dispatch entry handles both
