@@ -426,6 +426,17 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     writeIndexBatch(indexDir, "b0", lsh, ivfP, n, overwriteAll = true)
     ivfP.unpersist(false)
     vecs.unpersist(false)
+    // write-through cache seed: this process already holds everything it
+    // just wrote — the first probe then runs ZERO metadata jobs. Seeded
+    // under the POST-write fingerprints, so any external change still
+    // invalidates; correctness never rests on the seed.
+    putBounded(metaCache, indexDir,
+      (dirFingerprint(spark, s"$indexDir/meta"),
+        (planes, LshTables, cents.length, n, AnnIndexVersion)))
+    putBounded(centroidCache, indexDir,
+      (dirFingerprint(spark, s"$indexDir/centroids"), cents))
+    putBounded(radiiCache, indexDir,
+      (dirFingerprint(spark, s"$indexDir/radii"), rc))
   }
 
   /** deterministic quantizer training sample, robust to ARBITRARY vec_id
@@ -487,7 +498,18 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val ivfP = ivf.persist()
     // this batch's radii first (conservative on crash — see scaladoc)
     val rc = collectRadii(ivfP, quant.cents.length)
+    val preHit = radiiCache.get(indexDir)
+    val preFp = dirFingerprint(spark, s"$indexDir/radii")
     writeRadiiBatch(spark, indexDir, batchId, rc, overwriteAll = false)
+    // write-through seed: when the PRE-append radii were cached current,
+    // the post-append merge is known locally (max radii, summed counts) —
+    // the next probe's quantizer read becomes job-free (see buildAnnIndex)
+    if (preHit != null && preHit._1 == preFp && preHit._2._1.length == rc._1.length) {
+      val mergedR = Array.tabulate(rc._1.length)(l => math.max(preHit._2._1(l), rc._1(l)))
+      val mergedC = Array.tabulate(rc._2.length)(l => preHit._2._2(l) + rc._2(l))
+      putBounded(radiiCache, indexDir,
+        (dirFingerprint(spark, s"$indexDir/radii"), (mergedR, mergedC)))
+    }
     // n_rows = Σ per-list counts — every vector assigns to exactly one
     // list, so the commit record needs no separate count() job (r6 ran one)
     writeIndexBatch(indexDir, batchId, lsh, ivfP, rc._2.sum, overwriteAll = false)
@@ -538,8 +560,17 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     require(epoch.nonEmpty && epoch.matches("[A-Za-z0-9._-]+"),
       s"epoch must be a safe partition value (got '$epoch')")
     val target = s"compacted-$epoch"
-    val old = spark.read.parquet(s"$indexDir/batches")
-      .select(col("batch").as[String]).collect().toSeq.filterNot(_ == target)
+    // batch ids are the `batch=<id>` PARTITION DIR names of the commit
+    // table — a filesystem listing, not a Spark job (r6 ran a parquet scan
+    // for a handful of directory names)
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$indexDir/batches")
+    val batchesFs = batchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = batchesFs.listStatus(batchesPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(n => java.net.URLDecoder.decode(n.substring("batch=".length), "UTF-8"))
+      .filterNot(_ == target)
     if (old.isEmpty) return
     val planes = readMeta(spark, indexDir)._1
     val quant = readAssignQuantizer(spark, indexDir)
@@ -581,6 +612,12 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         if (hits != null) hits.foreach(h => fs.delete(h.getPath, true))
       }
     }
+    // write-through seed AFTER cleanup: the radii dir now holds exactly the
+    // target batch, whose tight radii this process just computed (the next
+    // probe's quantizer read becomes job-free; fingerprint still guards
+    // external writers — see buildAnnIndex)
+    putBounded(radiiCache, indexDir,
+      (dirFingerprint(spark, s"$indexDir/radii"), rc))
   }
 
   /** bump on ANY change to signature / quantizer / layout semantics

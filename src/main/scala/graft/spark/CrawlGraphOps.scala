@@ -56,11 +56,23 @@ object CrawlGraphOps extends Serializable {
     * join and AQE sizes each one from runtime statistics as the frontier
     * shrinks. The returned frame references the persisted edge snapshot;
     * at crawl scale follow with a write, then the cache ages out. */
-  def resolveRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
+  def resolveRedirects(edges: DataFrame, maxHops: Int = 8,
+      driverEdgeBudget: Int = DriverGraphEdgeBudget): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops out of range: $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    val eAgg = edges.select(col("src"), col("dst"))
       .groupBy("src").agg(min("dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph driver escape (the pageRank pattern, guide §1.2): the
+    // deduped successor table one-job-collects when it fits the budget,
+    // and the hop walk runs in memory — the distributed loop's per-hop
+    // joins are pure scheduling overhead at that size. Exact by
+    // construction: same min-successor collapse (typed orderings match
+    // Spark's min), same hop budget, same final/capped classification.
+    if (driverEdgeBudget > 0 && atomicKeys(eAgg.schema)) {
+      val head = eAgg.limit(driverEdgeBudget + 1).collect()
+      if (head.length <= driverEdgeBudget)
+        return resolveRedirectsLocal(edges.sparkSession, eAgg.schema, head, maxHops)
+    }
+    val e = eAgg.persist(StorageLevel.MEMORY_AND_DISK)
     var active = e.select(col("src"), col("dst").as("cur"), lit(1).as("hops"))
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (h <- 1 until maxHops) {
@@ -82,6 +94,129 @@ object CrawlGraphOps extends Serializable {
         when(col("nc.dst").isNull, lit("final")).otherwise(lit("capped"))
           .as("terminal"))
     done.foldLeft(cap)(_ unionByName _)
+  }
+
+  /** shared edge-count ceiling for the iterative operators' in-memory
+    * fast paths (64k edges ≈ a few MB of driver state — far under the
+    * driver envelope contaminationCheck's gram broadcast already
+    * accepts). */
+  final val DriverGraphEdgeBudget: Int = 1 << 16
+
+  /** both key columns are plain atomic types (driver fast paths rely on
+    * JVM equality/hashing of collected values; struct/array/map keys stay
+    * on the distributed path). */
+  private def atomicKeys(schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.take(2).forall(_.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           BooleanType | DoubleType | FloatType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+  }
+
+  /** min-ordering matching Spark's `min` for the label types the driver
+    * fast paths accept: UTF8 binary for strings, natural for integrals.
+    * None = unsupported type, caller falls back to the distributed loop. */
+  private def minOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          a.length - b.length
+        }
+      })
+      case LongType => Some(Ordering.Long.asInstanceOf[Ordering[Any]].on(identity))
+      case IntegerType => Some(Ordering.Int.asInstanceOf[Ordering[Any]].on(identity))
+      case ShortType => Some(Ordering.Short.asInstanceOf[Ordering[Any]].on(identity))
+      case ByteType => Some(Ordering.Byte.asInstanceOf[Ordering[Any]].on(identity))
+      case _ => None
+    }
+  }
+
+  /** in-memory hop walk behind [[resolveRedirects]]'s driver escape: the
+    * collected successor table (already min-collapsed by the aggregate)
+    * walks each chain up to `maxHops`. */
+  private def resolveRedirectsLocal(spark: org.apache.spark.sql.SparkSession,
+      eSchema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row], maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("src", eSchema(0).dataType, nullable = true),
+      StructField("final_url", eSchema(1).dataType, nullable = true),
+      StructField("hops", IntegerType, nullable = false),
+      StructField("terminal", StringType, nullable = false)))
+    val succ = new java.util.HashMap[Any, Any](rows.length * 2)
+    rows.foreach(r => succ.put(r.get(0), r.get(1)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.foreach { r =>
+      var cur = r.get(1)
+      var hops = 1
+      while (hops < maxHops && succ.containsKey(cur)) { cur = succ.get(cur); hops += 1 }
+      val terminal = if (succ.containsKey(cur)) "capped" else "final"
+      out.add(org.apache.spark.sql.Row(r.get(0), cur, hops, terminal))
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** in-memory min-label propagation behind [[connectedComponents]]'s
+    * driver escape — the SAME round-truncated semantics (labels after
+    * min(maxIters, fixpoint) rounds; stopping at the fixpoint is
+    * output-identical to running the remaining no-op rounds). */
+  private def connectedComponentsLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeType: org.apache.spark.sql.types.DataType, ord: Ordering[Any],
+      rows: Array[org.apache.spark.sql.Row], maxIters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("comp", nodeType, nullable = true)))
+    val idx = new java.util.LinkedHashMap[Any, Integer]()
+    def id(v: Any): Int = {
+      var i = idx.get(v)
+      if (i == null) { i = Integer.valueOf(idx.size); idx.put(v, i) }
+      i.intValue()
+    }
+    val m = rows.length
+    val ea = new Array[Int](2 * m)
+    val eb = new Array[Int](2 * m)
+    var k = 0
+    while (k < m) {
+      val a = id(rows(k).get(0)); val b = id(rows(k).get(1))
+      ea(2 * k) = a; eb(2 * k) = b
+      ea(2 * k + 1) = b; eb(2 * k + 1) = a
+      k += 1
+    }
+    val n = idx.size
+    val nodeOf = new Array[Any](n)
+    idx.forEach((v, i) => nodeOf(i.intValue()) = v)
+    var labels = Array.tabulate(n)(i => nodeOf(i))
+    var it = 0
+    var changed = true
+    while (it < maxIters && changed) {
+      changed = false
+      val next = labels.clone()
+      var j = 0
+      while (j < 2 * m) {
+        val lb = labels(eb(j))
+        if (ord.compare(lb, next(ea(j))) < 0) { next(ea(j)) = lb; changed = true }
+        j += 1
+      }
+      labels = next
+      it += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) { out.add(org.apache.spark.sql.Row(nodeOf(i), labels(i))); i += 1 }
+    spark.createDataFrame(out, schema)
   }
 
   /** Connected components over an undirected edge set `(a, b)` — the
@@ -110,18 +245,42 @@ object CrawlGraphOps extends Serializable {
     * round (Spark additionally reuses its exchange across rounds); past 8
     * un-checkpointed rounds the plan is truncated to keep optimizer time
     * bounded at high `maxIters`. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 8): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 8,
+      driverEdgeBudget: Int = DriverGraphEdgeBudget): DataFrame = {
     require(maxIters >= 1 && maxIters <= 64, s"maxIters out of range: $maxIters")
+    // small-graph driver escape (the pageRank pattern): the distinct edge
+    // set one-job-collects under the budget and the SAME round-truncated
+    // min-label propagation runs in memory; typed orderings match Spark's
+    // min (UTF8 binary for strings). Oversize graphs take the distributed
+    // loop below.
+    val eDistinct = edges.select(col("a"), col("b")).distinct()
+    if (driverEdgeBudget > 0 &&
+        eDistinct.schema(0).dataType == eDistinct.schema(1).dataType) {
+      minOrdering(eDistinct.schema(0).dataType) match {
+        case Some(ord) =>
+          val head = eDistinct.limit(driverEdgeBudget + 1).collect()
+          if (head.length <= driverEdgeBudget)
+            return connectedComponentsLocal(edges.sparkSession,
+              eDistinct.schema(0).dataType, ord, head, maxIters)
+        case None => ()
+      }
+    }
+    // persist the RAW symmetric set: the input edge expressions (e.g.
+    // q_dup_clusters' extract_canonical parse) are computed once, not once
+    // per derived branch
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // one row per node (a ∪ b — sym is symmetric, so distinct over `a`
-    // covers both); doubles as the self-loop table
+    // covers both) becomes the self-loop table
     val loops = sym.select(col("a")).distinct()
     val nbrs = sym.unionByName(loops.select(col("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = loops.select(col("a").as("node"), col("a").as("comp"))
-    for (i <- 1 to maxIters) {
+    // round 1 folds into a plain aggregate: initial labels are the node
+    // ids themselves, so min over (self ∪ neighbors) is just min(b)
+    var labels = nbrs.groupBy(col("a").as("node")).agg(min(col("b")).as("comp"))
+    for (i <- 2 to maxIters) {
       // min over neighbors INCLUDING self (the self-loop) — exactly
       // least(own, neighbor-min) of the two-join formulation
       labels = nbrs.alias(s"e$i")
@@ -131,8 +290,9 @@ object CrawlGraphOps extends Serializable {
       if (i % 8 == 0 && i < maxIters) labels = labels.localCheckpoint(true)
     }
     // materialize the (node, comp) result — small by construction — so the
-    // edge cache can be released before returning
+    // edge caches can be released before returning
     val out = labels.localCheckpoint(true)
+    sym.unpersist(false)
     nbrs.unpersist(false)
     out
   }
@@ -153,7 +313,8 @@ object CrawlGraphOps extends Serializable {
     * discipline) keeps round cost constant; the single driver scalar per
     * round is the dangling mass. Fixed `iters` (default 8) rather than a
     * convergence test: deterministic cost AND a deterministic oracle. */
-  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
+      driverEdgeBudget: Int = PageRankDriverEdgeBudget): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
     // Small-graph driver escape (guide §1.2 — choose the algorithm before
@@ -167,9 +328,9 @@ object CrawlGraphOps extends Serializable {
     // re-partitioning of the distributed sum does). Over-budget graphs —
     // the 100-TB case — take the distributed loop below, itself improved
     // this round (precomputed dangling set, in-DAG dangling scalar).
-    if (e.schema(0).dataType == e.schema(1).dataType) {
-      val head = e.limit(PageRankDriverEdgeBudget + 1).collect()
-      if (head.length <= PageRankDriverEdgeBudget)
+    if (driverEdgeBudget > 0 && e.schema(0).dataType == e.schema(1).dataType) {
+      val head = e.limit(driverEdgeBudget + 1).collect()
+      if (head.length <= driverEdgeBudget)
         return pageRankLocal(edges.sparkSession, e.schema(0).dataType, head, iters, damping)
     }
     val eP = e.persist(StorageLevel.MEMORY_AND_DISK)

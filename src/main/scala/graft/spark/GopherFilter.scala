@@ -23,6 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exact definitions (pinned by the DuckDB oracle + GopherSpec):
   *  - *words*: maximal runs of non-whitespace; lengths in codepoints.
+  *    Whitespace is `Character.isWhitespace` — DELIBERATELY wider than
+  *    the ASCII `\s` the oracle's regexes use (U+2028/29, U+3000, the
+  *    U+2000 block also split words here). The oracle corpus is pinned
+  *    to ASCII spacing, so the gate stays exact; on real crawl text the
+  *    Unicode split is the better word model and the documented
+  *    divergence (same convention in [[Repetition]]).
   *  - `word_count`, `mean_word_len` (0.0 when no words).
   *  - `symbol_word_ratio` = (`#` occurrences + `…` occurrences +
   *    non-overlapping greedy `...` occurrences) / word_count — the

@@ -121,7 +121,15 @@ object HttpOps extends Serializable {
     * unparseable Expires is "a time in the past", §5.3 → 0); else the
     * §4.2.2 heuristic, 10% of `Date - Last-Modified`; else NULL (no
     * basis — refetch policy is the caller's). The `Age` header is then
-    * subtracted and the result floored at 0. */
+    * subtracted and the result floored at 0.
+    *
+    * Documented deviation: `Cache-Control: private` is NOT treated as
+    * no-store, even though a strict shared cache must not reuse a
+    * private response (§5.2.2.7). A crawler's store is the sole consumer
+    * of its fetches — closer to a private cache for reuse purposes — and
+    * `private, s-maxage=...` in the wild usually signals CDN-style
+    * freshness the origin still wants honored. Callers enforcing strict
+    * shared-cache semantics should gate on the raw Cache-Control value. */
   def freshSeconds(cacheControl: String, age: String, expires: String,
       date: String, lastModified: String): java.lang.Long = {
     val ageS: Long = { val a = parseSeconds(if (age == null) null else age.trim); if (a == null) 0L else a.longValue() }

@@ -69,7 +69,10 @@ object Repetition extends Serializable {
     out
   }
 
-  /** top word-bigram coverage: (count × bigram chars) / total word chars. */
+  /** top word-bigram coverage: codepoints of words covered by ≥1
+    * occurrence of the top bigram / total word codepoints (union
+    * coverage — see the object-level doc; a word in several occurrences
+    * counts once). */
   private def topBigramCharFrac(text: String): Double = {
     // words: maximal non-whitespace runs
     val words = new java.util.ArrayList[String]()

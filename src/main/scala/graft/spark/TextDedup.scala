@@ -1,6 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** deduplication operators over the documents / embeddings tables: exact
@@ -230,11 +231,15 @@ private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
         else keys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
       }.toDF("doc_id", "band", "key")
       .persist()
-    val okBuckets = bandRows.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("sz"))
+    // bucket-size gate as a COUNT WINDOW over the band table: one
+    // (band, key) exchange shared by the filter AND both self-join sides
+    // (the r6 aggregate + join-back shape paid a second exchange to
+    // re-attach sizes)
+    val szW = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val inBucket = bandRows
+      .withColumn("sz", count(lit(1)).over(szW))
       .where(col("sz") >= 2 && col("sz") <= bucketCap)
-      .select(col("band"), col("key"))
-    val inBucket = bandRows.join(okBuckets, Seq("band", "key"))
+      .drop("sz")
     val candidates = inBucket.as("a").join(inBucket.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -273,10 +278,12 @@ private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
     val sigs = simhashBuckets(spark, docs)
       .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band", "key")))
       .persist()
-    val okBuckets = sigs.groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+    // count-window bucket gate — same one-exchange shape as [[minhashPairs]]
+    val szW = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val inBucket = sigs
+      .withColumn("sz", count(lit(1)).over(szW))
       .where(col("sz") >= 2 && col("sz") <= bucketCap)
-      .select(col("band"), col("key"))
-    val inBucket = sigs.join(okBuckets, Seq("band", "key"))
+      .drop("sz")
     val verified = inBucket.as("a").join(inBucket.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -304,16 +311,22 @@ private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
     *
     * Unit ids pack as `doc_id << 20 | idx` through the banded SimHash
     * machinery (same buckets, caps, and exact Hamming verify as the
-    * doc-level op) — `doc_id` must fit 43 bits (8.8e12 docs) and docs
-    * past 2^20 paragraphs are truncated (guarded, logged by filter). */
+    * doc-level op). `doc_id` must fit 43 bits (8.8e12 docs) — a HARD
+    * precondition, enforced per row (an out-of-range id raises instead of
+    * silently exiting fuzzy dedup); paragraphs past 2^20 per doc are
+    * TRUNCATED by filter (documented data bound, not an error). */
   def paragraphSimhashPairs(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3, minChars: Int = 25,
       bucketCap: Long = 10000L, materialize: Boolean = true): DataFrame = {
     val idxBits = 20
+    val docIdOk = col("doc_id") >= 0 && col("doc_id") < (1L << (63 - idxBits))
     val paras = docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
-      .filter(length(col("para")) >= minChars &&
-        col("idx") < (1L << idxBits) && col("doc_id") < (1L << (63 - idxBits)))
+      .select(
+        when(docIdOk, col("doc_id")).otherwise(raise_error(concat(
+          lit("paragraphSimhashPairs: doc_id out of 43-bit range: "),
+          col("doc_id").cast("string")))).as("doc_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+      .filter(length(col("para")) >= minChars && col("idx") < (1L << idxBits))
       .select((shiftleft(col("doc_id"), idxBits) + col("idx")).as("doc_id"),
         col("para").as("text"))
     simhashPairs(spark, paras, maxHamming, bucketCap, materialize)
@@ -336,32 +349,36 @@ private[spark] trait TextDedupOps extends TextCoreOps with AnnCoreOps {
     // table almost surely, so unlike ANN the bucket target can be SMALL:
     // candidate volume is ~tables * target * n / 2 — keep the constant low
     val planes = planesFor(vecs.count(), target = 32L)
+    // signatures CARRY the vector (the [[AnnIndexOps]] inline-list
+    // argument: embeddings are a small fraction of corpus bytes, and
+    // probe/verify locality beats the L-times storage multiplier): the
+    // bucket self-join then yields both vectors directly — the r6 shape
+    // paid two extra join-back exchanges against the vector table to
+    // re-attach them to the candidate pairs
     val sigRows = vecs.flatMap { case (id, v) =>
-      (0 until LshTables).iterator.map(t => (id, t, hyperplaneSig(v, planes, t)))
-    }.toDF("vec_id", "tbl", "sig")
-      // persisted: the signature map otherwise re-executes for the
-      // bucket-count aggregate AND both sides of the self-join (~3x the
-      // dominant cost) — same reason minhashPairs persists its band table
+      (0 until LshTables).iterator.map(t => (id, v, t, hyperplaneSig(v, planes, t)))
+    }.toDF("vec_id", "embedding", "tbl", "sig")
+      // persisted: the signature map otherwise re-executes for both sides
+      // of the self-join — same reason minhashPairs persists its band table
       .persist()
-    val okBuckets = sigRows.groupBy(col("tbl"), col("sig"))
-      .agg(count(lit(1)).as("sz"))
+    // count-window bucket gate — one (tbl, sig) exchange shared by the
+    // filter and both self-join sides (see minhashPairs)
+    val szW = Window.partitionBy("tbl", "sig")
+    val inBucket = sigRows
+      .withColumn("sz", count(lit(1)).over(szW))
       .where(col("sz") >= 2 && col("sz") <= bucketCap)
-      .select(col("tbl"), col("sig"))
-    val inBucket = sigRows.join(okBuckets, Seq("tbl", "sig"))
-    val candidates = inBucket.as("a").join(inBucket.as("b"),
+      .drop("sz")
+    val verified = inBucket.as("a").join(inBucket.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
-      .distinct()
-    val vdf = vecs.toDF("vec_id", "embedding")
-    val verified = candidates
-      .join(vdf.select(col("vec_id").as("left_id"), col("embedding").as("lv")), "left_id")
-      .join(vdf.select(col("vec_id").as("right_id"), col("embedding").as("rv")), "right_id")
-      .select(col("left_id").as[Long], col("right_id").as[Long],
-        col("lv").as[Seq[Float]], col("rv").as[Seq[Float]])
+      .select(col("a.vec_id").as[Long], col("b.vec_id").as[Long],
+        col("a.embedding").as[Seq[Float]], col("b.embedding").as[Seq[Float]])
       .flatMap { case (l, r, lv, rv) =>
+        // a pair sharing buckets in several tables verifies once per table
+        // (one cosine each — cheap); the distinct below collapses them
         if (cosine(lv.toArray, rv) >= threshold) Iterator.single((l, r)) else Iterator.empty
       }.toDF("left_id", "right_id")
+      .distinct()
     if (materialize) finishUnpersist(verified, vecs, sigRows)
     else { vecs.unpersist(false); sigRows.unpersist(false); verified } // leak-free: lazy plan recomputes
   }

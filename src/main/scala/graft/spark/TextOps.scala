@@ -297,7 +297,7 @@ private[spark] trait TextCoreOps extends Serializable {
     * per round (the argmax). numMerges rounds = 2·numMerges tiny jobs —
     * the corpus is touched once. */
   def bpeTrain(spark: SparkSession, docs: DataFrame, numMerges: Int = 10,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L, driverWordBudget: Int = BpeDriverWordBudget): DataFrame = {
     import spark.implicits._
     require(numMerges >= 1 && numMerges <= 65536, s"numMerges out of range: $numMerges")
     val wordFreq = docs
@@ -317,11 +317,13 @@ private[spark] trait TextCoreOps extends Serializable {
     // order), same greedy re-segmentation ([[mergePair]]), same
     // minPairCount early stop. Oversize vocabularies fall through to the
     // distributed per-round loop unchanged.
-    val head = wordFreq.select(col("w").as[String], col("freq").as[Long])
-      .limit(BpeDriverWordBudget + 1).collect()
-    if (head.length <= BpeDriverWordBudget &&
-        head.iterator.map(_._1.length.toLong).sum <= BpeDriverCharBudget)
-      return bpeTrainLocal(spark, head, numMerges, minPairCount)
+    if (driverWordBudget > 0) {
+      val head = wordFreq.select(col("w").as[String], col("freq").as[Long])
+        .limit(driverWordBudget + 1).collect()
+      if (head.length <= driverWordBudget &&
+          head.iterator.map(_._1.length.toLong).sum <= BpeDriverCharBudget)
+        return bpeTrainLocal(spark, head, numMerges, minPairCount)
+    }
     var segs = wordFreq
       .select(col("w").as[String], col("freq").as[Long])
       .map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }
@@ -400,6 +402,35 @@ private[spark] trait TextCoreOps extends Serializable {
     }
     val pairCount = new java.util.HashMap[(String, String), java.lang.Long]()
     val pairWords = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    // lazy-deletion priority queue for the per-merge argmax: every count
+    // change pushes a fresh entry; stale entries (count no longer current)
+    // are discarded at poll time. Exact argmax in O(log Q) amortized —
+    // a linear scan of the pair map per merge made 32k merges quadratic.
+    val utf8Cache = new java.util.HashMap[String, Array[Byte]]()
+    def u8(s: String): Array[Byte] = {
+      var b = utf8Cache.get(s)
+      if (b == null) { b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8); utf8Cache.put(s, b) }
+      b
+    }
+    def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var j = 0
+      while (j < n) {
+        val d = (a(j) & 0xff) - (b(j) & 0xff)
+        if (d != 0) return d
+        j += 1
+      }
+      a.length - b.length
+    }
+    final case class PEntry(count: Long, a: String, b: String)
+    val pq = new java.util.PriorityQueue[PEntry](64,
+      (x: PEntry, y: PEntry) => {
+        if (x.count != y.count) java.lang.Long.compare(y.count, x.count)
+        else {
+          val dl = byteCmp(u8(x.a), u8(y.a))
+          if (dl != 0) dl else byteCmp(u8(x.b), u8(y.b))
+        }
+      })
     def addWord(wid: Int, sign: Long): Unit = {
       val syms = words(wid)
       val f = freqs(wid) * sign
@@ -408,19 +439,19 @@ private[spark] trait TextCoreOps extends Serializable {
         val p = (syms(j), syms(j + 1))
         val c = pairCount.get(p)
         val nc = (if (c == null) 0L else c.longValue()) + f
-        if (nc == 0L) pairCount.remove(p) else pairCount.put(p, java.lang.Long.valueOf(nc))
+        if (nc == 0L) pairCount.remove(p)
+        else {
+          pairCount.put(p, java.lang.Long.valueOf(nc))
+          pq.add(PEntry(nc, p._1, p._2))
+        }
         if (sign > 0) {
           var set = pairWords.get(p)
           if (set == null) { set = new java.util.HashSet[Integer](); pairWords.put(p, set) }
           set.add(Integer.valueOf(wid))
         }
+        // sign < 0: membership sets are corrected lazily — a stale id is
+        // filtered at merge time (the word just no longer contains the pair)
         j += 1
-      }
-      if (sign < 0) {
-        // membership sets are rebuilt by the re-add; stale ids are filtered
-        // lazily at merge time (a word no longer containing the pair just
-        // re-segments to itself)
-        ()
       }
     }
     i = 0
@@ -430,17 +461,22 @@ private[spark] trait TextCoreOps extends Serializable {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      // argmax: count desc, then left asc, then right asc (UTF-8 order)
+      // argmax: count desc, then left asc, then right asc (UTF-8 order);
+      // poll past stale queue entries
       var best: (String, String) = null
       var bestC = 0L
-      val it = pairCount.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e.getValue.longValue()
-        if (c > bestC || (c == bestC && best != null && {
-          val dl = utf8Compare(e.getKey._1, best._1)
-          dl < 0 || (dl == 0 && utf8Compare(e.getKey._2, best._2) < 0)
-        })) { best = e.getKey; bestC = c }
+      var searching = true
+      while (searching) {
+        val e = pq.poll()
+        if (e == null) searching = false
+        else {
+          val cur = pairCount.get((e.a, e.b))
+          if (cur != null && cur.longValue() == e.count) {
+            best = (e.a, e.b); bestC = e.count; searching = false
+            // the winning entry re-enters the queue only when its count
+            // changes again (addWord pushes on every change)
+          }
+        }
       }
       if (best == null || bestC < minPairCount) done = true
       else {
