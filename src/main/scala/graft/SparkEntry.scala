@@ -18,6 +18,20 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** spread a tiny single-file gate table across the session's cores
+    * before a CPU-heavy per-row stage (guide §2.5 — "input skew: one
+    * huge unsplittable file ... repartition immediately after the
+    * read"): documents.parquet is ONE small parquet file, so its scan is
+    * one task and any expensive per-row map/expression chain otherwise
+    * runs serially regardless of core count. Hash-partition on the
+    * unique doc_id with an EXPLICIT partition count (an implicit
+    * `repartition(col)` would let AQE coalesce a few hundred KB straight
+    * back to one partition, defeating the point). Deterministic key, so
+    * retries are safe (guide §2.5); per-row values and the gate orderBy
+    * output are unchanged. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Flagship: full main-content extraction over the synthesized pages
     * corpus at sf0.001 (byte-identity: extracted == oracle text column). */
   def entry(spark: SparkSession): DataFrame = {
@@ -1097,7 +1111,7 @@ object SparkEntry {
       TextOps.tokenCount(docs(s, dir)).orderBy("doc_id")),
 
     "q_quality" -> ((s, dir) =>
-      TextOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
+      TextOps.qualityScore(spread(s, docs(s, dir))).orderBy("doc_id")),
 
     // ---- 16ai. Paragraph-granularity fuzzy dedup (round 6): SimHash at
     //      the paragraph unit over the planted fp corpus in BOTH slots
@@ -1382,9 +1396,11 @@ object SparkEntry {
     }),
 
     // fingerprint + simhash + winnowing: planted identical/unrelated pairs
+    // (spread: the per-id fixture synthesis + 2x simhash/winnow sets are
+    // the cost — serial on the one-file scan otherwise)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id").as[Long]).map { id =>
+      spread(s, docs(s, dir).select("doc_id")).select(col("doc_id").as[Long]).map { id =>
         val t = TextFixtures.fpText(id)
         val p = TextFixtures.fpText(id ^ 1L)
         val fpEq = TextOps.fingerprint(t, 16) == TextOps.fingerprint(p, 16)

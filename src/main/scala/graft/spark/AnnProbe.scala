@@ -190,12 +190,55 @@ private[spark] trait AnnProbeOps extends AnnIndexOps {
     * single-query path is [[annLshIndexed]] (TakeOrdered, pruned read).
     * `materialize = false` returns the lazy plan (the persisted signature
     * frame then stays cached until the caller releases it). */
+  /** Spark's double sort semantics for the local eval fast paths:
+    * -0.0 == 0.0 (SQLOrderingUtil), descending by score, vec_id tiebreak
+    * — matches the distributed windows' (cos desc, vec_id) exactly. */
+  private def topKLocal(rows: Iterable[(Long, Double)], k: Int): Seq[(Long, Double)] =
+    rows.toSeq.sortWith { (a, b) =>
+      val c = if (a._2 == b._2) 0 else java.lang.Double.compare(b._2, a._2)
+      if (c != 0) c < 0 else a._1 < b._1
+    }.take(k)
+
   def annLshTopKEval(spark: SparkSession, sfDir: String, m: Int, k: Int,
-      radius: Int = 2, materialize: Boolean = true): DataFrame = {
+      radius: Int = 2, materialize: Boolean = true,
+      driverVecBudget: Int = AnnDriverVecBudget): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .persist()
+    // small-corpus driver fast path (see [[AnnDriverVecBudget]]): the whole
+    // eval — sigs, probe-set membership, cosines, per-query top-k — is a
+    // deterministic function of the collected vectors; one job replaces
+    // the count + collect + flatMap + window chain. Same per-row math,
+    // same (cos desc, vec_id) ranking, so the emitted rows are identical.
+    if (driverVecBudget > 0) {
+      val head = embRaw.limit(driverVecBudget + 1).collect()
+      if (head.length <= driverVecBudget) {
+        val planes = planesFor(head.length.toLong)
+        val queries = head.filter(_._1 < m).map { case (id, v) =>
+          val arr = v.toArray
+          (id, arr, Array.tabulate(LshTables)(t =>
+            probeSetR(hyperplaneSig(arr, planes, t), planes, radius)))
+        }
+        // per-row signatures computed ONCE, shared by every query (the
+        // distributed flatMap has the same shape)
+        val sigs = head.map { case (_, v) =>
+          Array.tabulate(LshTables)(t => hyperplaneSig(v, planes, t))
+        }
+        val out = queries.sortBy(_._1).toSeq.flatMap { case (qid, qv, probes) =>
+          val cand = head.indices.iterator.flatMap { i =>
+            val s = sigs(i)
+            var hit = false
+            var t = 0
+            while (t < probes.length && !hit) { hit = probes(t).contains(s(t)); t += 1 }
+            if (hit) Iterator.single((head(i)._1, cosine(qv, head(i)._2)))
+            else Iterator.empty
+          }
+          topKLocal(cand.toSeq, k).zipWithIndex.map { case ((id, _), i) => (qid, i + 1, id) }
+        }
+        return out.toDF("qid", "rank", "vec_id")
+      }
+    }
+    val emb = embRaw.persist()
     val planes = planesFor(emb.count())
     val queries: Array[(Long, Array[Float], Array[Set[Int]])] =
       emb.filter(_._1 < m).collect().map { case (id, v) =>
@@ -230,11 +273,69 @@ private[spark] trait AnnProbeOps extends AnnIndexOps {
     * expansion depends on phase-1 scores); window-per-qid is eval shape —
     * the production single-query path is [[annIvfIndexed]]. */
   def annIvfTopKEval(spark: SparkSession, sfDir: String, m: Int, k: Int,
-      nprobe: Int = 6, materialize: Boolean = true): DataFrame = {
+      nprobe: Int = 6, materialize: Boolean = true,
+      driverVecBudget: Int = AnnDriverVecBudget): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]])
-      .persist()
+    // small-corpus driver fast path (see [[AnnDriverVecBudget]] and
+    // [[annLshTopKEval]]): quantizer fit, assignment, radii, both scoring
+    // phases and the certificate all run on the collected vectors — the
+    // SAME deterministic sample, per-row math and ranking as the
+    // distributed body, so the emitted rows are identical.
+    if (driverVecBudget > 0) {
+      val head = embRaw.limit(driverVecBudget + 1).collect()
+      if (head.length <= driverVecBudget) {
+        val nL = head.length.toLong
+        val nlist = math.min(nlistFor(nL), DriverFitMaxNlist)
+        val target = quantizerSampleSize(nL, nlist)
+        val stride = math.max(1L, nL / target)
+        val picked0 = head.filter(t => math.floorMod(mix64(t._1), stride) == 0L)
+          .sortBy(_._1).map(x => l2normalize(x._2))
+        val sample =
+          if (picked0.nonEmpty) picked0
+          else head.sortBy(_._1)
+            .take(math.min(target, Int.MaxValue.toLong).toInt)
+            .map(x => l2normalize(x._2))
+        val cents = kmeansCentroids(sample, nlist)
+        val assigned = head.map { case (id, v) =>
+          val nv = l2normalize(v)
+          val c = nearestCentroid(nv, cents)
+          (id, v, c, math.sqrt(dist2(nv, cents(c))))
+        }
+        val radii = new Array[Double](cents.length)
+        assigned.foreach { case (_, _, c, d) => if (d > radii(c)) radii(c) = d }
+        val queries = head.filter(_._1 < m).map { case (id, v) =>
+          (id, v.toArray, centroidDistances(l2normalize(v), cents))
+        }
+        val probes1: Map[Long, Set[Int]] = queries.map { case (qid, _, dists) =>
+          qid -> dists.take(math.min(nprobe, dists.length)).map(_._2).toSet
+        }.toMap
+        def scoreLocal(listsOf: Long => Set[Int]): Map[Long, Seq[(Long, Double)]] =
+          queries.map { case (qid, qv, _) =>
+            val ls = listsOf(qid)
+            qid -> assigned.iterator.collect {
+              case (id, v, list, _) if ls.contains(list) => (id, cosine(qv, v))
+            }.toSeq
+          }.toMap
+        val p1: Map[Long, Seq[(Long, Double)]] =
+          scoreLocal(probes1).map { case (qid, cand) => qid -> topKLocal(cand, k) }
+        val kthOf: Map[Long, Double] = p1.map { case (qid, mine) =>
+          qid -> (if (mine.length >= k) mine.iterator.map(_._2).min else -1.0)
+        }
+        val expansions: Map[Long, Set[Int]] = queries.map { case (qid, _, dists) =>
+          qid -> certifiedExpansion(dists, radii, probes1(qid), kthOf(qid))
+        }.toMap
+        val p2 = scoreLocal(qid => expansions(qid))
+        val out = queries.sortBy(_._1).toSeq.flatMap { case (qid, _, _) =>
+          // phase sets are disjoint, so the union has no duplicate ids
+          topKLocal(p1(qid) ++ p2(qid), k).zipWithIndex
+            .map { case ((id, _), i) => (qid, i + 1, id) }
+        }
+        return out.toDF("qid", "rank", "vec_id")
+      }
+    }
+    val emb = embRaw.persist()
     val n = emb.count()
     // EVAL-ONLY harness: clamp to the driver-fit cap — unlike
     // buildAnnIndex this path has no two-level branch, and a coarser

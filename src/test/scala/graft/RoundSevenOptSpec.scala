@@ -152,6 +152,97 @@ class RoundSevenOptSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (megaExpected ++ tinyExpected).sorted)
   }
 
+  // deterministic clustered embedding corpus (same shape as the sf tables:
+  // a few genuine clusters plus noise) for the lifecycle equivalence spec
+  private def synthEmb(n: Int, dim: Int = 16) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      val c = i % 5
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d % 5 == c) 1.0f else 0.0f
+        base + (TextOps.mix64(i.toLong * dim + d) % 1000L) / 10000.0f
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ANN lifecycle: driver fast path writes the same index as the distributed path") {
+    val emb = synthEmb(300)
+    def lifecycle(base: String, budget: Int): String = {
+      val dir = s"$base/idx"
+      TextOps.buildAnnIndex(spark, emb.where(col("vec_id") % 3 === 0), dir,
+        driverVecBudget = budget)
+      TextOps.appendAnnIndex(spark, emb.where(col("vec_id") % 3 === 1), dir, "b1",
+        driverVecBudget = budget)
+      TextOps.appendAnnIndex(spark, emb.where(col("vec_id") % 3 === 2), dir, "b2",
+        driverVecBudget = budget)
+      TextOps.compactAnnIndex(spark, dir, epoch = "1", driverVecBudget = budget)
+      dir
+    }
+    val baseL = java.nio.file.Files.createTempDirectory("ann-eq-local").toString
+    val baseD = java.nio.file.Files.createTempDirectory("ann-eq-dist").toString
+    try {
+      val local = lifecycle(baseL, TextOps.AnnDriverVecBudget)
+      val dist = lifecycle(baseD, 0)
+      // identical section CONTENT: same rows (values), same partition dirs
+      def rows(dir: String, section: String, cols: Seq[String]): Seq[Seq[Any]] =
+        spark.read.parquet(s"$dir/$section").select(cols.map(col): _*)
+          .collect().map(_.toSeq.map {
+            case s: Seq[_] => s.toVector
+            case x => x
+          }).sortBy(_.toString()).toSeq
+      for ((section, cols) <- Seq(
+        "meta" -> Seq("planes", "tables", "nlist", "n", "version"),
+        "centroids" -> Seq("list_id", "centroid"),
+        "radii" -> Seq("list_id", "radius", "cnt", "batch"),
+        "lsh" -> Seq("vec_id", "tbl", "sig", "sigp", "batch", "embedding"),
+        "ivf" -> Seq("vec_id", "list_id", "batch", "embedding"),
+        "batches" -> Seq("batch", "n_rows")))
+        assert(rows(local, section, cols) == rows(dist, section, cols),
+          s"section $section differs between the driver and distributed paths")
+      // and identical probe results end-to-end over the compacted index
+      val sf = java.nio.file.Files.createTempDirectory("ann-eq-sf").toString
+      try {
+        emb.write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+        for (q <- Seq(0L, 7L, 123L)) {
+          val a = TextOps.annLshIndexed(spark, sf, local, q, 5, radius = 2)
+            .collect().map(_.getLong(1)).toSeq
+          val b = TextOps.annLshIndexed(spark, sf, dist, q, 5, radius = 2)
+            .collect().map(_.getLong(1)).toSeq
+          assert(a == b, s"LSH probe q=$q: $a != $b")
+          val c = TextOps.annIvfIndexed(spark, sf, local, q, 5)
+            .collect().map(_.getLong(1)).toSeq
+          val d = TextOps.annIvfIndexed(spark, sf, dist, q, 5)
+            .collect().map(_.getLong(1)).toSeq
+          assert(c == d, s"IVF probe q=$q: $c != $d")
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sf))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(baseL))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(baseD))
+    }
+  }
+
+  test("ANN evals: driver fast path == distributed harness rows") {
+    val sf = java.nio.file.Files.createTempDirectory("ann-eval-eq").toString
+    try {
+      synthEmb(250).write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+        df.orderBy("qid", "rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val lshFast = rows(TextOps.annLshTopKEval(spark, sf, m = 6, k = 5))
+      val lshDist = rows(TextOps.annLshTopKEval(spark, sf, m = 6, k = 5,
+        driverVecBudget = 0))
+      assert(lshFast == lshDist)
+      assert(lshFast.nonEmpty)
+      val ivfFast = rows(TextOps.annIvfTopKEval(spark, sf, m = 6, k = 5))
+      val ivfDist = rows(TextOps.annIvfTopKEval(spark, sf, m = 6, k = 5,
+        driverVecBudget = 0))
+      assert(ivfFast == ivfDist)
+      assert(ivfFast.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sf))
+  }
+
   test("cleanCorpus: no exchange is keyed by a text-typed column") {
     val s = spark; import s.implicits._
     // gopher-passing bodies (50 words with stopwords), some shared tails
