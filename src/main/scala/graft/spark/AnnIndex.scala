@@ -769,19 +769,26 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
     val planes = readMeta(spark, indexDir)._1
     val quant = readAssignQuantizer(spark, indexDir)
 
-    // the deduped union of every live vector
-    val vecsDf = spark.read.parquet(s"$indexDir/ivf")
+    // the union of every live vector (deduped below, per path)
+    val vecsAll = spark.read.parquet(s"$indexDir/ivf")
       .select(col("vec_id"), col("embedding"))
-      .dropDuplicates("vec_id")
       .as[(Long, Seq[Float])]
 
     var rc: (Array[Double], Array[Long]) = null
-    collectIfSmall(vecsDf, driverVecBudget) match {
+    collectIfSmall(vecsAll, driverVecBudget) match {
       // small-index driver fast path (see [[AnnDriverVecBudget]]): the
       // collected rows sever the read→overwrite-same-path cycle without a
       // localCheckpoint job, and the target batch writes from local
-      // relations — same steps 1.-3., same layout
-      case Some(head) =>
+      // relations — same steps 1.-3., same layout. The vec_id dedup runs
+      // on the driver too (keep-first): duplicate rows are value-identical
+      // re-ingests of the same vector (the crash-window contract), so any
+      // keep choice — this one or dropDuplicates' — yields the same rows,
+      // and the dedup exchange disappears. Collecting the RAW union only
+      // tightens the budget check (raw count ≥ deduped count).
+      case Some(raw) =>
+        val seen = new java.util.LinkedHashMap[Long, (Long, Seq[Float])](raw.length * 2)
+        raw.foreach(r => if (!seen.containsKey(r._1)) seen.put(r._1, r))
+        val head = seen.values().toArray(new Array[(Long, Seq[Float])](0))
         val (lshRows, ivfRows, rcL) = localIndexRows(head, planes, quant)
         rc = rcL
         writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
@@ -794,7 +801,8 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         // L-times-larger lsh table). A 100-TB deployment would bound it
         // further by compacting one list_id range at a time — same
         // algorithm, partial scope.
-        val vecs = vecsDf.localCheckpoint(true)
+        val vecs = vecsAll.dropDuplicates("vec_id").as[(Long, Seq[Float])]
+          .localCheckpoint(true)
         val (lsh, ivf) = indexRows(spark, vecs, planes, quant)
         val ivfP = ivf.persist()
         // 1. tight radii first, 2.-3. data + commit record via the one
