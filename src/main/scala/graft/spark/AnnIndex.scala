@@ -774,8 +774,20 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
 
+    // size probe WITHOUT a CollectLimit: over a many-partition ivf table,
+    // limit(budget+1) schedules up to 4 incremental scale-up jobs just to
+    // learn the table is small. The per-list member counts (sum over every
+    // published radii batch) upper-bound the raw row count — a crashed
+    // append only OVER-counts — and are usually cache-seeded by the
+    // preceding build/append (zero jobs; at worst one tiny radii read).
+    // Within budget → one plain parallel collect of the small table.
+    val approxRows =
+      if (driverVecBudget > 0) readQuantizer(spark, indexDir)._3.sum else Long.MaxValue
+    val headOpt: Option[Array[(Long, Seq[Float])]] =
+      if (approxRows <= driverVecBudget) Some(vecsAll.collect()) else None
+
     var rc: (Array[Double], Array[Long]) = null
-    collectIfSmall(vecsAll, driverVecBudget) match {
+    headOpt match {
       // small-index driver fast path (see [[AnnDriverVecBudget]]): the
       // collected rows sever the read→overwrite-same-path cycle without a
       // localCheckpoint job, and the target batch writes from local
@@ -791,9 +803,17 @@ private[spark] trait AnnIndexOps extends AnnCoreOps {
         val head = seen.values().toArray(new Array[(Long, Seq[Float])](0))
         val (lshRows, ivfRows, rcL) = localIndexRows(head, planes, quant)
         rc = rcL
-        writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false)
-        writeIndexBatchLocal(spark, indexDir, target, lshRows, ivfRows,
-          rc._2.sum, overwriteAll = false)
+        // unlike an APPEND, compaction's radii/data writes can all run
+        // concurrently (guide §2.6): the target re-ingests vectors whose
+        // radii are still published by the superseded batches until the
+        // step-4 cleanup, so a crash at ANY interleaving leaves max-merge
+        // readers with an over-estimate — extra lists scanned, none
+        // missed. The commit record still lands strictly last.
+        inParallel(
+          () => writeRadiiBatch(spark, indexDir, target, rc, overwriteAll = false),
+          lshWriteLocal(spark, indexDir, target, lshRows, overwriteAll = false),
+          ivfWriteLocal(spark, indexDir, target, ivfRows, overwriteAll = false))
+        writeBatchesRecord(spark, indexDir, target, rc._2.sum, overwriteAll = false)
       case None =>
         // localCheckpoint breaks the read->overwrite-same-path cycle (Spark
         // rejects a write whose plan still reads the output path) and
